@@ -1,0 +1,15 @@
+"""Transform / load / execute / validate stages, plus the
+training-data-pipeline operators (dedup, similarity, text analysis,
+multimodal)."""
+
+from arc_jupyter_spark.operators import (  # noqa: F401
+    dedup,
+    execute,
+    load,
+    metadata,
+    multimodal,
+    similarity,
+    text,
+    transform,
+    typing,
+)

@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The decode libraries (PIL, ffmpeg, librosa…) are NOT in this
+container, so the decode kernels are STUBBED behind
+``DecoderUnavailable``/deterministic fakes — but the Spark-side
+plumbing (schemas, mapInPandas batch shape, partition sizing) is real
+and tested. Swap ``_decode_image_stub`` for a real decoder in
+production; nothing else changes.
+
+Scale notes: binary payloads ride in parquet/binaryFile splits; decode
+is a ``mapInPandas`` map-only stage (no shuffle), so it scales linearly
+with executors. Keep ``spark.sql.files.maxPartitionBytes`` modest when
+payloads are large so a task's Arrow batches fit in memory; use
+``maxRecordsPerBatch`` to bound per-batch footprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised when a real media decoder is required but not installed."""
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: metadata derived from a content digest.
+
+    Real path: ``PIL.Image.open(io.BytesIO(payload))``. The fake keeps
+    tests deterministic and exercises the full Arrow round-trip.
+    """
+    digest = hashlib.md5(payload).digest()
+    width = 64 + struct.unpack("<H", digest[0:2])[0] % 1024
+    height = 64 + struct.unpack("<H", digest[2:4])[0] % 1024
+    return width, height, 3, "fake"
+
+
+def extract_image_metadata(
+    df: DataFrame, binary_col: str = "value", out_col: str = "image_meta"
+) -> DataFrame:
+    """Append decoded image metadata struct via Arrow-batched decode."""
+    pil = _try_import_pil()
+    schema = df.schema.add(out_col, IMAGE_META_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            metas = []
+            for payload in pdf[binary_col]:
+                data = bytes(payload) if payload is not None else b""
+                if pil is not None:
+                    try:
+                        with pil.open(io.BytesIO(data)) as img:
+                            metas.append(
+                                {
+                                    "width": img.width,
+                                    "height": img.height,
+                                    "channels": len(img.getbands()),
+                                    "format": (img.format or "unknown").lower(),
+                                }
+                            )
+                            continue
+                    except Exception:
+                        pass
+                w, h, c, fmt = _decode_image_stub(data)
+                metas.append({"width": w, "height": h, "channels": c, "format": fmt})
+            yield pdf.assign(**{out_col: metas})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_features_stub(
+    df: DataFrame, binary_col: str = "value", out_col: str = "features", dim: int = 8
+) -> DataFrame:
+    """Deterministic fake feature vector (md5-seeded) per payload.
+
+    Stands in for a real embedding model; proves the
+    binary → array<float> plumbing end to end.
+    """
+    schema = df.schema.add(out_col, T.ArrayType(T.FloatType()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[binary_col]:
+                digest = hashlib.md5(bytes(payload or b"")).digest()
+                feats.append(
+                    [struct.unpack("<H", digest[2 * i:2 * i + 2])[0] / 65535.0 for i in range(dim)]
+                )
+            yield pdf.assign(**{out_col: feats})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    binary_col: str = "value",
+    every_n: int = 10,
+    out_col: str = "frames",
+) -> DataFrame:
+    """Video frame sampling plumbing (one row in → N frame rows out).
+
+    Real path: ffmpeg/pyav demux. Stub emits deterministic fake frame
+    digests; shows the explode-shaped mapInPandas (1→N) pattern.
+    """
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame_digest", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[binary_col] or b"")
+                n_frames = max(1, len(payload) // max(every_n, 1) % 8)
+                for i in range(n_frames):
+                    out = dict(row)
+                    out["frame_index"] = i
+                    out["frame_digest"] = hashlib.md5(payload + str(i).encode()).hexdigest()
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, binary_col: str = "value") -> DataFrame:
+    """Real image resize — requires PIL; raises DecoderUnavailable otherwise."""
+    if _try_import_pil() is None:
+        raise DecoderUnavailable(
+            "image resize requires Pillow; install it or use the *_stub operators"
+        )
+    pil = _try_import_pil()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                with pil.open(io.BytesIO(bytes(payload))) as img:
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format=img.format or "PNG")
+                    out.append(buf.getvalue())
+            yield pdf.assign(**{binary_col: out})
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; LSH / IVF-style
+bucketed variants as the scale path. All vector math stays JVM-side
+via higher-order functions (``zip_with`` + ``aggregate``) — no Python
+in the hot loop; Catalyst codegens the fold.
+
+Scale notes: brute-force is a map + TakeOrdered (no shuffle of the
+corpus); IVF probes prune the corpus to ~n/k per query via a
+broadcast-joined centroid assignment.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The literal query vector is folded into the plan (broadcast by
+    value); scoring is a narrow map; ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps k rows, the driver
+    merges. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query for a (small, broadcastable) query set.
+
+    Broadcast the queries, score corpus×queries map-side, then one
+    shuffle on query_id for the per-query window top-k.
+    """
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    )
+    scored = corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+# -- IVF-style approximate search ------------------------------------
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell).
+
+    Centroids are broadcast (there are k of them, k ≪ n); assignment is
+    a map-side argmax — the full corpus never shuffles.
+    """
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"),
+        F.col(centroid_vec_col).cast("array<double>"),
+    )
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_csim", sim)
+    w = Window.partitionBy(*df.columns).orderBy(
+        F.col("_csim").desc(), F.col(centroid_id_col).asc()
+    )
+    # per-row argmax via max_by is cheaper than a window over all df cols:
+    return (
+        scored.groupBy(*df.columns)
+        .agg(F.max_by(F.col(centroid_id_col), F.col("_csim")).alias("cell"))
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means via DataFrame aggregates (returns centroid table).
+
+    Iterations are driver-coordinated but all data work is distributed:
+    assign (map + broadcast argmax) → recompute means (one groupBy per
+    iteration, aggregating element-wise sums with ``zip_with``).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    # deterministic init: first k rows by id-ish ordering of a digest
+    init = (
+        df.select(F.col(vec_col).cast("array<double>").alias("centroid"))
+        .limit(k)
+        .withColumn("centroid_id", F.monotonically_increasing_id())
+    )
+    centroids = [(int(r["centroid_id"]), list(r["centroid"])) for r in init.collect()]
+    for _ in range(max_iter):
+        cdf = df.sparkSession.createDataFrame(
+            centroids, "centroid_id long, centroid array<double>"
+        )
+        assigned = assign_ivf_cells(
+            df.select(F.col(vec_col)), cdf, vec_col=vec_col,
+            centroid_id_col="centroid_id", centroid_vec_col="centroid",
+        )
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list(F.col(vec_col).cast("array<double>")),
+                    F.array(*[F.lit(0.0) for _ in range(dim)]),
+                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.col("cell").alias("centroid_id"),
+                F.transform(F.col("vsum"), lambda x: x / F.col("n")).alias("centroid"),
+            )
+        )
+        centroids = [(int(r["centroid_id"]), list(r["centroid"])) for r in sums.collect()]
+    return df.sparkSession.createDataFrame(centroids, "centroid_id long, centroid array<double>")
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the ``n_probe`` nearest cells.
+
+    Prunes the corpus to ~n·(n_probe/k_cells) before exact scoring —
+    the IVF scale path. Requires ``corpus_with_cells`` to carry a
+    ``cell`` column from ``assign_ivf_cells``.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    probe_cells = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id",
+            cosine_similarity(F.col("centroid"), q).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc())
+        .limit(n_probe)
+        .collect()
+    ]
+    pruned = corpus_with_cells.where(F.col("cell").isin(probe_cells))
+    scored = pruned.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

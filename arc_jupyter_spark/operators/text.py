@@ -1,0 +1,121 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (split/regexp/higher-order functions) —
+map-side, codegen'd, no UDFs, no shuffle. Heuristics are deliberately
+simple and deterministic so they are oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (public-knowledge function words).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "los", "de", "que", "y", "es", "un"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+# BPE-ish tokenization: letter runs, digit runs, or single other
+# non-space symbols — the same regex works in Java (Spark) and RE2-ish
+# engines (DuckDB).
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty-safe)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric, non-space chars / total chars."""
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] document-quality heuristic.
+
+    Rewards length (log-scaled, saturating at ~1000 words), moderate
+    mean word length, and low punctuation density — the standard cheap
+    pre-filter shape for web-scale corpus cleaning.
+    """
+    wc = word_count(text).cast("double")
+    length_term = F.least(F.log1p(wc) / F.log(F.lit(1001.0)), F.lit(1.0))
+    mwl = mean_word_length(text)
+    word_len_term = F.lit(1.0) - F.least(F.abs(mwl - 5.0) / 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    return (0.5 * length_term + 0.25 * word_len_term + 0.25 * punct_term)
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratios."""
+    toks = tokens(text)
+
+    def score(stops: tuple[str, ...]) -> Column:
+        hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+        return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+    return {lang: score(stops) for lang, stops in LANG_STOPWORDS.items()}
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax over language stopword scores ('und' when all zero)."""
+    scores = language_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in scores.items()
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, lang tiebreak
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-content fingerprint: md5 of whitespace-normalized lowercased text."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
+def winnow_fingerprint(text: Column, shingle_len: int = 5) -> Column:
+    """Winnowing-style robust fingerprint: min md5 over word shingles.
+
+    Survives local edits better than the exact digest; the standard
+    cheap near-dup blocking key.
+    """
+    from arc_jupyter_spark.operators.dedup import word_shingles
+
+    return F.array_min(
+        F.transform(word_shingles(text, shingle_len), lambda s: F.md5(s.cast("binary")))
+    )

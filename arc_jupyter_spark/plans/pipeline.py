@@ -1,0 +1,146 @@
+"""Stage abstraction + registry + pipeline runner.
+
+The reference discovers PipelineStagePlugin implementations via
+ServiceLoader (reference: ArcInterpreter.scala:309-336), parses a HOCON
+config into an ordered stage list (ArcInterpreter.scala:404, 423), and
+executes them sequentially (ArcInterpreter.scala:441), with lifecycle
+hooks after each stage (OutputTable.scala:65-85). Here: a plain class
+registry, JSON configs, and a sequential runner with optional
+after-stage callbacks.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from arc_jupyter_spark.context import ArcContext
+from arc_jupyter_spark.plans.sqlparams import inject_parameters
+
+STAGE_REGISTRY: dict[str, type["PipelineStage"]] = {}
+
+
+def register_stage(cls: type["PipelineStage"]) -> type["PipelineStage"]:
+    """Class decorator: register under the Arc stage type name."""
+    STAGE_REGISTRY[cls.stage_type] = cls
+    return cls
+
+
+class PipelineStage(abc.ABC):
+    """One pipeline stage.
+
+    Common parameters shared by every Arc stage: ``name``,
+    ``environments``, ``inputView``/``outputView`` where applicable,
+    ``persist``, ``numPartitions``, ``partitionBy``, ``params``.
+    """
+
+    stage_type: str = "AbstractStage"
+    #: 'extract' | 'transform' | 'load' | 'execute' | 'validate'
+    stage_kind: str = "transform"
+
+    def __init__(
+        self,
+        name: str | None = None,
+        environments: tuple[str, ...] = (),
+        persist: bool = False,
+        num_partitions: int | None = None,
+        partition_by: tuple[str, ...] = (),
+        params: dict[str, str] | None = None,
+        **extra: Any,
+    ) -> None:
+        self.name = name or self.stage_type
+        self.environments = tuple(environments)
+        self.persist = persist
+        self.num_partitions = num_partitions
+        self.partition_by = tuple(partition_by)
+        self.params = dict(params or {})
+        self.extra = extra
+
+    # -- helpers shared across stages ---------------------------------
+
+    def repartition(self, df: DataFrame) -> DataFrame:
+        """Apply numPartitions/partitionBy (Arc common params).
+
+        ``partitionBy`` without an explicit count lets Spark/AQE pick;
+        both together give hash partitioning on the named columns — at
+        scale this is how a pipeline pre-co-locates a downstream join.
+        """
+        if self.partition_by:
+            cols = list(self.partition_by)
+            if self.num_partitions:
+                return df.repartition(self.num_partitions, *cols)
+            return df.repartition(*cols)
+        if self.num_partitions:
+            return df.repartition(self.num_partitions)
+        return df
+
+    def substitute(self, text: str, ctx: ArcContext) -> str:
+        return inject_parameters(text, ctx.merged_params(self.params))
+
+    @abc.abstractmethod
+    def execute(self, ctx: ArcContext) -> DataFrame | None:
+        """Run the stage; return its result DataFrame (or None)."""
+
+
+def _snake(key: str) -> str:
+    out = []
+    for ch in key:
+        if ch.isupper():
+            out.append("_")
+            out.append(ch.lower())
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def stage_from_config(config: dict[str, Any]) -> PipelineStage:
+    """Instantiate a registered stage from an Arc-style config dict.
+
+    ``{"type": "SQLTransform", "name": ..., "sql": ..., ...}`` —
+    camelCase keys are normalized to the snake_case constructor args.
+    """
+    config = dict(config)
+    stage_type = config.pop("type")
+    try:
+        cls = STAGE_REGISTRY[stage_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown stage type '{stage_type}'; known: {sorted(STAGE_REGISTRY)}"
+        ) from None
+    kwargs = {_snake(k): v for k, v in config.items()}
+    return cls(**kwargs)
+
+
+def parse_pipeline(config: str | dict[str, Any] | list[dict[str, Any]]) -> list[PipelineStage]:
+    """Parse a pipeline config (JSON text, dict with 'stages', or list)."""
+    if isinstance(config, str):
+        config = json.loads(config)
+    if isinstance(config, dict):
+        config = config.get("stages", [config])
+    return [stage_from_config(c) for c in config]
+
+
+def run_pipeline(
+    stages: list[PipelineStage],
+    ctx: ArcContext,
+    environment: str | None = None,
+    after_stage: Callable[[PipelineStage, DataFrame | None], None] | None = None,
+) -> DataFrame | None:
+    """Execute stages sequentially; return the last stage's DataFrame.
+
+    Stages declaring ``environments`` run only when *environment*
+    matches (Arc semantics: an empty list means 'always').
+    """
+    result: DataFrame | None = None
+    for stage in stages:
+        if stage.environments and environment not in stage.environments:
+            continue
+        out = stage.execute(ctx)
+        if out is not None:
+            result = out
+        if after_stage is not None:
+            after_stage(stage, out)
+    return result

@@ -1,0 +1,24 @@
+"""Driver-facing workload registry.
+
+Each named query is a ``(spark, sf_dir) -> DataFrame`` callable paired
+(when SQL-expressible) with an ANSI-SQL oracle string DuckDB runs on
+the same parquet tables. Column names and rounding are mirrored on both
+sides so the driver's order-insensitive value hash matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arc_jupyter_spark.workloads import llmops, relational  # noqa: F401
+from arc_jupyter_spark.workloads.base import ORACLES, QUERIES
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

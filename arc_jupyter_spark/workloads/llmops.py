@@ -1,0 +1,419 @@
+"""Training-data pipeline workloads: dedup, similarity search, text
+analysis — each oracle-checked against DuckDB where expressible.
+
+Hashing is md5-based everywhere (portable across engines); tokenization
+is ``\\s+`` splitting mirrored by DuckDB ``regexp_split_to_array``.
+Oracle SQL for the hash-heavy queries (minhash, simhash) is generated
+programmatically so both engines compute bit-identical strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arc_jupyter_spark.operators import dedup, similarity, text
+from arc_jupyter_spark.workloads.base import load_views, query
+
+# shared DuckDB fragments -------------------------------------------------
+
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB expression for word n-gram shingles over ``toks`` column."""
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"j -> array_to_string(toks[j:j + {n - 1}], ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+
+
+# --------------------------------------------------------------------
+# d01 — exact dedup (digest-keyed keep-first).
+# --------------------------------------------------------------------
+
+D01_ORACLE = """
+SELECT source, COUNT(*) AS n_kept FROM (
+  SELECT source, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+
+@query("d01_exact_dedup", oracle=D01_ORACLE)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup_by_digest(spark.table("documents"), "text", "doc_id")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+
+
+# --------------------------------------------------------------------
+# d02 — MinHash + LSH banding candidate pairs (md5 minhash, 16 hashes,
+# 4 bands). The Spark side computes signatures map-side with
+# higher-order functions; only (id, band) pairs shuffle.
+# --------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_SHINGLE_LEN = 3
+
+
+def _d02_oracle() -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS s{i}"
+        for i in range(_NUM_HASHES)
+    )
+    bands = ", ".join(
+        "md5('band{b}|' || {parts}) AS band{b}".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"s{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(_BANDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_duck_shingles(_SHINGLE_LEN)} AS shingles FROM toks
+),
+sigs AS (
+  SELECT doc_id, {sigs} FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest([{band_list}]) AS band FROM ( SELECT doc_id, {bands} FROM sigs )
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band)
+WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("d02_minhash_lsh", oracle=_d02_oracle())
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    return dedup.minhash_candidates(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=_SHINGLE_LEN,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------
+# d03 — exact n-gram Jaccard pairs (blocked by source).
+# --------------------------------------------------------------------
+
+D03_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct({_duck_shingles(3).replace('toks', _DUCK_TOKS)}) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+
+@query("d03_ngram_jaccard", oracle=D03_ORACLE)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=3,
+        threshold=0.12,
+        block_col="source",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------
+# d04 — SimHash fingerprints (64-bit, md5-derived, engine-portable).
+# --------------------------------------------------------------------
+
+
+def _d04_oracle() -> str:
+    bit_cases = []
+    for b in range(64):
+        pos = b // 4 + 1
+        mask = 1 << (3 - b % 4)
+        bit_cases.append(
+            f"CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+            f"& {mask}) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+        )
+    bits = " || ".join(bit_cases)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+),
+hashed AS (SELECT doc_id, md5(t) AS h FROM tok)
+SELECT doc_id, {bits} AS simhash
+FROM hashed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("d04_simhash", oracle=_d04_oracle())
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    bits = dedup.simhash64(F.col("text"), num_bits=64)
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.array_join(F.transform(bits, lambda b: b.cast("string")), "").alias("simhash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# d05 — embedding near-dup pairs (label-blocked cosine).
+# --------------------------------------------------------------------
+
+D05_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+ORDER BY id_a, id_b
+"""
+
+
+@query("d05_embedding_dup", oracle=D05_ORACLE)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(
+        spark.table("embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.40,
+        block_col="label",
+    )
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------
+# s01 — brute-force cosine top-k (exact ANN baseline).
+# --------------------------------------------------------------------
+
+S01_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+FROM embeddings, q
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("s01_cosine_topk", oracle=S01_ORACLE)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = similarity.cosine_topk(emb, qvec, id_col="vec_id", vec_col="embedding", k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------
+# s02 — IVF approximate top-k (k-means cells + n_probe pruning).
+# Not SQL-expressible (iterative) → rows-only check.
+# --------------------------------------------------------------------
+
+
+@query("s02_ivf_topk")
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    centroids = similarity.kmeans_centroids(emb, k=8, vec_col="embedding", max_iter=3)
+    with_cells = similarity.assign_ivf_cells(
+        emb, centroids, vec_col="embedding",
+        centroid_id_col="centroid_id", centroid_vec_col="centroid",
+    )
+    return similarity.ivf_topk(
+        with_cells, centroids, qvec, k=10, n_probe=3,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+# --------------------------------------------------------------------
+# t01 — quality scoring per language.
+# --------------------------------------------------------------------
+
+T01_ORACLE = f"""
+WITH t AS (
+  SELECT lang, {_DUCK_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT lang,
+         CAST(len(toks) AS DOUBLE) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr
+  FROM t
+)
+SELECT lang, COUNT(*) AS n,
+       ROUND(AVG(
+         0.5 * LEAST(ln(1 + wc) / ln(1001.0), 1.0)
+         + 0.25 * (1.0 - LEAST(abs(mwl - 5.0) / 5.0, 1.0))
+         + 0.25 * (1.0 - LEAST(pr * 4.0, 1.0))
+       ), 6) AS avg_quality,
+       ROUND(AVG(wc), 4) AS avg_words
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t01_quality_score", oracle=T01_ORACLE)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(text.quality_score(F.col("text"))), 6).alias("avg_quality"),
+            F.round(F.avg(text.word_count(F.col("text")).cast("double")), 4).alias("avg_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# t02 — language-ID heuristic (stopword argmax) confusion matrix.
+# --------------------------------------------------------------------
+
+
+def _t02_oracle() -> str:
+    score_exprs = []
+    for lang, stops in text.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{s}'" for s in stops)
+        score_exprs.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, x -> list_contains([{lst}], x))) AS DOUBLE) / len(toks) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    scores = ", ".join(score_exprs)
+    # tie-break mirrors Spark's array_max over struct(score, lang):
+    # highest score wins; ties go to the lexicographically largest lang.
+    langs_desc = sorted(text.LANG_STOPWORDS, reverse=True)
+    case = "CASE "
+    for lang in langs_desc:
+        others = [o for o in langs_desc if o != lang]
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in others)
+        case += f"WHEN s_{lang} > 0 AND {conds} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT lang, {scores} FROM t)
+SELECT lang, {case} AS predicted, COUNT(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("t02_lang_id", oracle=_t02_oracle())
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    return (
+        spark.table("documents")
+        .select("lang", text.detect_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------
+# t03 — BPE-ish token counting per source.
+# --------------------------------------------------------------------
+
+T03_ORACLE = f"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))) AS BIGINT) AS max_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '{text.TOKEN_PATTERN}'))), 4) AS avg_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("t03_token_count", oracle=T03_ORACLE)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    tc = text.token_count(F.col("text"))
+    return (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.sum(tc).cast("bigint").alias("total_tokens"),
+            F.max(tc).cast("bigint").alias("max_tokens"),
+            F.round(F.avg(tc), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t04 — document fingerprints (exact digest + winnowed min-shingle).
+# --------------------------------------------------------------------
+
+T04_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+w AS (
+  SELECT doc_id, list_min(list_transform({_duck_shingles(5)}, s -> md5(s))) AS winnow
+  FROM t
+)
+SELECT f.source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT f.fp) AS n_unique,
+       COUNT(DISTINCT w.winnow) AS n_winnow
+FROM f JOIN w USING (doc_id)
+GROUP BY f.source ORDER BY f.source
+"""
+
+
+@query("t04_fingerprint", oracle=T04_ORACLE)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        text.fingerprint(F.col("text")).alias("fp"),
+        text.winnow_fingerprint(F.col("text"), shingle_len=5).alias("winnow"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.countDistinct("winnow").alias("n_winnow"),
+        )
+        .orderBy("source")
+    )
