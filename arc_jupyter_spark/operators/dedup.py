@@ -96,6 +96,39 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature as columns ``_s0.._sN``.
+
+    Shape matters for performance: explode distinct shingles to rows,
+    compute all N seed-hashes in ONE flat projection (whole-stage
+    codegen'd — no nested higher-order functions, which Catalyst
+    evaluates interpreted and re-inlines per reference), then
+    ``groupBy(id).min(...)``. The min aggregation is partial (map-side
+    combine), so the shuffle carries only num_hashes values per
+    document regardless of document size — the 100 TB-safe shape.
+    """
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_len))).alias("_s"),
+    )
+    hashed = shingles.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")).cast("binary")).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_s{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -106,17 +139,25 @@ def minhash_candidates(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
-    Only (id, band) pairs shuffle; the self-join happens per band
-    bucket. Giant buckets (boilerplate documents) are the skew risk at
-    scale — AQE skew-join handles moderate cases; pathological buckets
-    should be capped upstream.
+    Only (id, band-digest) pairs shuffle; the self-join happens per
+    band bucket. Giant buckets (boilerplate documents) are the skew
+    risk at scale — AQE skew-join handles moderate cases; pathological
+    buckets should be capped upstream.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_len), num_hashes)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("_band"),
-    )
+    sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
+    band_digests = [
+        F.md5(
+            F.concat(
+                F.lit(f"band{b}|"),
+                F.concat_ws(
+                    "|", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
+                ),
+            ).cast("binary")
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_digests)).alias("_band"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -140,28 +181,41 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Pairs come from an equi-join (on ``block_col`` or a shared-shingle
-    bucket), then Jaccard is computed with set intersection on the
-    shingle arrays. Use after ``minhash_candidates`` to verify, or with
-    blocking for exact small-block dedup.
+    Scale shape: explode distinct shingles, equi-join on the shingle
+    value (plus ``block_col``) so intersection sizes come from a
+    counting aggregation — no document arrays ride through the
+    shuffle, and pairs sharing zero shingles never materialize. Skew
+    note: ultra-common shingles create hot join keys; at corpus scale,
+    drop stop-shingles (document frequency above a cap) first.
     """
+    block = [block_col] if block_col else []
     sh = df.select(
         F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
+        *[F.col(c) for c in block],
         F.array_distinct(word_shingles(F.col(text_col), shingle_len)).alias("_sh"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    on = F.col(f"a.{block_col}") == F.col(f"b.{block_col}") if block_col else F.lit(True)
-    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
-    union = F.size(F.col("a._sh")) + F.size(F.col("b._sh")) - inter
-    return (
-        a.join(b, on)
+    sizes = sh.select(id_col, F.size("_sh").alias("_n"))
+    ex = sh.select(F.col(id_col), *[F.col(c) for c in block], F.explode("_sh").alias("_s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cond = F.col("a._s") == F.col("b._s")
+    for c in block:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter / union).alias("jaccard"),
+            "id_a",
+            "id_b",
+            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -34,24 +34,40 @@ def metadata_dataframe(spark: SparkSession, df: DataFrame) -> DataFrame:
             if k not in keys:
                 keys.append(k)
 
+    def key_type(k: str) -> T.DataType:
+        vals = [f.metadata[k] for f in df.schema.fields
+                if f.metadata and k in f.metadata]
+        if all(isinstance(v, bool) for v in vals):
+            return T.BooleanType()
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            return T.LongType()
+        if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            return T.DoubleType()
+        return T.StringType()
+
+    key_types = {k: key_type(k) for k in keys}
+
+    def cell(md: dict[str, Any], k: str) -> Any:
+        if k not in md:
+            return None
+        v = md[k]
+        if isinstance(key_types[k], T.StringType) and not isinstance(v, str):
+            return json.dumps(v)
+        return v
+
     rows = []
     for f in df.schema.fields:
         md = f.metadata or {}
         rows.append(
             (f.name, f.nullable, f.dataType.simpleString())
-            + tuple(json.dumps(md[k]) if k in md else None for k in keys)
+            + tuple(cell(md, k) for k in keys)
         )
     fields = [
         T.StructField("name", T.StringType(), False),
         T.StructField("nullable", T.BooleanType(), False),
         T.StructField("type", T.StringType(), False),
-    ] + [T.StructField(k, T.StringType(), True) for k in keys]
-    out = spark.createDataFrame(rows, T.StructType(fields))
-    # JSON-decode scalar metadata values back to plain strings for
-    # readability (numbers/bools keep their JSON rendering).
-    for k in keys:
-        out = out.withColumn(k, F.regexp_replace(F.col(k), '^"|"$', ""))
-    return out
+    ] + [T.StructField(k, key_types[k], True) for k in keys]
+    return spark.createDataFrame(rows, T.StructType(fields))
 
 
 def schema_to_arc_metadata(df: DataFrame) -> list[dict[str, Any]]:

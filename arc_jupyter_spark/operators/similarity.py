@@ -71,12 +71,14 @@ def cosine_topk_batch(
     Broadcast the queries, score corpus×queries map-side, then one
     shuffle on query_id for the per-query window top-k.
     """
-    sim = cosine_similarity(
-        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    # rename the query vector so corpus vec_col can share the same name
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qvec")
     )
-    scored = corpus.crossJoin(
-        F.broadcast(queries.select(query_id_col, query_vec_col))
-    ).select(F.col(query_id_col), F.col(id_col), sim.alias("cosine"))
+    sim = cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_qvec"))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), sim.alias("cosine")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

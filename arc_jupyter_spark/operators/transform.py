@@ -150,8 +150,10 @@ class SimilarityJoinTransform(PipelineStage):
         if not self.case_sensitive:
             key = F.lower(key)
         df = df.withColumn("_sj_key", key)
+        # pattern="." + gaps=False emits one token per character
+        # (pattern="" would match zero-length and yield no tokens)
         tok = RegexTokenizer(
-            inputCol="_sj_key", outputCol="_sj_chars", pattern="", gaps=False,
+            inputCol="_sj_key", outputCol="_sj_chars", pattern=".", gaps=False,
             toLowercase=not self.case_sensitive,
         )
         ng = NGram(n=self.shingle_length, inputCol="_sj_chars", outputCol="_sj_shingles")

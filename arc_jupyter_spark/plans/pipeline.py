@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import abc
 import json
+import re
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -86,14 +87,10 @@ class PipelineStage(abc.ABC):
 
 
 def _snake(key: str) -> str:
-    out = []
-    for ch in key:
-        if ch.isupper():
-            out.append("_")
-            out.append(ch.lower())
-        else:
-            out.append(ch)
-    return "".join(out)
+    """camelCase → snake_case, treating acronym runs as one word
+    (``inputURI`` → ``input_uri``, ``outputView`` → ``output_view``)."""
+    s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", key)
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s).lower()
 
 
 def stage_from_config(config: dict[str, Any]) -> PipelineStage:

@@ -60,6 +60,8 @@ class _FileExtract(PipelineStage):
 
     def load(self, ctx: ArcContext) -> DataFrame:
         uri = self.substitute(self.input_uri, ctx)
+        if not uri:
+            raise ValueError(f"{self.stage_type} '{self.name}': inputURI is required")
         return self.reader(ctx).load(uri)
 
     def execute(self, ctx: ArcContext) -> DataFrame:

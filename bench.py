@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set covers the engine's main plan shapes: scan+agg, broadcast
+join, 3-way join topk, window, rollup, range join, time window,
+minhash dedup, jaccard, cosine topk, text quality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_broadcast_join",
+    "q03_topk_join",
+    "q09_window_topn",
+    "q11_rollup",
+    "q27_time_window",
+    "q29_range_join",
+    "d01_exact_dedup",
+    "d02_minhash_lsh",
+    "d03_ngram_jaccard",
+    "s01_cosine_topk",
+    "t01_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arc_jupyter_spark.session import build_session
+    from arc_jupyter_spark.workloads import queries
+
+    spark = build_session(master=f"local[{cpus}]", app_name="bench")
+
+    # warmup: JVM + parquet footer caches, one real scan
+    spark.sql("SELECT 1").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""Dedup operators: exact, MinHash+LSH, n-gram Jaccard, SimHash."""
+
+from pyspark.sql import functions as F
+
+from arc_jupyter_spark.operators import dedup
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", 10),
+    (2, "the quick brown fox jumps over the lazy dog", 20),   # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog", 30),  # near dup of 1
+    (4, "completely different text about spark engines", 40),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["id", "text", "ord"])
+
+
+def test_exact_dedup_keeps_lowest_order(spark):
+    out = dedup.exact_dedup(docs_df(spark), ["text"], "ord").collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [1, 3, 4]
+
+
+def test_exact_dedup_by_digest_matches_exact(spark):
+    df = docs_df(spark)
+    a = sorted(r["id"] for r in dedup.exact_dedup(df, ["text"], "ord").collect())
+    b = sorted(r["id"] for r in dedup.exact_dedup_by_digest(df, "text", "ord").collect())
+    assert a == b
+
+
+def test_minhash_candidates_find_near_dup_pair(spark):
+    pairs = dedup.minhash_candidates(
+        docs_df(spark), "id", "text", shingle_len=2, num_hashes=16, bands=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found            # identical docs always collide
+    assert (1, 3) in found or (2, 3) in found  # near-dup shares bands
+    assert not any(4 in p for p in found)      # unrelated doc never pairs
+
+
+def test_jaccard_exact_value(spark):
+    # doc1 vs doc3, 2-shingles: 8 each, 6 shared -> J = 6/10 = 0.6
+    df = docs_df(spark).where(F.col("id").isin(1, 3))
+    pairs = dedup.jaccard_pairs(df, "id", "text", shingle_len=2, threshold=0.0).collect()
+    assert len(pairs) == 1
+    assert abs(pairs[0]["jaccard"] - 0.6) < 1e-9
+
+
+def test_jaccard_threshold_filters(spark):
+    df = docs_df(spark)
+    pairs = dedup.jaccard_pairs(df, "id", "text", shingle_len=2, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_signature_table_identical_docs_agree(spark):
+    sigs = dedup.minhash_signature_table(
+        docs_df(spark), "id", "text", shingle_len=2, num_hashes=8
+    )
+    rows = {r["id"]: tuple(r[c] for c in sigs.columns if c != "id")
+            for r in sigs.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = docs_df(spark).select(
+        "id", dedup.simhash64(F.col("text")).alias("sh")
+    )
+    rows = {r["id"]: r["sh"] for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]

@@ -1,0 +1,65 @@
+"""Metadata model: metadata-as-DataFrame, attach, filter
+(reference: Common.scala:46-70; MetadataTransform/-Filter [D])."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from arc_jupyter_spark.operators.metadata import (
+    apply_metadata,
+    metadata_dataframe,
+    schema_to_arc_metadata,
+)
+from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+
+def test_metadata_dataframe_shape(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    meta = metadata_dataframe(spark, df)
+    cols = set(meta.columns)
+    assert {"name", "nullable", "type"} <= cols
+    assert {r["name"] for r in meta.collect()} == {"a", "b"}
+
+
+def test_apply_metadata_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    df2 = apply_metadata(df, {"a": {"pii": True, "unit": "count"}})
+    field = dict(zip(df2.schema.names, df2.schema.fields))["a"]
+    assert field.metadata["pii"] is True
+    assert field.metadata["unit"] == "count"
+
+
+def test_metadata_survives_into_metadata_dataframe(spark):
+    df = apply_metadata(
+        spark.createDataFrame([(1, "x")], ["a", "b"]), {"a": {"pii": True}}
+    )
+    meta = metadata_dataframe(spark, df)
+    by_name = {r["name"]: r.asDict() for r in meta.collect()}
+    assert by_name["a"].get("pii") is True
+
+
+def test_metadata_filter_transform_prunes_columns(ctx):
+    df = apply_metadata(
+        ctx.spark.createDataFrame([(1, "x", 2.0)], ["a", "b", "c"]),
+        {"a": {"keep": True}, "c": {"keep": True}},
+    )
+    ctx.register(df, "meta_src")
+    stages = parse_pipeline(
+        [{"type": "MetadataFilterTransform", "name": "mf",
+          "inputView": "meta_src", "outputView": "meta_kept",
+          "sql": "SELECT * FROM metadata WHERE keep = true"}]
+    )
+    run_pipeline(stages, ctx)
+    assert sorted(ctx.table("meta_kept").columns) == ["a", "c"]
+
+
+def test_schema_to_arc_metadata(spark):
+    df = apply_metadata(
+        spark.createDataFrame([(1, "x")], ["a", "b"]), {"a": {"unit": "n"}}
+    )
+    doc = schema_to_arc_metadata(df)
+    by_name = {d["name"]: d for d in doc}
+    assert by_name["a"]["type"] in ("long", "integer")
+    assert by_name["a"]["metadata"] == {"unit": "n"}
+    # document must be JSON-serializable (what %printmetadata emits)
+    json.dumps(doc)

@@ -1,0 +1,59 @@
+"""Embedding similarity: exact cosine top-k vs numpy, batch top-k,
+IVF cell assignment."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from arc_jupyter_spark.operators import similarity
+
+RNG = np.random.default_rng(7)
+N, D = 60, 8
+VECS = RNG.normal(size=(N, D)).astype(float)
+QUERY = RNG.normal(size=D).astype(float)
+
+
+def corpus(spark):
+    rows = [(i, [float(x) for x in VECS[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def numpy_topk(k):
+    sims = VECS @ QUERY / (np.linalg.norm(VECS, axis=1) * np.linalg.norm(QUERY))
+    order = sorted(range(N), key=lambda i: (-sims[i], i))
+    return [(i, sims[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    got = similarity.cosine_topk(corpus(spark), QUERY, k=5).collect()
+    want = numpy_topk(5)
+    assert [r["vec_id"] for r in got] == [i for i, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["cosine"] - s) < 1e-9
+
+
+def test_cosine_topk_batch_per_query(spark):
+    queries = spark.createDataFrame(
+        [(101, [float(x) for x in QUERY]), (102, [float(x) for x in VECS[0]])],
+        ["query_id", "embedding"],
+    )
+    got = similarity.cosine_topk_batch(corpus(spark), queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {101, 102}
+    assert all(len(v) == 3 for v in by_q.values())
+    # query 102 IS corpus vector 0 -> its own top hit with cosine 1
+    top = max(by_q[102], key=lambda r: r["cosine"])
+    assert top["vec_id"] == 0 and abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_assign_ivf_cells_nearest_centroid(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["centroid_id", "centroid"]
+    )
+    pts = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9])], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r["cell"] for r in
+           similarity.assign_ivf_cells(pts, cents).collect()}
+    assert got == {1: 0, 2: 1}

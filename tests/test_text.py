@@ -1,0 +1,53 @@
+"""Text-analysis operators: token counting, quality, language ID,
+fingerprinting."""
+
+from pyspark.sql import functions as F
+
+from arc_jupyter_spark.operators import text
+
+
+def one(spark, s, expr):
+    return spark.createDataFrame([(s,)], ["t"]).select(expr.alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert one(spark, "Hello, world! 42", text.token_count(F.col("t"))) == 5
+
+
+def test_word_count_empty_safe(spark):
+    assert one(spark, "", text.word_count(F.col("t"))) == 0
+    assert one(spark, "a b  c", text.word_count(F.col("t"))) == 3
+
+
+def test_punct_ratio(spark):
+    assert abs(one(spark, "ab!!", text.punct_ratio(F.col("t"))) - 0.5) < 1e-9
+
+
+def test_quality_score_bounded(spark):
+    for s in ["", "x", "the quick brown fox " * 50, "!!!???***"]:
+        v = one(spark, s, text.quality_score(F.col("t")))
+        assert 0.0 <= v <= 1.0
+
+
+def test_quality_prefers_prose_over_noise(spark):
+    prose = "the quick brown fox jumps over the lazy dog " * 20
+    noise = "@#$% ^&*! ~~~ ((( )))"
+    assert one(spark, prose, text.quality_score(F.col("t"))) > one(
+        spark, noise, text.quality_score(F.col("t"))
+    )
+
+
+def test_detect_language(spark):
+    en = "the cat and the dog are in the house with a mouse"
+    es = "el perro y el gato están en la casa con un ratón"
+    und = "zzzz qqqq xxxx"
+    assert one(spark, en, text.detect_language(F.col("t"))) == "en"
+    assert one(spark, es, text.detect_language(F.col("t"))) == "es"
+    assert one(spark, und, text.detect_language(F.col("t"))) == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    a = one(spark, "Hello   World", text.fingerprint(F.col("t")))
+    b = one(spark, "  hello world ", text.fingerprint(F.col("t")))
+    c = one(spark, "hello worlds", text.fingerprint(F.col("t")))
+    assert a == b and a != c
