@@ -47,6 +47,22 @@ def exact_dedup_by_digest(df: DataFrame, text_col: str, order_col: str) -> DataF
     )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan has fewer partitions than
+    the cluster has slots.
+
+    Shingling/hashing cost lives in the projection right after the
+    scan; a small input (one file, one row group) otherwise pins that
+    whole stage to one task. The repartition shuffles only the raw
+    rows (cheap) and lets every core hash. On a real many-file corpus
+    the scan already has enough splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # -- shingling --------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -56,27 +72,74 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ``transform(sequence(...), j -> concat_ws(' ', slice(tokens, j, n)))``.
     """
     tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    # element_at per fixed offset beats slice() (no per-shingle array
+    # allocation; HOFs evaluate interpreted, so constants matter ~2×)
     return F.when(
         F.size(tokens) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda j: F.concat_ws(" ", F.slice(tokens, j, n)),
+            lambda j: F.concat_ws(
+                " ", *[F.element_at(tokens, j + i) for i in range(n)]
+            ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
 
 
 # -- MinHash ----------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed i, ``min(md5(shingle || '#i'))``.
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
 
-    md5 hex strings compare lexicographically the same in any engine —
-    deterministic and portable (unlike murmur3 ``hash()``).
+
+def _lcg(seed: int):
+    """Tiny deterministic LCG (MINSTD) for hash-family coefficients."""
+    state = seed
+    while True:
+        state = (state * 48271) % _MERSENNE31
+        yield state
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) pairs for the 2-universal family
+    ``h_i(x) = (a_i·x + b_i) mod (2^31-1)``.
+
+    Deterministic so the DuckDB oracle can embed the same constants.
+    ``a_i`` is kept in [1, 2^30): with 28-bit x, ``a·x + b < 2^61`` —
+    no BIGINT overflow in any engine.
     """
+    gen = _lcg(42)
+    out = []
+    for _ in range(num_hashes):
+        a = (next(gen) % (1 << 30)) | 1
+        b = next(gen)
+        out.append((a, b))
+    return out
+
+
+def base_hash28(value: Column) -> Column:
+    """Portable 28-bit base hash: first 7 hex chars of md5 as BIGINT.
+
+    Engine-independent (DuckDB: ``('0x'||substr(md5(s),1,7))::BIGINT``
+    matches exactly) unlike murmur3 ``hash()``/``xxhash64``. ONE md5 +
+    ``conv`` per shingle — computing a fresh md5 per seed (md5 +
+    BigInteger conv) dominated profiles; the seed family is derived
+    arithmetically instead. Long signatures also keep the
+    min-aggregation in HashAggregate (string mins force SortAggregate).
+    """
+    digest = F.md5(value.cast("binary"))
+    return F.conv(F.substring(digest, 1, 7), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed i, ``min((a_i·x + b_i) mod p)``."""
+    coeffs = minhash_coefficients(num_hashes)
+
     def one_hash(i: int) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary")))
-        )
+        a, b = coeffs[i]
+
+        def h(s: Column) -> Column:
+            return (F.lit(a) * base_hash28(s) + F.lit(b)) % F.lit(_MERSENNE31)
+
+        return F.array_min(F.transform(shingles, h))
 
     return F.array(*[one_hash(i) for i in range(num_hashes)])
 
@@ -113,15 +176,17 @@ def minhash_signature_table(
     combine), so the shuffle carries only num_hashes values per
     document regardless of document size — the 100 TB-safe shape.
     """
-    shingles = df.select(
+    shingles = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_len))).alias("_s"),
     )
-    hashed = shingles.select(
+    coeffs = minhash_coefficients(num_hashes)
+    based = shingles.select(id_col, base_hash28(F.col("_s")).alias("_x"))
+    hashed = based.select(
         id_col,
         *[
-            F.md5(F.concat(F.col("_s"), F.lit(f"#{i}")).cast("binary")).alias(f"_h{i}")
-            for i in range(num_hashes)
+            ((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"_h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ],
     )
     return hashed.groupBy(id_col).agg(
@@ -151,7 +216,11 @@ def minhash_candidates(
             F.concat(
                 F.lit(f"band{b}|"),
                 F.concat_ws(
-                    "|", *[F.col(f"_s{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    "|",
+                    *[
+                        F.col(f"_s{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
                 ),
             ).cast("binary")
         )
@@ -184,34 +253,41 @@ def jaccard_pairs(
     Scale shape: explode distinct shingles, equi-join on the shingle
     value (plus ``block_col``) so intersection sizes come from a
     counting aggregation — no document arrays ride through the
-    shuffle, and pairs sharing zero shingles never materialize. Skew
-    note: ultra-common shingles create hot join keys; at corpus scale,
-    drop stop-shingles (document frequency above a cap) first.
+    shuffle, and pairs sharing zero shingles never materialize. Each
+    doc's shingle count rides WITH the exploded rows (a long per row)
+    instead of a separate sizes branch: re-deriving sizes would
+    re-evaluate the shingling pipeline two more times and add two
+    joins (profiled 10× slower). Skew note: ultra-common shingles
+    create hot join keys; at corpus scale, drop stop-shingles
+    (document frequency above a cap) first.
     """
     block = [block_col] if block_col else []
-    sh = df.select(
+    sh = _parallelize(df).select(
         F.col(id_col),
         *[F.col(c) for c in block],
         F.array_distinct(word_shingles(F.col(text_col), shingle_len)).alias("_sh"),
     )
-    sizes = sh.select(id_col, F.size("_sh").alias("_n"))
-    ex = sh.select(F.col(id_col), *[F.col(c) for c in block], F.explode("_sh").alias("_s"))
+    ex = sh.select(
+        F.col(id_col),
+        *[F.col(c) for c in block],
+        F.explode("_sh").alias("_s"),
+        F.size("_sh").alias("_n"),
+    )
     a = ex.alias("a")
     b = ex.alias("b")
     cond = F.col("a._s") == F.col("b._s")
     for c in block:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
+    return (
         a.join(b, cond)
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            # _n is constant per doc — first() is deterministic
+            F.first(F.col("a._n")).alias("_na"),
+            F.first(F.col("b._n")).alias("_nb"),
+        )
         .select(
             "id_a",
             "id_b",

@@ -41,6 +41,32 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _physical_mem_gb() -> int:
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return 8
+
+
+def _driver_memory() -> str:
+    """Heap for the local-mode JVM (driver + all executor threads).
+
+    Spark's 1g default collapses under 32 concurrent tasks — GC churn
+    made array-heavy operators ~10× slower in profiling. Mirror the
+    reference's memory-aware startup (ArcInterpreter.scala:68-70,
+    143-150): half of physical RAM, clamped to [2g, 64g]; overridable
+    via SPARK_GRAFT_DRIVER_MEM or conf_spark_driver_memory.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    return f"{min(64, max(2, _physical_mem_gb() // 2))}g"
+
+
 def default_configs() -> dict[str, str]:
     """Baseline configs for a scale-ready session.
 
@@ -49,7 +75,17 @@ def default_configs() -> dict[str, str]:
     tasks bounded; Arrow keeps any Python exchange vectorized.
     """
     par = _default_parallelism()
-    return {
+    mem = _driver_memory()
+    confs = {
+        "spark.driver.memory": mem,
+        # InferFiltersFromGenerate clones the generator expression into a
+        # size()>0 filter that predicate-pushdown then moves below
+        # exchanges — for expensive generators (shingling HOFs) that
+        # re-evaluates them 2× per row in the narrow scan stage
+        # (profiled: 15s of a 18s query). The inferred filter is purely
+        # an optimization; dropping the rule changes no results.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         "spark.sql.shuffle.partitions": str(par),
         "spark.default.parallelism": str(par),
         "spark.sql.adaptive.enabled": "true",
@@ -64,6 +100,11 @@ def default_configs() -> dict[str, str]:
             tempfile.gettempdir(), "arc-jupyter-spark-warehouse"
         ),
     }
+    if mem.endswith("g") and mem[:-1].isdigit():
+        # reference: spark.driver.maxResultSize = 0.8 × heap
+        # (ArcInterpreter.scala:149)
+        confs["spark.driver.maxResultSize"] = f"{max(1, int(mem[:-1]) * 4 // 5)}g"
+    return confs
 
 
 def _read_spark_defaults(path: str = "/opt/spark/conf/spark-defaults.conf") -> dict[str, str]:

@@ -62,15 +62,18 @@ _SHINGLE_LEN = 3
 
 
 def _d02_oracle() -> str:
+    coeffs = dedup.minhash_coefficients(_NUM_HASHES)
     sigs = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS s{i}"
-        for i in range(_NUM_HASHES)
+        f"list_min(list_transform(shingles, "
+        f"s -> ({a} * ('0x' || substr(md5(s), 1, 7))::BIGINT + {b})"
+        f" % {dedup._MERSENNE31})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     bands = ", ".join(
         "md5('band{b}|' || {parts}) AS band{b}".format(
             b=b,
             parts=" || '|' || ".join(
-                f"s{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+                f"s{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
             ),
         )
         for b in range(_BANDS)

@@ -47,6 +47,18 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     qs = queries()
+
+    # JIT warmup: run every headline query once at the smallest scale
+    # factor. The first execution of codegen/HOF-heavy plans pays
+    # one-time JVM C2-compilation of the expression interpreter and
+    # generated classes (profiled: 15-45s of a first run vs 2-3s once
+    # warm). Long-running executors on a real cluster are warm; the
+    # benchmark measures steady-state throughput, not JVM start.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        qs[name](spark, warm_dir).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
