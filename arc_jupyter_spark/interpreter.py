@@ -1,0 +1,485 @@
+"""The cell language: ``%magic`` commands over the stage engine.
+
+Re-expression of the reference kernel's dispatch surface (reference:
+ArcInterpreter.scala:242-296 dispatch table; 298-306 common options;
+663-677 quote-aware arg parser; 400-402 secret scan; 246-254
+placeholder outputView injection; 600 placeholder cleanup). The
+interpreter is frontend-agnostic: it returns a :class:`CellResult`
+(DataFrame + rendered text/HTML) and never talks to Jupyter directly —
+a kernel shell is a thin wrapper over :meth:`Interpreter.execute`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from arc_jupyter_spark import __version__
+from arc_jupyter_spark.context import (
+    PLACEHOLDER_VIEW,
+    ArcContext,
+    DisplayConf,
+    STORAGE_LEVELS,
+)
+from arc_jupyter_spark.operators.execute import ValidationError
+from arc_jupyter_spark.operators.metadata import (
+    metadata_dataframe,
+    schema_to_arc_metadata,
+)
+from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+from arc_jupyter_spark.plans.sqlparams import inject_parameters
+from arc_jupyter_spark.render import render_html, render_text
+from arc_jupyter_spark.streaming.preview import preview_stream
+
+# Plain-text secrets are rejected from cell bodies
+# (reference: ArcInterpreter.scala:74, 400-402).
+SECRET_PATTERN = re.compile(
+    r'"(token|signature|accessKey|secret|secretAccessKey)"\s*:\s*"'
+)
+
+# Options every magic accepts (reference: ArcInterpreter.scala:298-306).
+COMMON_OPTIONS = {
+    "name", "outputView", "numRows", "truncate", "persist", "streaming",
+    "streamingDuration", "monospace", "leftAlign", "datasetLabels",
+    "showLog", "environments", "inputView", "sqlParams",
+}
+
+
+@dataclass
+class CellResult:
+    """What a cell produced: a DataFrame and/or rendered output."""
+
+    df: DataFrame | None = None
+    text: str | None = None
+    html: str | None = None
+    data: Any = None
+
+
+def parse_args(line: str) -> dict[str, str]:
+    """Quote-aware ``key=value`` splitter
+    (reference: ArcInterpreter.scala:663-677)."""
+    out: dict[str, str] = {}
+    for match in re.finditer(r'(\w+)=("([^"]*)"|\S+)', line):
+        key, raw, quoted = match.group(1), match.group(2), match.group(3)
+        out[key] = quoted if quoted is not None else raw
+    return out
+
+
+def _bool(value: str | None, default: bool = False) -> bool:
+    if value is None:
+        return default
+    return value.strip().lower() in ("true", "1", "yes")
+
+
+def _int(value: str | None, default: int) -> int:
+    try:
+        return int(value) if value is not None else default
+    except ValueError:
+        return default
+
+
+class Interpreter:
+    """Executes cells against an :class:`ArcContext`.
+
+    ``input_fn`` supplies ``%secret`` values (a Jupyter kernel wires
+    this to the stdin password protocol; tests inject a dict lookup).
+    """
+
+    def __init__(
+        self,
+        ctx: ArcContext | None = None,
+        spark=None,
+        input_fn: Callable[[str], str] | None = None,
+        html: bool = True,
+    ) -> None:
+        if ctx is None:
+            if spark is None:
+                from arc_jupyter_spark.session import build_session
+
+                spark = build_session()
+            ctx = ArcContext(spark=spark)
+        self.ctx = ctx
+        self.input_fn = input_fn
+        self.html = html
+
+    # -- dispatch ------------------------------------------------------
+
+    def execute(self, cell: str) -> CellResult:
+        cell = cell.strip()
+        if not cell:
+            return CellResult(text="")
+        if SECRET_PATTERN.search(cell):
+            raise ValueError(
+                "cell contains a plain-text secret; use %secret / %env instead"
+            )
+        first, _, rest = cell.partition("\n")
+        first = first.strip()
+        if first.startswith("%"):
+            parts = first.split(None, 1)
+            magic = parts[0][1:].lower()
+            argline = parts[1] if len(parts) > 1 else ""
+            handler = getattr(self, f"magic_{magic}", None)
+            if handler is None:
+                raise ValueError(f"unknown magic '%{magic}'")
+            return handler(parse_args(argline), rest)
+        # bare cells are full Arc pipeline configs
+        # (reference: ArcInterpreter.scala:244, 295)
+        return self.magic_arc({}, cell)
+
+    # -- rendering helper ---------------------------------------------
+
+    def _render(self, df: DataFrame, args: dict[str, str], label: str | None = None) -> CellResult:
+        conf = self.ctx.conf
+        num_rows = _int(args.get("numRows"), conf.num_rows)
+        truncate = _int(args.get("truncate"), conf.truncate)
+        if df.isStreaming:
+            df = preview_stream(
+                df,
+                num_rows=num_rows,
+                duration_s=_int(args.get("streamingDuration"), conf.streaming_duration),
+                frequency_ms=conf.streaming_frequency_ms,
+            )
+        kwargs = dict(
+            num_rows=num_rows,
+            max_num_rows=conf.max_num_rows,
+            truncate=truncate,
+        )
+        text = render_text(df, **kwargs)
+        html = (
+            render_html(
+                df,
+                monospace=_bool(args.get("monospace"), conf.monospace),
+                left_align=_bool(args.get("leftAlign"), conf.left_align),
+                label=label if _bool(args.get("datasetLabels"), conf.dataset_labels) else None,
+                **kwargs,
+            )
+            if self.html
+            else None
+        )
+        return CellResult(df=df, text=text, html=html)
+
+    def _output_view(self, args: dict[str, str]) -> tuple[str, bool]:
+        """outputView or the injected placeholder
+        (reference: ArcInterpreter.scala:246-254)."""
+        view = args.get("outputView")
+        if view:
+            return view, False
+        return PLACEHOLDER_VIEW, True
+
+    def _sql_params(self, args: dict[str, str]) -> dict[str, str]:
+        extra: dict[str, str] = {}
+        raw = args.get("sqlParams")
+        if raw:
+            for pair in raw.split(","):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    extra[k.strip()] = v.strip()
+        return self.ctx.merged_params(extra)
+
+    # -- SQL magics ----------------------------------------------------
+
+    def magic_sql(self, args: dict[str, str], body: str) -> CellResult:
+        stmt = inject_parameters(body, self._sql_params(args))
+        streaming = _bool(args.get("streaming"), self.ctx.conf.streaming)
+        df = self.ctx.spark.sql(stmt)
+        view, is_placeholder = self._output_view(args)
+        self.ctx.register(df, view, persist=_bool(args.get("persist")))
+        result = self._render(df, args, label=view)
+        if is_placeholder and not streaming:
+            self.ctx.drop_view(view)  # reference: ArcInterpreter.scala:600
+        return result
+
+    def magic_sqlvalidate(self, args: dict[str, str], body: str) -> CellResult:
+        stmt = inject_parameters(body, self._sql_params(args))
+        row = self.ctx.spark.sql(stmt).first()
+        if row is None or len(row) != 2:
+            raise ValidationError(
+                "%sqlvalidate query must return exactly one row [valid: boolean, message]"
+            )
+        valid, message = bool(row[0]), row[1]
+        try:
+            message = json.loads(message) if isinstance(message, str) else message
+        except (TypeError, json.JSONDecodeError):
+            pass
+        if not valid:
+            raise ValidationError(f"validation failed: {message}")
+        return CellResult(text=json.dumps(message) if not isinstance(message, str) else message,
+                          data=message)
+
+    def magic_configexecute(self, args: dict[str, str], body: str) -> CellResult:
+        stmt = inject_parameters(body, self._sql_params(args))
+        row = self.ctx.spark.sql(stmt).first()
+        if row is None:
+            raise ValidationError("%configexecute query returned no rows")
+        parsed = json.loads(row[0])
+        if not isinstance(parsed, dict):
+            raise ValidationError("%configexecute must return a JSON object")
+        self.ctx.env.update({k: str(v) for k, v in parsed.items()})
+        return CellResult(text=json.dumps(parsed), data=parsed)
+
+    def magic_log(self, args: dict[str, str], body: str) -> CellResult:
+        import logging
+
+        stmt = inject_parameters(body, self._sql_params(args))
+        row = self.ctx.spark.sql(stmt).first()
+        message = row[0] if row is not None else None
+        logging.getLogger("arc_jupyter_spark").info(message)
+        return CellResult(text=str(message), data=message)
+
+    # -- metadata magics ----------------------------------------------
+
+    def magic_metadata(self, args: dict[str, str], body: str) -> CellResult:
+        df = metadata_dataframe(self.ctx.spark, self.ctx.table(body.strip()))
+        view = args.get("outputView")
+        if view:
+            self.ctx.register(df, view, persist=_bool(args.get("persist")))
+        return self._render(df, args, label=view)
+
+    def magic_printmetadata(self, args: dict[str, str], body: str) -> CellResult:
+        doc = schema_to_arc_metadata(self.ctx.table(body.strip()))
+        return CellResult(text=json.dumps(doc, indent=2), data=doc)
+
+    def magic_schema(self, args: dict[str, str], body: str) -> CellResult:
+        schema = self.ctx.table(body.strip()).schema
+        return CellResult(text=json.dumps(schema.jsonValue(), indent=2),
+                          data=schema.jsonValue())
+
+    def magic_printschema(self, args: dict[str, str], body: str) -> CellResult:
+        return CellResult(text=self.ctx.table(body.strip()).schema.treeString())
+
+    def magic_metadatafilter(self, args: dict[str, str], body: str) -> CellResult:
+        stages = parse_pipeline([{
+            "type": "MetadataFilterTransform",
+            "name": args.get("name", "metadatafilter"),
+            "inputView": args["inputView"],
+            "outputView": self._output_view(args)[0],
+            "sql": body,
+        }])
+        df = run_pipeline(stages, self.ctx)
+        return self._render(df, args)
+
+    def magic_metadatavalidate(self, args: dict[str, str], body: str) -> CellResult:
+        meta = metadata_dataframe(self.ctx.spark, self.ctx.table(args["inputView"]))
+        meta.createOrReplaceTempView("metadata")
+        try:
+            stmt = inject_parameters(body, self._sql_params(args))
+            row = self.ctx.spark.sql(stmt).first()
+        finally:
+            self.ctx.spark.catalog.dropTempView("metadata")
+        if row is None or len(row) != 2:
+            raise ValidationError(
+                "%metadatavalidate query must return one row [valid, message]"
+            )
+        if not bool(row[0]):
+            raise ValidationError(f"metadata validation failed: {row[1]}")
+        return CellResult(text=str(row[1]), data=row[1])
+
+    # -- session magics ------------------------------------------------
+
+    def magic_env(self, args: dict[str, str], body: str) -> CellResult:
+        """Set substitution variables from K=V lines
+        (reference: ArcInterpreter.scala:500-505, 650-660)."""
+        text = (body or "").strip()
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" not in line:
+                raise ValueError(f"%env expects KEY=VALUE lines, got: {line!r}")
+            key, value = line.split("=", 1)
+            self.ctx.env[key.strip()] = value.strip()
+        for key, value in args.items():
+            self.ctx.env[key] = value
+        shown = "\n".join(f"{k}={v}" for k, v in sorted(self.ctx.env.items()))
+        return CellResult(text=shown, data=dict(self.ctx.env))
+
+    def magic_secret(self, args: dict[str, str], body: str) -> CellResult:
+        """Prompt-and-store masked secrets
+        (reference: ArcInterpreter.scala:506-518)."""
+        if self.input_fn is None:
+            import getpass
+
+            input_fn = lambda key: getpass.getpass(f"{key}: ")  # noqa: E731
+        else:
+            input_fn = self.input_fn
+        names = [w for w in (body or "").split() if w]
+        for key in names:
+            self.ctx.secrets[key] = input_fn(key)
+        masked = "\n".join(f"{k}=******" for k in names)
+        return CellResult(text=masked)
+
+    def magic_conf(self, args: dict[str, str], body: str) -> CellResult:
+        """Session conf (reference: ArcInterpreter.scala:519-559).
+
+        ``master`` changes are recorded but — unlike the kernel, which
+        restarts Spark — a library session keeps its JVM; rebuild the
+        session to apply.
+        """
+        conf = self.ctx.conf
+        mapping: dict[str, Callable[[str], None]] = {
+            "master": lambda v: setattr(conf, "master", v),
+            "numRows": lambda v: setattr(conf, "num_rows", int(v)),
+            "maxNumRows": lambda v: setattr(conf, "max_num_rows", int(v)),
+            "truncate": lambda v: setattr(conf, "truncate", int(v)),
+            "streaming": lambda v: setattr(conf, "streaming", _bool(v)),
+            "streamingDuration": lambda v: setattr(conf, "streaming_duration", int(v)),
+            "monospace": lambda v: setattr(conf, "monospace", _bool(v)),
+            "leftAlign": lambda v: setattr(conf, "left_align", _bool(v)),
+            "datasetLabels": lambda v: setattr(conf, "dataset_labels", _bool(v)),
+            "showLog": lambda v: setattr(conf, "show_log", _bool(v)),
+            "extendedErrors": lambda v: setattr(conf, "extended_errors", _bool(v)),
+            "storageLevel": lambda v: setattr(conf, "storage_level", v.upper()),
+        }
+        for key, value in args.items():
+            if key not in mapping:
+                raise ValueError(f"unknown %conf key '{key}'; known: {sorted(mapping)}")
+            if key == "storageLevel" and value.upper() not in STORAGE_LEVELS:
+                raise ValueError(
+                    f"unknown storageLevel '{value}'; known: {sorted(STORAGE_LEVELS)}"
+                )
+            mapping[key](value)
+        shown = "\n".join(
+            f"{k}={getattr(conf, a)}"
+            for k, a in (
+                ("master", "master"), ("numRows", "num_rows"),
+                ("truncate", "truncate"), ("streaming", "streaming"),
+                ("streamingDuration", "streaming_duration"),
+                ("monospace", "monospace"), ("leftAlign", "left_align"),
+                ("datasetLabels", "dataset_labels"), ("showLog", "show_log"),
+                ("storageLevel", "storage_level"),
+            )
+        )
+        return CellResult(text=shown)
+
+    def magic_list(self, args: dict[str, str], body: str) -> CellResult:
+        """Directory listing as a DataFrame
+        [path, name, modificationTime, size, bytes] sorted by name
+        (reference: ArcInterpreter.scala:50-56, 570-591)."""
+        uri = inject_parameters(body.strip(), self.ctx.merged_params())
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        rows = []
+        with os.scandir(path) as entries:
+            for entry in entries:
+                stat = entry.stat()
+                rows.append((
+                    os.path.abspath(entry.path),
+                    entry.name,
+                    datetime.fromtimestamp(stat.st_mtime, tz=timezone.utc),
+                    _human_bytes(stat.st_size),
+                    stat.st_size,
+                ))
+        df = self.ctx.spark.createDataFrame(
+            rows,
+            "path string, name string, modificationTime timestamp, "
+            "size string, bytes long",
+        ).orderBy("name")
+        view = args.get("outputView")
+        if view:
+            self.ctx.register(df, view, persist=_bool(args.get("persist")))
+        return self._render(df, args, label=view)
+
+    def magic_version(self, args: dict[str, str], body: str) -> CellResult:
+        info = {
+            "arc_jupyter_spark": __version__,
+            "spark": self.ctx.spark.version,
+        }
+        return CellResult(text="\n".join(f"{k}: {v}" for k, v in info.items()),
+                          data=info)
+
+    def magic_help(self, args: dict[str, str], body: str) -> CellResult:
+        return CellResult(text=HELP_TEXT)
+
+    # -- pipelines -----------------------------------------------------
+
+    def magic_arc(self, args: dict[str, str], body: str) -> CellResult:
+        """Full pipeline config: parse stages, run sequentially
+        (reference: ArcInterpreter.scala:398-457). Config is JSON with
+        the Arc stage vocabulary; ``${env}`` substitution applies."""
+        text = inject_parameters(body, self.ctx.merged_params())
+        stages = parse_pipeline(text)
+        df = run_pipeline(stages, self.ctx)
+        if df is None:
+            return CellResult(text="")
+        return self._render(df, args)
+
+
+def _human_bytes(n: int) -> str:
+    size = float(n)
+    for unit in ("B", "KB", "MB", "GB", "TB", "PB"):
+        if size < 1024 or unit == "PB":
+            return f"{size:.1f} {unit}" if unit != "B" else f"{int(size)} B"
+        size /= 1024
+    return f"{n} B"
+
+
+def completions(ctx: ArcContext) -> list[dict[str, str]]:
+    """Completion snippets: magic templates + per-table SQL
+    (reference: Common.scala:366-456; OutputTable.scala:98-146)."""
+    from arc_jupyter_spark.render import flatten_schema
+
+    items = [
+        {"text": "%sql", "snippet": "%sql outputView=out\nSELECT * FROM table"},
+        {"text": "%sqlvalidate",
+         "snippet": "%sqlvalidate\nSELECT TRUE AS valid, "
+                    "to_json(named_struct('message', 'ok')) AS message"},
+        {"text": "%metadata", "snippet": "%metadata\nview"},
+        {"text": "%metadatafilter",
+         "snippet": "%metadatafilter inputView=v outputView=out\n"
+                    "SELECT name FROM metadata"},
+        {"text": "%metadatavalidate",
+         "snippet": "%metadatavalidate inputView=v\n"
+                    "SELECT SUM(CASE WHEN nullable THEN 1 ELSE 0 END) = 0, "
+                    "to_json(named_struct('message','ok'))"},
+        {"text": "%configexecute",
+         "snippet": "%configexecute\nSELECT to_json(named_struct('key','value'))"
+                    " AS parameters"},
+        {"text": "%log", "snippet": "%log\nSELECT to_json(named_struct"
+                                    "('message','hello')) AS message"},
+        {"text": "%schema", "snippet": "%schema\nview"},
+        {"text": "%printschema", "snippet": "%printschema\nview"},
+        {"text": "%printmetadata", "snippet": "%printmetadata\nview"},
+        {"text": "%list", "snippet": "%list\nfile:///path"},
+        {"text": "%env", "snippet": "%env\nKEY=value"},
+        {"text": "%secret", "snippet": "%secret\nMY_SECRET"},
+        {"text": "%conf", "snippet": "%conf numRows=20"},
+        {"text": "%version", "snippet": "%version"},
+        {"text": "%help", "snippet": "%help"},
+    ]
+    for table in ctx.view_names():
+        try:
+            cols = flatten_schema(ctx.table(table).schema)
+        except Exception:
+            continue
+        items.append({
+            "text": table,
+            "snippet": f"SELECT {', '.join(cols)} FROM {table}",
+        })
+    return items
+
+
+HELP_TEXT = """\
+Magics:
+  %sql [outputView=] [numRows=] [truncate=] [persist=] [streaming=]   run SQL, register result
+  %sqlvalidate                 assert [valid, message] result
+  %metadata [outputView=]      schema+metadata as a DataFrame
+  %metadatafilter inputView=   keep columns whose metadata matches SQL
+  %metadatavalidate inputView= assert over the metadata table
+  %configexecute               merge JSON result into session env
+  %log                         log a JSON message from SQL
+  %schema / %printschema       schema as JSON / tree
+  %printmetadata               Arc metadata-schema document
+  %list <uri>                  directory listing as a DataFrame
+  %env KEY=VALUE               session substitution variables
+  %secret KEY                  prompt-and-store masked secret
+  %conf key=value              session configuration
+  %version / %help             info
+  (bare cell)                  JSON pipeline of stages
+Cell options: name= outputView= numRows= truncate= persist= streaming=
+  streamingDuration= monospace= leftAlign= datasetLabels= showLog=
+"""

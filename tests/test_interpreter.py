@@ -1,0 +1,146 @@
+"""Cell-language tests: magic dispatch, options, env/secret/conf,
+placeholder view lifecycle (reference semantics per SURVEY.md §2.A)."""
+
+import pytest
+
+from arc_jupyter_spark.context import PLACEHOLDER_VIEW
+from arc_jupyter_spark.interpreter import Interpreter, completions, parse_args
+from arc_jupyter_spark.operators.execute import ValidationError
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def interp(ctx):
+    return Interpreter(ctx=ctx, input_fn=lambda key: f"value-of-{key}")
+
+
+def test_parse_args_quote_aware():
+    got = parse_args('outputView=out name="My Stage" numRows=5')
+    assert got == {"outputView": "out", "name": "My Stage", "numRows": "5"}
+
+
+def test_sql_registers_output_view(interp):
+    res = interp.execute('%sql outputView=two\nSELECT 1 AS a UNION ALL SELECT 2')
+    assert res.df.count() == 2
+    assert interp.ctx.table("two").count() == 2
+    assert "<table" in res.html
+
+
+def test_sql_placeholder_view_dropped(interp):
+    interp.execute("%sql\nSELECT 1 AS a")
+    assert PLACEHOLDER_VIEW not in interp.ctx.view_names()
+
+
+def test_sql_env_substitution(interp):
+    interp.execute("%env\nN=3")
+    res = interp.execute("%sql outputView=n3\nSELECT ${N} AS n")
+    assert res.df.first()["n"] == 3
+
+
+def test_sql_param_default(interp):
+    res = interp.execute("%sql\nSELECT ${MISSING=7} AS n")
+    assert res.df.first()["n"] == 7
+
+
+def test_sqlvalidate_pass_and_fail(interp):
+    ok = interp.execute(
+        "%sqlvalidate\nSELECT TRUE AS valid, "
+        "to_json(named_struct('message','fine')) AS message"
+    )
+    assert ok.data == {"message": "fine"}
+    with pytest.raises(ValidationError):
+        interp.execute(
+            "%sqlvalidate\nSELECT FALSE AS valid, "
+            "to_json(named_struct('message','bad')) AS message"
+        )
+
+
+def test_configexecute_merges_env(interp):
+    interp.execute(
+        "%configexecute\nSELECT to_json(named_struct('REGION','EUROPE')) AS parameters"
+    )
+    assert interp.ctx.env["REGION"] == "EUROPE"
+
+
+def test_secret_masked_and_stored(interp):
+    res = interp.execute("%secret\nAPI_KEY")
+    assert interp.ctx.secrets["API_KEY"] == "value-of-API_KEY"
+    assert "value-of" not in res.text
+    assert "******" in res.text
+
+
+def test_plaintext_secret_rejected(interp):
+    with pytest.raises(ValueError, match="secret"):
+        interp.execute('%sql\nSELECT \'{"secret": "hunter2"}\' AS j')
+
+
+def test_conf_updates_session(interp):
+    interp.execute("%conf numRows=7 truncate=99 monospace=true")
+    assert interp.ctx.conf.num_rows == 7
+    assert interp.ctx.conf.truncate == 99
+    assert interp.ctx.conf.monospace is True
+    with pytest.raises(ValueError, match="unknown %conf key"):
+        interp.execute("%conf nosuch=1")
+
+
+def test_schema_and_printschema(interp):
+    interp.execute(f'%sql outputView=r\nSELECT * FROM parquet.`{SF_DIR}/region.parquet`')
+    schema = interp.execute("%schema\nr")
+    assert schema.data["type"] == "struct"
+    tree = interp.execute("%printschema\nr")
+    assert "r_name" in tree.text
+
+
+def test_metadata_magic(interp):
+    interp.execute(f'%sql outputView=rm\nSELECT * FROM parquet.`{SF_DIR}/region.parquet`')
+    res = interp.execute("%metadata outputView=rm_meta\nrm")
+    names = {r["name"] for r in res.df.collect()}
+    assert {"r_regionkey", "r_name"} <= names
+    assert "rm_meta" in interp.ctx.view_names()
+
+
+def test_printmetadata(interp):
+    interp.execute('%sql outputView=pm\nSELECT 1 AS a, CAST(1.5 AS DOUBLE) AS b')
+    res = interp.execute("%printmetadata\npm")
+    types = {e["name"]: e["type"] for e in res.data}
+    assert types == {"a": "integer", "b": "double"}
+
+
+def test_list_magic(interp, tmp_path):
+    (tmp_path / "a.txt").write_text("x")
+    (tmp_path / "b.txt").write_text("yy")
+    res = interp.execute(f"%list outputView=files\n{tmp_path}")
+    rows = res.df.collect()
+    assert [r["name"] for r in rows] == ["a.txt", "b.txt"]
+    assert rows[1]["bytes"] == 2
+    assert "files" in interp.ctx.view_names()
+
+
+def test_arc_pipeline_cell(interp):
+    res = interp.execute(
+        '[{"type": "ParquetExtract", "name": "e",'
+        f' "inputURI": "{SF_DIR}/nation.parquet", "outputView": "arc_nation"}},'
+        '{"type": "SQLTransform", "name": "t",'
+        ' "sql": "SELECT COUNT(*) AS n FROM arc_nation", "outputView": "arc_out"}]'
+    )
+    assert res.df.first()["n"] == 25
+
+
+def test_unknown_magic(interp):
+    with pytest.raises(ValueError, match="unknown magic"):
+        interp.execute("%nosuch\nx")
+
+
+def test_version_and_help(interp):
+    assert "spark" in interp.execute("%version").data
+    assert "%sql" in interp.execute("%help").text
+
+
+def test_completions_include_tables(interp):
+    interp.execute("%sql outputView=comp_t\nSELECT 1 AS a")
+    items = completions(interp.ctx)
+    by_text = {i["text"]: i["snippet"] for i in items}
+    assert "%sql" in by_text
+    assert "comp_t" in by_text
+    assert by_text["comp_t"] == "SELECT a FROM comp_t"
