@@ -107,6 +107,10 @@ class Interpreter:
         self.ctx = ctx
         self.input_fn = input_fn
         self.html = html
+        from arc_jupyter_spark.observability import attach_log_buffer
+
+        self.log_buffer = attach_log_buffer()
+        self.lifecycle: list[str] = []
 
     # -- dispatch ------------------------------------------------------
 
@@ -151,6 +155,10 @@ class Interpreter:
             truncate=truncate,
         )
         text = render_text(df, **kwargs)
+        if _bool(args.get("showLog"), conf.show_log):
+            last = self.log_buffer.last_message()
+            if last:
+                text = f"{text}\n{last}"
         html = (
             render_html(
                 df,
@@ -395,15 +403,56 @@ class Interpreter:
     def magic_help(self, args: dict[str, str], body: str) -> CellResult:
         return CellResult(text=HELP_TEXT)
 
+    # -- plugins -------------------------------------------------------
+
+    def magic_configplugin(self, args: dict[str, str], body: str) -> CellResult:
+        """Run a registered DynamicConfigurationPlugin; merge its result
+        into the session env (reference: ArcInterpreter.scala:459-473)."""
+        from arc_jupyter_spark.plugins import run_config_plugin
+
+        resolved = run_config_plugin(body.strip(), self.ctx)
+        return CellResult(text=json.dumps(resolved), data=resolved)
+
+    def magic_lifecycleplugin(self, args: dict[str, str], body: str) -> CellResult:
+        """Activate a registered lifecycle plugin for subsequent cells
+        (reference: ArcInterpreter.scala:426-434)."""
+        from arc_jupyter_spark.plugins import LIFECYCLE_PLUGINS
+
+        name = body.strip()
+        if name not in LIFECYCLE_PLUGINS:
+            raise ValueError(
+                f"unknown lifecycle plugin '{name}'; known: {sorted(LIFECYCLE_PLUGINS)}"
+            )
+        if name not in self.lifecycle:
+            self.lifecycle.append(name)
+        return CellResult(text=f"lifecycle plugins: {self.lifecycle}")
+
     # -- pipelines -----------------------------------------------------
 
     def magic_arc(self, args: dict[str, str], body: str) -> CellResult:
         """Full pipeline config: parse stages, run sequentially
         (reference: ArcInterpreter.scala:398-457). Config is JSON with
         the Arc stage vocabulary; ``${env}`` substitution applies."""
+        from arc_jupyter_spark.plugins import LIFECYCLE_PLUGINS
+
         text = inject_parameters(body, self.ctx.merged_params())
         stages = parse_pipeline(text)
-        df = run_pipeline(stages, self.ctx)
+        plugins = [LIFECYCLE_PLUGINS[n] for n in self.lifecycle]
+
+        def before_stage(stage):
+            for plugin in plugins:
+                plugin.before(stage, self.ctx)
+
+        def after_stage(stage, result):
+            for plugin in plugins:
+                plugin.after(stage, result, self.ctx)
+
+        df = run_pipeline(
+            stages,
+            self.ctx,
+            before_stage=before_stage if plugins else None,
+            after_stage=after_stage if plugins else None,
+        )
         if df is None:
             return CellResult(text="")
         return self._render(df, args)

@@ -192,6 +192,45 @@ class PipelineExecute(PipelineStage):
 
 
 @register_stage
+class JDBCExecute(PipelineStage):
+    """Run DDL/DML on an external database over JDBC
+    (reference: SURVEY.md §2.B JDBCExecute).
+
+    Statement execution goes through the JVM's DriverManager via the
+    py4j gateway — no extra Python JDBC bridge needed; the driver jar
+    must be on the Spark classpath (same requirement as the reference).
+    """
+
+    stage_type = "JDBCExecute"
+    stage_kind = "execute"
+
+    def __init__(
+        self,
+        jdbc_url: str = "",
+        sql: str = "",
+        params: dict[str, Any] | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(params=params, **kwargs)
+        self.jdbc_url = jdbc_url
+        self.sql = sql
+
+    def execute(self, ctx: ArcContext) -> None:
+        url = self.substitute(self.jdbc_url, ctx)
+        stmt_text = self.substitute(self.sql, ctx)
+        jvm = ctx.spark.sparkContext._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(stmt_text)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+
+@register_stage
 class HTTPExecute(PipelineStage):
     """Call a webhook with a JSON payload (fire-and-assert-2xx)."""
 

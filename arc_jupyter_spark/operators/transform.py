@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from arc_jupyter_spark.context import ArcContext, PLACEHOLDER_VIEW
 from arc_jupyter_spark.plans.pipeline import PipelineStage, register_stage
@@ -241,7 +242,11 @@ class HTTPTransform(PipelineStage):
                 return json.loads(resp.read())
 
         poster = post_fn or default_post
-        out_schema = df.schema.add("response", "string")
+        # build a fresh StructType — StructType.add mutates in place and
+        # df.schema can be a cached instance
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("response", T.StringType())]
+        )
 
         def run(batches):
             for pdf in batches:
@@ -250,6 +255,77 @@ class HTTPTransform(PipelineStage):
                     chunk = pdf[field].iloc[start:start + batch_size].astype(str).tolist()
                     responses.extend(str(r) for r in poster(chunk))
                 yield pdf.assign(response=pd.Series(responses, index=pdf.index))
+
+        out = df.mapInPandas(run, schema=out_schema)
+        return ctx.register(out, self.output_view, persist=self.persist)
+
+
+@register_stage
+class TensorFlowServingTransform(PipelineStage):
+    """Score rows against a TF-Serving REST endpoint
+    (reference: SURVEY.md §2.B TensorFlowServingTransform).
+
+    Same Arrow-batched shape as HTTPTransform: one
+    ``POST {uri}/v1/models/{model}:predict`` per pandas chunk with
+    ``{"instances": [...]}``; the response's ``predictions`` align by
+    position. Tests inject ``predict_fn``; real serving needs network.
+    """
+
+    stage_type = "TensorFlowServingTransform"
+
+    def __init__(
+        self,
+        input_view: str = "",
+        output_view: str = "",
+        uri: str = "",
+        input_field: str = "value",
+        batch_size: int = 100,
+        response_field: str = "prediction",
+        predict_fn: Any = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.input_view = input_view
+        self.output_view = output_view
+        self.uri = uri
+        self.input_field = input_field
+        self.batch_size = batch_size
+        self.response_field = response_field
+        self.predict_fn = predict_fn
+
+    def execute(self, ctx: ArcContext) -> DataFrame:
+        import pandas as pd
+
+        df = ctx.table(self.input_view)
+        uri = self.substitute(self.uri, ctx)
+        field = self.input_field
+        batch_size = self.batch_size
+        response_field = self.response_field
+        predict_fn = self.predict_fn
+
+        def default_predict(instances: list) -> list:
+            import json
+            import urllib.request
+
+            req = urllib.request.Request(
+                uri, data=json.dumps({"instances": instances}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:  # noqa: S310
+                return json.loads(resp.read())["predictions"]
+
+        predictor = predict_fn or default_predict
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(response_field, T.StringType())]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                preds: list[str] = []
+                for start in range(0, len(pdf), batch_size):
+                    chunk = pdf[field].iloc[start:start + batch_size].tolist()
+                    preds.extend(str(p) for p in predictor(chunk))
+                yield pdf.assign(**{response_field: pd.Series(preds, index=pdf.index)})
 
         out = df.mapInPandas(run, schema=out_schema)
         return ctx.register(out, self.output_view, persist=self.persist)

@@ -124,17 +124,22 @@ def run_pipeline(
     stages: list[PipelineStage],
     ctx: ArcContext,
     environment: str | None = None,
+    before_stage: Callable[[PipelineStage], None] | None = None,
     after_stage: Callable[[PipelineStage, DataFrame | None], None] | None = None,
 ) -> DataFrame | None:
     """Execute stages sequentially; return the last stage's DataFrame.
 
     Stages declaring ``environments`` run only when *environment*
-    matches (Arc semantics: an empty list means 'always').
+    matches (Arc semantics: an empty list means 'always'). The
+    before/after hooks are the lifecycle-plugin attachment points
+    (reference: OutputTable.scala:65-85).
     """
     result: DataFrame | None = None
     for stage in stages:
         if stage.environments and environment not in stage.environments:
             continue
+        if before_stage is not None:
+            before_stage(stage)
         out = stage.execute(ctx)
         if out is not None:
             result = out
