@@ -12,7 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from arc_jupyter_spark.workloads import llmops, relational  # noqa: F401
+from arc_jupyter_spark.workloads import (  # noqa: F401
+    llmops,
+    relational,
+    streaming_queries,
+)
 from arc_jupyter_spark.workloads.base import ORACLES, QUERIES
 
 

@@ -855,3 +855,346 @@ FROM lineitem
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     return spark.sql(Q30_SQL)
+
+
+# --------------------------------------------------------------------
+# q31 — GROUPING SETS + GROUPING() (explicit multi-level aggregation;
+# at scale this is one shuffle with grouping-id expansion, not N scans).
+# --------------------------------------------------------------------
+
+Q31_SQL = """
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
+  COUNT(*) AS n,
+  ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY flag, status
+"""
+
+
+@query("q31_grouping_sets", oracle=Q31_SQL)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q31_SQL)
+
+
+# --------------------------------------------------------------------
+# q32 — INTERSECT ALL / EXCEPT ALL (multiplicity-preserving set ops).
+# --------------------------------------------------------------------
+
+Q32_SQL = """
+SELECT 'both' AS side, n_key, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS n_key FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS n_key FROM supplier
+) GROUP BY n_key
+UNION ALL
+SELECT 'cust_only' AS side, n_key, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS n_key FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS n_key FROM supplier
+) GROUP BY n_key
+ORDER BY side, n_key
+"""
+
+
+@query("q32_setops_all", oracle=Q32_SQL)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "customer", "supplier")
+    return spark.sql(Q32_SQL)
+
+
+# --------------------------------------------------------------------
+# q33 — exact interpolated percentiles (Spark `percentile` ==
+# DuckDB `quantile_cont`; at 100 TB switch to percentile_approx and
+# accept sketch error — exact percentile is a full sort per group).
+# --------------------------------------------------------------------
+
+Q33_SPARK = """
+SELECT l_returnflag,
+       ROUND(percentile(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(percentile(l_extendedprice, 0.9), 4)  AS p90,
+       ROUND(percentile(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+Q33_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q33_percentiles", oracle=Q33_ORACLE)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q33_SPARK)
+
+
+# --------------------------------------------------------------------
+# q34 — higher-order array functions (transform/filter/aggregate over
+# per-group collected arrays; stays JVM-side, no UDF).
+# --------------------------------------------------------------------
+
+Q34_SPARK = """
+SELECT l_orderkey,
+       ROUND(
+         aggregate(
+           transform(
+             filter(array_sort(collect_list(l_quantity)), x -> x > 10),
+             x -> x * 2),
+           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),
+         2) AS doubled_big_qty_sum
+FROM lineitem
+GROUP BY l_orderkey
+HAVING SIZE(collect_list(l_quantity)) >= 4
+ORDER BY l_orderkey
+"""
+
+Q34_ORACLE = """
+SELECT l_orderkey,
+       ROUND(
+         list_aggregate(
+           list_transform(
+             list_filter(list_sort(list(l_quantity)), x -> x > 10),
+             x -> x * 2),
+           'sum'),
+         2) AS doubled_big_qty_sum
+FROM lineitem
+GROUP BY l_orderkey
+HAVING len(list(l_quantity)) >= 4
+ORDER BY l_orderkey
+"""
+
+
+@query("q34_array_hof", oracle=Q34_ORACLE)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    df = spark.sql(Q34_SPARK)
+    # DuckDB list_aggregate('sum') of an empty list yields NULL;
+    # Spark's aggregate(..., 0.0, +) yields 0.0 — normalize to NULL.
+    return df.withColumn(
+        "doubled_big_qty_sum",
+        F.when(F.col("doubled_big_qty_sum") == 0.0, None).otherwise(
+            F.col("doubled_big_qty_sum")
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# q35 — regex scalar functions.
+# --------------------------------------------------------------------
+
+Q35_SPARK = """
+SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       COUNT(*) AS n,
+       ROUND(AVG(LENGTH(regexp_replace(p_name, '[aeiou]', ''))), 4) AS avg_consonant_len
+FROM part
+GROUP BY last_word
+ORDER BY n DESC, last_word
+LIMIT 20
+"""
+
+# DuckDB regexp_replace is first-match-only without the 'g' flag;
+# Spark always replaces globally.
+Q35_ORACLE = Q35_SPARK.replace("'[aeiou]', ''", "'[aeiou]', '', 'g'")
+
+
+@query("q35_regex_funcs", oracle=Q35_ORACLE)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "part")
+    return spark.sql(Q35_SPARK)
+
+
+# --------------------------------------------------------------------
+# q36 — union by name (schema-aligned union of differently-ordered
+# projections; Spark unionByName == DuckDB UNION ALL BY NAME).
+# --------------------------------------------------------------------
+
+Q36_ORACLE = """
+SELECT kind, key, ROUND(SUM(bal), 2) AS total FROM (
+  SELECT 'cust' AS kind, c_nationkey AS key, c_acctbal AS bal FROM customer
+  UNION ALL BY NAME
+  SELECT s_acctbal AS bal, s_nationkey AS key, 'supp' AS kind FROM supplier
+) GROUP BY kind, key
+ORDER BY kind, key
+"""
+
+
+@query("q36_union_by_name", oracle=Q36_ORACLE)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "customer", "supplier")
+    cust = spark.table("customer").select(
+        F.lit("cust").alias("kind"),
+        F.col("c_nationkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    supp = spark.table("supplier").select(
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").alias("key"),
+        F.lit("supp").alias("kind"),
+    )
+    return (
+        cust.unionByName(supp)
+        .groupBy("kind", "key")
+        .agg(F.round(F.sum("bal"), 2).alias("total"))
+        .orderBy("kind", "key")
+    )
+
+
+# --------------------------------------------------------------------
+# q37 — posexplode / lateral view with position (generator with
+# ordinality; DuckDB zips parallel unnests).
+# --------------------------------------------------------------------
+
+Q37_SPARK = """
+SELECT event_type, pos, COUNT(*) AS n
+FROM (
+  SELECT event_type, posexplode(split(event_type, '_')) AS (pos, word)
+  FROM events
+)
+GROUP BY event_type, pos
+ORDER BY event_type, pos
+"""
+
+Q37_ORACLE = """
+SELECT event_type, pos, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         unnest(range(len(str_split(event_type, '_')))) AS pos,
+         unnest(str_split(event_type, '_')) AS word
+  FROM events
+)
+GROUP BY event_type, pos
+ORDER BY event_type, pos
+"""
+
+
+@query("q37_posexplode", oracle=Q37_ORACLE)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    return spark.sql(Q37_SPARK)
+
+
+# --------------------------------------------------------------------
+# q38 — null-handling scalars (coalesce/nullif + conditional defaults).
+# --------------------------------------------------------------------
+
+Q38_SQL = """
+SELECT
+  COUNT(*) AS n,
+  SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_flag_n,
+  ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.05)), 2) AS disc_with_default
+FROM lineitem
+"""
+
+
+@query("q38_null_funcs", oracle=Q38_SQL)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q38_SQL)
+
+
+# --------------------------------------------------------------------
+# q39 — FILTER-clause conditional aggregation (one scan, many
+# conditional sums — the scale-friendly alternative to self-joins).
+# --------------------------------------------------------------------
+
+Q39_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       COUNT(*) FILTER (WHERE l_quantity <= 25) AS n_small,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q39_filter_agg", oracle=Q39_SQL)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q39_SQL)
+
+
+# --------------------------------------------------------------------
+# q40 — sorted array_agg per group (order-stable list aggregation).
+# --------------------------------------------------------------------
+
+Q40_SPARK = """
+SELECT o_orderpriority,
+       array_sort(collect_set(o_orderstatus)) AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+Q40_ORACLE = """
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q40_array_agg", oracle=Q40_ORACLE)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    return spark.sql(Q40_SPARK)
+
+
+# --------------------------------------------------------------------
+# q41 — RANGE window frame over a numeric ORDER BY (value-based frames
+# vs row-based; Catalyst evaluates with a sliding range bound).
+# --------------------------------------------------------------------
+
+Q41_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_total,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS quartile
+FROM orders
+ORDER BY o_custkey, o_orderkey
+LIMIT 500
+"""
+
+
+@query("q41_window_range_frame", oracle=Q41_SQL)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    return spark.sql(Q41_SQL)
+
+
+# --------------------------------------------------------------------
+# q42 — salted two-phase aggregation (the skew-mitigation pattern:
+# pre-aggregate on (key, salt), then final-aggregate on key — same
+# result as a direct GROUP BY, bounded per-task state at 100 TB).
+# --------------------------------------------------------------------
+
+Q42_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q42_salted_agg", oracle=Q42_ORACLE)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("l_quantity").alias("_q")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_q"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

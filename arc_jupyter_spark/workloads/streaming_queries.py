@@ -1,0 +1,75 @@
+"""Structured Streaming workloads (SURVEY.md §2.D).
+
+st01 runs a REAL streaming query — ``readStream`` over the events
+parquet, event-time tumbling window aggregation, memory sink,
+``availableNow`` trigger — and returns the drained sink as a batch
+DataFrame. Because the source directory is static, the result is
+deterministic and oracle-checkable: DuckDB's ``time_bucket`` over the
+same rows produces identical windows (both align hourly buckets to the
+epoch).
+
+At scale the same plan runs unbounded: swap ``availableNow`` for a
+continuous trigger and the memory sink for a real one; the watermark
+bounds state. The micro-batch engine shuffles on (window, key) exactly
+like the batch plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arc_jupyter_spark.workloads.base import query
+
+ST01_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("st01_stream_window", oracle=ST01_ORACLE)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a directory; select the one file
+    # out of the fixture dir with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = f"st01_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
