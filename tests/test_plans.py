@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (the 100 TB checklist).
+
+These assert the plans Catalyst actually produces — filter pushdown
+reaching the parquet scan, column pruning, broadcast joins for small
+dims, partial (map-side) aggregation — so a regression in plan shape
+fails CI even while results stay correct.
+"""
+
+import pytest
+
+from arc_jupyter_spark.workloads import queries
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name):
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q01_partial_aggregation(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # map-side combine: partial_sum before the exchange, final after
+    assert "partial_sum" in plan or "partial_avg" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q02_broadcasts_small_dim(spark):
+    plan = plan_of(spark, "q02_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q04_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q04_semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_d02_no_cartesian(spark):
+    plan = plan_of(spark, "d02_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d03_no_cartesian_and_counts_shuffle_light(spark):
+    plan = plan_of(spark, "d03_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    # the join output aggregates counts, not arrays
+    assert "collect_list" not in plan
+
+
+def test_s01_no_shuffle_before_topk(spark):
+    plan = plan_of(spark, "s01_cosine_topk")
+    # brute-force top-k must be TakeOrdered (per-partition k + merge),
+    # not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen annotations only appear in the AQE final plan, after run
+    df = queries()["q01_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan
