@@ -297,6 +297,80 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over candidate pairs → ``[node, label]``
+    with label = min node id in the component.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels; fixpoint when no label
+    changes. The loop is driver-coordinated but each step is one
+    distributed join+groupBy; rounds needed = graph diameter (near-dup
+    clusters are shallow — a handful). ``localCheckpoint`` truncates
+    the growing lineage each round so plan size stays constant — at
+    cluster scale use ``checkpoint`` (HDFS-backed) for fault tolerance.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("src"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_one_per_component(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop all but the min-id row of each near-dup component.
+
+    Rows absent from *labels* (no duplicate candidates) are kept. The
+    labels table is tiny relative to the corpus (only nodes that
+    appeared in candidate pairs) — broadcast it.
+    """
+    keyed = df.join(
+        F.broadcast(labels).withColumnRenamed("node", id_col), id_col, "left"
+    )
+    return keyed.where(
+        F.col("label").isNull() | (F.col(id_col) == F.col("label"))
+    ).drop("label")
+
+
 # -- SimHash ----------------------------------------------------------
 
 def simhash64(text: Column, num_bits: int = 64) -> Column:

@@ -73,7 +73,10 @@ def extract_image_metadata(
 ) -> DataFrame:
     """Append decoded image metadata struct via Arrow-batched decode."""
     pil = _try_import_pil()
-    schema = df.schema.add(out_col, IMAGE_META_SCHEMA)
+    # fresh StructType — StructType.add mutates a possibly-cached df.schema
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, IMAGE_META_SCHEMA)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -111,7 +114,10 @@ def image_features_stub(
     Stands in for a real embedding model; proves the
     binary → array<float> plumbing end to end.
     """
-    schema = df.schema.add(out_col, T.ArrayType(T.FloatType()))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -79,8 +79,7 @@ def _d02_oracle() -> str:
         for b in range(_BANDS)
     )
     band_list = ", ".join(f"band{b}" for b in range(_BANDS))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ),
 sh AS (
@@ -91,15 +90,19 @@ sigs AS (
 ),
 banded AS (
   SELECT doc_id, unnest([{band_list}]) AS band FROM ( SELECT doc_id, {bands} FROM sigs )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band)
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "d02_minhash_lsh",
+    oracle=f"WITH {_d02_oracle()}\n"
+           "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b",
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b USING (band)
-WHERE a.doc_id < b.doc_id
-ORDER BY id_a, id_b
-"""
-
-
-@query("d02_minhash_lsh", oracle=_d02_oracle())
 def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "documents")
     return dedup.minhash_candidates(
@@ -214,6 +217,53 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------
+# d06 — connected-components dedup: minhash candidates → min-label
+# components → keep one doc per component. The full 100 TB near-dedup
+# pipeline end to end. Oracle: recursive CTE transitive closure over
+# the same candidate pairs.
+# --------------------------------------------------------------------
+
+D06_ORACLE = f"""
+WITH RECURSIVE {_d02_oracle()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+)
+SELECT d.source, COUNT(*) AS n_kept
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+WHERE l.label IS NULL OR d.doc_id = l.label
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("d06_cc_dedup", oracle=D06_ORACLE)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    labels = dedup.connected_components(cands)
+    kept = dedup.keep_one_per_component(docs, labels, "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
 
 
 # --------------------------------------------------------------------

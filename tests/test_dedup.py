@@ -71,3 +71,21 @@ def test_simhash_identical_docs_equal(spark):
     rows = {r["id"]: r["sh"] for r in df.collect()}
     assert rows[1] == rows[2]
     assert rows[1] != rows[4]
+
+
+def test_connected_components_and_keep_one(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+    )
+    labels = dedup.connected_components(pairs)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 5, 10, 11, 22)], ["doc_id", "text"]
+    )
+    kept = dedup.keep_one_per_component(docs, labels, "doc_id")
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1 survives its component, 5 has no duplicates, 10 survives, and
+    # 22's component root (20) is absent from docs so 22 is dropped
+    assert kept_ids == [1, 5, 10]
