@@ -98,3 +98,35 @@ def test_metadata_extract_stage(ctx):
     run_pipeline(stages, ctx)
     names = {r["name"] for r in ctx.table("me_out").collect()}
     assert {"r_regionkey", "r_name"} <= names
+
+
+def test_xml_roundtrip(ctx, tmp_path):
+    # Spark 4 ships the XML source natively (no spark-xml jar needed)
+    uri = str(tmp_path / "xml_rt")
+    stages = [
+        {"type": "ParquetExtract", "name": "e",
+         "inputURI": f"{SF_DIR}/region.parquet", "outputView": "xml_src"},
+        {"type": "XMLLoad", "name": "l", "inputView": "xml_src",
+         "outputURI": uri, "options": {"rowTag": "row"}},
+        {"type": "XMLExtract", "name": "e2", "inputURI": uri,
+         "outputView": "xml_back", "options": {"rowTag": "row"}},
+    ]
+    run_pipeline(parse_pipeline(stages), ctx)
+    src = {tuple(str(v) for v in r) for r in ctx.table("xml_src").collect()}
+    cols = ctx.table("xml_src").columns
+    back = {tuple(str(r[c]) for c in cols) for r in ctx.table("xml_back").collect()}
+    assert src == back
+
+
+def test_bytes_extract_whole_files(ctx, tmp_path):
+    p = tmp_path / "payload.bin"
+    p.write_bytes(b"\x00\x01binary")
+    stages = parse_pipeline(
+        [{"type": "BytesExtract", "name": "b",
+          "inputURI": str(p), "outputView": "bytes_v"}]
+    )
+    run_pipeline(stages, ctx)
+    row = ctx.table("bytes_v").first()
+    assert bytes(row["value"]) == b"\x00\x01binary"
+    assert row["_filename"].endswith("payload.bin")
+    assert row["_length"] == 8
