@@ -21,3 +21,10 @@ from arc_jupyter_spark.sources.extract import (  # noqa: F401
     TextExtract,
     XMLExtract,
 )
+from arc_jupyter_spark.sources.external import (  # noqa: F401
+    DeltaLakeExtract,
+    DeltaLakeLoad,
+    KafkaCommitExecute,
+    KafkaExtract,
+    KafkaLoad,
+)

@@ -1,0 +1,78 @@
+"""Property-based differential testing: random scalar-expression trees
+over lineitem evaluated by Spark AND DuckDB must agree (SURVEY.md §5
+item 5). Expressions are generated in the dialect intersection; sums
+are rounded to absorb float last-bit noise."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import SF_DIR
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con
+
+
+def exprs(depth: int):
+    base = st.sampled_from(NUM_COLS) | st.integers(1, 9).map(str)
+    if depth == 0:
+        return base
+    sub = exprs(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda e: f"ABS({e})"),
+        sub.map(lambda e: f"ROUND({e}, 2)"),
+        st.tuples(sub, sub).map(lambda t: f"COALESCE(NULLIF({t[0]}, 0), {t[1]})"),
+        st.tuples(sub, st.integers(1, 40), sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} > {t[1]} THEN {t[2]} ELSE {t[3]} END)"
+        ),
+        st.tuples(sub, sub).map(lambda t: f"LEAST({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"GREATEST({t[0]}, {t[1]})"),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=exprs(2))
+def test_random_numeric_expression_agrees(spark, duck, expr):
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    sql = f"SELECT ROUND(SUM({expr}), 1) AS v, COUNT(*) AS n FROM lineitem"
+    srow = spark.sql(sql).first()
+    drow = duck.execute(sql).fetchone()
+    assert srow["n"] == drow[1]
+    sv, dv = srow["v"], float(drow[0]) if drow[0] is not None else None
+    if sv is None or dv is None:
+        assert sv == dv
+    else:
+        # rounded sums over ~6k doubles agree to the displayed digit
+        assert abs(sv - dv) <= max(1e-6 * abs(sv), 0.2)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=exprs(1), threshold=st.integers(1, 50))
+def test_random_predicate_count_agrees(spark, duck, expr, threshold):
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    sql = f"SELECT COUNT(*) AS n FROM lineitem WHERE {expr} > {threshold}"
+    assert spark.sql(sql).first()["n"] == duck.execute(sql).fetchone()[0]
