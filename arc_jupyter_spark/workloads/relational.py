@@ -1198,3 +1198,50 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------
+# q43 — session windows (gap-based sessionization). Spark's
+# session_window start == the classic gaps-and-islands session start,
+# so DuckDB can oracle-check it without a session primitive.
+# --------------------------------------------------------------------
+
+Q43_SPARK = """
+SELECT user_id,
+       session_window.start AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM events
+GROUP BY user_id, session_window(ts, '30 minutes')
+ORDER BY user_id, session_start
+"""
+
+Q43_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("q43_session_window", oracle=Q43_ORACLE)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    return spark.sql(Q43_SPARK)

@@ -63,3 +63,36 @@ def test_schema_to_arc_metadata(spark):
     assert by_name["a"]["metadata"] == {"unit": "n"}
     # document must be JSON-serializable (what %printmetadata emits)
     json.dumps(doc)
+
+
+def test_printmetadata_roundtrips_into_typing(spark):
+    """The %printmetadata document is a valid TypingTransform schema:
+    export a typed frame's schema, re-apply it to raw strings, get the
+    same types back (Arc's schema round-trip contract)."""
+    from arc_jupyter_spark.context import ArcContext
+    from arc_jupyter_spark.operators.metadata import schema_to_arc_metadata
+    from arc_jupyter_spark.operators.typing import TypingTransform
+
+    typed = spark.sql(
+        "SELECT 1 AS i, CAST(2.5 AS DOUBLE) AS d, "
+        "DATE '2020-01-02' AS dt, 'x' AS s, TRUE AS b"
+    )
+    doc = schema_to_arc_metadata(typed)
+    for entry in doc:
+        if entry["type"] == "date":
+            entry["formatters"] = ["yyyy-MM-dd"]
+
+    raw = spark.createDataFrame(
+        [("1", "2.5", "2020-01-02", "x", "true")], ["i", "d", "dt", "s", "b"]
+    )
+    ctx = ArcContext(spark)
+    ctx.register(raw, "rt_raw")
+    TypingTransform(
+        name="rt", input_view="rt_raw", output_view="rt_typed", schema=doc
+    ).execute(ctx)
+    out = ctx.table("rt_typed")
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got["i"] == "int" and got["d"] == "double"
+    assert got["dt"] == "date" and got["b"] == "boolean"
+    row = out.first()
+    assert row["_errors"] == [] and row["i"] == 1 and row["b"] is True
