@@ -201,13 +201,17 @@ def minhash_candidates(
     shingle_len: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Only (id, band-digest) pairs shuffle; the self-join happens per
-    band bucket. Giant buckets (boilerplate documents) are the skew
-    risk at scale — AQE skew-join handles moderate cases; pathological
-    buckets should be capped upstream.
+    band bucket. Giant buckets (boilerplate/empty documents) are the
+    skew risk at scale: a bucket of f docs emits f² pairs. AQE
+    skew-join spreads moderate cases; ``max_bucket_size`` drops
+    pathological buckets entirely (standard practice at corpus scale —
+    a bucket shared by thousands of documents is boilerplate, not
+    near-duplication, and is better handled by exact dedup upstream).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
@@ -227,6 +231,15 @@ def minhash_candidates(
         for b in range(bands)
     ]
     banded = sigs.select(F.col(id_col), F.explode(F.array(*band_digests)).alias("_band"))
+    if max_bucket_size is not None:
+        # one extra count-aggregate on the tiny (id, band) table; the
+        # filter removes the quadratic blowup before the self-join
+        bucket_sizes = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+        banded = (
+            banded.join(bucket_sizes, "_band")
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -65,6 +65,35 @@ def run_config_plugin(name: str, ctx: ArcContext) -> dict[str, Any]:
     return resolved
 
 
+class RenderStagesPlugin:
+    """Built-in lifecycle plugin: render every stage's result as it
+    completes (the reference's intermediate-stage display,
+    OutputTable.scala:65-85 / CHANGELOG.md:142).
+
+    Collected renders are available on ``.outputs`` as
+    ``(stage_name, text_table)`` pairs; a kernel frontend can stream
+    them to the cell as display updates.
+    """
+
+    def __init__(self, num_rows: int = 5, truncate: int = 50) -> None:
+        self.num_rows = num_rows
+        self.truncate = truncate
+        self.outputs: list[tuple[str, str]] = []
+
+    def before(self, stage, ctx: ArcContext) -> None:
+        pass
+
+    def after(self, stage, result, ctx: ArcContext) -> None:
+        if result is None or getattr(result, "isStreaming", False):
+            return
+        from arc_jupyter_spark.render import render_text
+
+        self.outputs.append(
+            (stage.name, render_text(result, num_rows=self.num_rows,
+                                     truncate=self.truncate))
+        )
+
+
 def load_entry_points(group: str = "arc_jupyter_spark.plugins") -> list[str]:
     """Import plugin modules advertised via package entry points."""
     loaded = []

@@ -89,3 +89,18 @@ def test_connected_components_and_keep_one(spark):
     # 1 survives its component, 5 has no duplicates, 10 survives, and
     # 22's component root (20) is absent from docs so 22 is dropped
     assert kept_ids == [1, 5, 10]
+
+
+def test_minhash_bucket_cap_drops_boilerplate(spark):
+    # 6 identical boilerplate docs form one giant bucket; capping at 4
+    # suppresses their pairs while a genuine near-dup pair survives
+    rows = [(i, "the same boilerplate text repeated here") for i in range(6)]
+    rows += [(10, "a unique document about distributed query engines and joins"),
+             (11, "a unique document about distributed query engines and join")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.minhash_candidates(df, "doc_id", "text")
+    capped = dedup.minhash_candidates(df, "doc_id", "text", max_bucket_size=4)
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10, 11) in unc and (10, 11) in cap
+    assert (0, 1) in unc and (0, 1) not in cap

@@ -110,3 +110,23 @@ def test_kernel_module_importable_without_ipykernel():
 
     spec = kernel.kernelspec()
     assert spec["argv"][1:3] == ["-m", "arc_jupyter_spark.kernel"]
+
+
+def test_render_stages_plugin_collects_intermediate_output(ctx):
+    from arc_jupyter_spark.plugins import RenderStagesPlugin, register_lifecycle_plugin
+    from arc_jupyter_spark.interpreter import Interpreter
+
+    plugin = RenderStagesPlugin(num_rows=3)
+    register_lifecycle_plugin("render-stages", plugin)
+    interp = Interpreter(ctx=ctx)
+    interp.execute("%lifecycleplugin\nrender-stages")
+    interp.execute(
+        '[{"type": "SQLTransform", "name": "first", "sql": "SELECT 1 AS a",'
+        ' "outputView": "rs_a"},'
+        '{"type": "SQLTransform", "name": "second",'
+        ' "sql": "SELECT a + 1 AS b FROM rs_a", "outputView": "rs_b"}]'
+    )
+    names = [n for n, _ in plugin.outputs]
+    assert names == ["first", "second"]
+    assert "| b" in plugin.outputs[1][1] or "b " in plugin.outputs[1][1]
+    LIFECYCLE_PLUGINS.pop("render-stages", None)

@@ -57,3 +57,16 @@ def test_assign_ivf_cells_nearest_centroid(spark):
     got = {r["vec_id"]: r["cell"] for r in
            similarity.assign_ivf_cells(pts, cents).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """IVF with n_probe=3 of 8 cells must recover most of the exact
+    top-10 (recall gate for the approximate path)."""
+    from arc_jupyter_spark.workloads.base import QUERIES
+
+    exact = {r["vec_id"] for r in QUERIES["s01_cosine_topk"](
+        spark, "/root/testdata/sf0.001").collect()}
+    approx = {r["vec_id"] for r in QUERIES["s02_ivf_topk"](
+        spark, "/root/testdata/sf0.001").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall}"
