@@ -69,6 +69,9 @@ class ArcContext:
     conf: DisplayConf = field(default_factory=DisplayConf)
     user_data: dict[str, Any] = field(default_factory=dict)
     immutable_views: bool = False
+    #: Arc deployment environment; stages with a non-empty
+    #: ``environments`` list run only when this matches
+    environment: str | None = None
 
     # -- view registry (thin veneer over the Spark catalog) ------------
 

@@ -343,6 +343,7 @@ class Interpreter:
             "showLog": lambda v: setattr(conf, "show_log", _bool(v)),
             "extendedErrors": lambda v: setattr(conf, "extended_errors", _bool(v)),
             "storageLevel": lambda v: setattr(conf, "storage_level", v.upper()),
+            "environment": lambda v: setattr(self.ctx, "environment", v or None),
         }
         for key, value in args.items():
             if key not in mapping:
@@ -450,6 +451,7 @@ class Interpreter:
         df = run_pipeline(
             stages,
             self.ctx,
+            environment=self.ctx.environment,
             before_stage=before_stage if plugins else None,
             after_stage=after_stage if plugins else None,
         )

@@ -181,4 +181,11 @@ def build_session(
     for key, value in env_hadoop.items():
         spark.sparkContext._jsc.hadoopConfiguration().set(key, value)
     spark.sparkContext.setLogLevel("WARN")
+    # register the Arc UDF set once per session (reference registers at
+    # startup, ArcInterpreter.scala:378-381)
+    if not getattr(spark, "_arc_udfs_registered", False):
+        from arc_jupyter_spark.functions import register_udfs
+
+        register_udfs(spark)
+        spark._arc_udfs_registered = True
     return spark
