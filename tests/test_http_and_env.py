@@ -73,15 +73,15 @@ def test_environment_gates_stages(ctx):
     interp.execute("%conf environment=production")
     interp.execute(json.dumps([
         {"type": "SQLTransform", "name": "always",
-         "sql": "SELECT 1 AS a", "outputView": "env_always"},
+         "sql": "SELECT 1 AS a", "outputView": "ig_always"},
         {"type": "SQLTransform", "name": "prod_only", "environments": ["production"],
-         "sql": "SELECT 2 AS a", "outputView": "env_prod"},
+         "sql": "SELECT 2 AS a", "outputView": "ig_prod"},
         {"type": "SQLTransform", "name": "test_only", "environments": ["test"],
-         "sql": "SELECT 3 AS a", "outputView": "env_test"},
+         "sql": "SELECT 3 AS a", "outputView": "ig_test"},
     ]))
     views = ctx.view_names()
-    assert "env_always" in views and "env_prod" in views
-    assert "env_test" not in views
+    assert "ig_always" in views and "ig_prod" in views
+    assert "ig_test" not in views
 
 
 def test_arc_udfs_registered_by_build_session(spark):
