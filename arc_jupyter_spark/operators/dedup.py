@@ -37,14 +37,18 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def exact_dedup_by_digest(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
-    """Exact text dedup shuffling only (digest, order) — the scale path."""
+    """Exact text dedup keyed on a fixed-width digest — the scale path.
+
+    ``groupBy(digest).agg(min_by(row, order))`` beats the
+    window/row_number shape at scale: the aggregation is partial
+    (map-side combine collapses same-digest rows before the shuffle)
+    and needs no per-partition sort.
+    """
     keyed = df.withColumn("_digest", F.md5(F.col(text_col).cast("binary")))
-    w = Window.partitionBy("_digest").orderBy(F.col(order_col).asc())
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_digest")
+    packed = keyed.groupBy("_digest").agg(
+        F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
     )
+    return packed.select("_row.*")
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
