@@ -470,3 +470,66 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# t05 — corpus-cleaning filter: keep documents passing stopword-ratio
+# and length gates; report keep rates per language. The cheap
+# pre-training filter every corpus pipeline runs first.
+# --------------------------------------------------------------------
+
+def _t05_oracle() -> str:
+    from arc_jupyter_spark.operators.text import LANG_STOPWORDS
+
+    stops = ", ".join(
+        f"'{w}'" for ws in LANG_STOPWORDS.values() for w in ws
+    )
+    return f"""
+WITH t AS (
+  SELECT lang, {_DUCK_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT lang,
+         len(toks) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS sr
+  FROM t
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN wc BETWEEN 10 AND 1000 AND sr >= 0.05 THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(AVG(sr), 6) AS avg_stopword_ratio
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t05_corpus_filter", oracle=_t05_oracle())
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.text import LANG_STOPWORDS, tokens
+
+    load_views(spark, sf_dir, "documents")
+    all_stops = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    toks = tokens(F.col("text"))
+    sr = F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: t.isin(*all_stops))).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    docs = spark.table("documents").select(
+        "lang", F.size(toks).alias("wc"), sr.alias("sr")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("wc").between(10, 1000) & (F.col("sr") >= 0.05), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.round(F.avg("sr"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
