@@ -36,6 +36,8 @@ class _FileExtract(PipelineStage):
         schema: Any = None,
         streaming: bool = False,
         options: dict[str, str] | None = None,
+        add_filename: bool = False,
+        add_index: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)
@@ -44,6 +46,8 @@ class _FileExtract(PipelineStage):
         self.schema = schema
         self.streaming = streaming
         self.options = dict(options or {})
+        self.add_filename = add_filename
+        self.add_index = add_index
 
     def default_options(self) -> dict[str, str]:
         return {}
@@ -65,7 +69,22 @@ class _FileExtract(PipelineStage):
         return self.reader(ctx).load(uri)
 
     def execute(self, ctx: ArcContext) -> DataFrame:
-        df = self.repartition(self.load(ctx))
+        df = self.load(ctx)
+        if self.add_filename or self.add_index:
+            df = df.withColumn("_filename", F.input_file_name())
+        if self.add_index:
+            # per-file row index (Arc's _index). Needs a window over the
+            # file — a shuffle on _filename. Only ask for it when row
+            # order within a file is semantically meaningful.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_filename").orderBy(
+                F.monotonically_increasing_id()
+            )
+            df = df.withColumn("_index", F.row_number().over(w))
+            if not self.add_filename:
+                df = df.drop("_filename")
+        df = self.repartition(df)
         return ctx.register(df, self.output_view, persist=self.persist)
 
 

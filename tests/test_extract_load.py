@@ -155,3 +155,21 @@ def test_external_stages_registered_and_gated(ctx, tmp_path):
         # jar present but table missing → Spark's own error is fine
         has_delta = True
     assert has_delta in (True, False)
+
+
+def test_delimited_extract_filename_and_index(ctx, tmp_path):
+    (tmp_path / "one.csv").write_text("a\n1\n2\n3\n")
+    (tmp_path / "two.csv").write_text("a\n9\n")
+    stages = parse_pipeline(
+        [{"type": "DelimitedExtract", "name": "d",
+          "inputURI": f"{tmp_path}/*.csv", "outputView": "fn_v",
+          "addFilename": True, "addIndex": True,
+          "options": {"header": "true"}}]
+    )
+    run_pipeline(stages, ctx)
+    rows = ctx.table("fn_v").collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["_filename"].rsplit("/", 1)[-1], []).append(r["_index"])
+    assert sorted(by_file["one.csv"]) == [1, 2, 3]
+    assert by_file["two.csv"] == [1]
