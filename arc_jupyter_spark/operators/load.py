@@ -26,6 +26,9 @@ class _FileLoad(PipelineStage):
         output_uri: str = "",
         save_mode: str = "overwrite",
         options: dict[str, str] | None = None,
+        bucket_by: tuple[str, ...] = (),
+        num_buckets: int = 0,
+        table_name: str = "",
         **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)
@@ -33,6 +36,9 @@ class _FileLoad(PipelineStage):
         self.output_uri = output_uri
         self.save_mode = save_mode
         self.options = dict(options or {})
+        self.bucket_by = tuple(bucket_by)
+        self.num_buckets = num_buckets
+        self.table_name = table_name
 
     def default_options(self) -> dict[str, str]:
         return {}
@@ -50,7 +56,22 @@ class _FileLoad(PipelineStage):
             writer = writer.options(**opts)
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.save(uri)
+        if self.bucket_by:
+            # bucketed layout: co-locates downstream equi-joins/aggs on
+            # the bucket key (no exchange at read time). Bucket metadata
+            # lives in the catalog, so this goes through saveAsTable.
+            if not self.table_name:
+                raise ValueError(
+                    f"{self.stage_type} '{self.name}': bucketBy requires tableName"
+                )
+            writer = writer.bucketBy(
+                self.num_buckets or 8, *self.bucket_by
+            ).sortBy(*self.bucket_by)
+            if uri:
+                writer = writer.option("path", uri)
+            writer.saveAsTable(self.table_name)
+        else:
+            writer.save(uri)
         return df
 
 
