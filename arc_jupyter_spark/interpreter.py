@@ -460,6 +460,25 @@ class Interpreter:
         return self._render(df, args)
 
 
+def format_error(exc: BaseException, extended: bool = False) -> str:
+    """Render an exception for cell output.
+
+    ``extended`` concatenates the full cause chain (reference:
+    ``extendedErrors``, ArcInterpreter.scala:603-637) — essential for
+    Spark errors whose root cause hides several ``__cause__`` hops down.
+    """
+    if not extended:
+        return f"{type(exc).__name__}: {exc}"
+    parts = []
+    seen: set[int] = set()
+    cur: BaseException | None = exc
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        parts.append(f"{type(cur).__name__}: {cur}")
+        cur = cur.__cause__ or cur.__context__
+    return "\ncaused by: ".join(parts)
+
+
 def _human_bytes(n: int) -> str:
     size = float(n)
     for unit in ("B", "KB", "MB", "GB", "TB", "PB"):

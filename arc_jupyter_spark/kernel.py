@@ -66,12 +66,17 @@ def make_kernel_class():
             try:
                 result = self.interp.execute(code)
             except Exception as exc:  # noqa: BLE001 - protocol boundary
+                from arc_jupyter_spark.interpreter import format_error
+
+                text = format_error(
+                    exc, extended=self.interp.ctx.conf.extended_errors
+                )
                 if not silent:
                     self.send_response(self.iopub_socket, "stream",
-                                      {"name": "stderr", "text": str(exc)})
+                                      {"name": "stderr", "text": text})
                 return {"status": "error", "execution_count": self.execution_count,
                         "ename": type(exc).__name__, "evalue": str(exc),
-                        "traceback": [str(exc)]}
+                        "traceback": [text]}
             if not silent:
                 data = {}
                 if result.html:

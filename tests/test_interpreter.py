@@ -144,3 +144,18 @@ def test_completions_include_tables(interp):
     assert "%sql" in by_text
     assert "comp_t" in by_text
     assert by_text["comp_t"] == "SELECT a FROM comp_t"
+
+
+def test_format_error_chain():
+    from arc_jupyter_spark.interpreter import format_error
+
+    try:
+        try:
+            raise KeyError("root cause")
+        except KeyError as inner:
+            raise ValueError("outer failure") from inner
+    except ValueError as exc:
+        short = format_error(exc)
+        full = format_error(exc, extended=True)
+    assert short == "ValueError: outer failure"
+    assert "caused by: KeyError: 'root cause'" in full
