@@ -1,0 +1,70 @@
+"""Join operators Spark lacks as primitives, composed scale-first.
+
+``asof_join`` is the canonical one: match each left row to the most
+recent earlier right row per key. The naive formulation is a range
+join (quadratic pair explosion per key); the scale-safe shape is a
+UNION + running ``last_value`` window — one shuffle on the key, state
+bounded by the window frame, no pair blowup. DuckDB's native
+``ASOF JOIN`` oracle-checks the semantics (workloads q28/q44).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_value_cols: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.on < left.on`` (``<=`` when ``strict=False``), per ``by``.
+
+    Returns the left rows plus ``right_value_cols`` prefixed
+    ``asof_`` (NULL when no earlier right row exists). Left and right
+    may have disjoint schemas; ``on``/``by`` column names may differ in
+    type only if comparable.
+    """
+    value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, by)
+    ]
+    lrow = F.struct(*[F.col(c) for c in left.columns])
+    rpay = F.struct(*[F.col(c) for c in value_cols])
+    lrow_type = left.select(lrow.alias("s")).schema["s"].dataType
+    rpay_type = right.select(rpay.alias("s")).schema["s"].dataType
+
+    l_side = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(True).alias("_is_left"),
+        lrow.alias("_lrow"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+    )
+    r_side = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(False).alias("_is_left"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        rpay.alias("_rpay"),
+    )
+    unioned = l_side.unionByName(r_side)
+
+    # tie order at equal _on: strict → left sorts first (is_left=1 →
+    # -1) so a simultaneous right row is NOT in the preceding frame;
+    # non-strict → right sorts first and IS visible
+    tie = F.col("_is_left").cast("int")
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_on"), -tie if strict else tie)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = unioned.withColumn(
+        "_asof", F.last("_rpay", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
+    out_cols += [F.col("_asof")[c].alias(f"asof_{c}") for c in value_cols]
+    return matched.where(F.col("_is_left")).select(*out_cols)

@@ -1,0 +1,78 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.D / brief: the PySpark path for operators the built-in
+streaming aggregations can't express).
+
+``running_counts`` is the reference shape: per-key state (count + sum)
+carried across micro-batches in the state store, Arrow-batched user
+code, append-mode output of the keys updated in each batch. State is
+partitioned by key — at cluster scale each executor holds only its
+keys' state, checkpointed with the query.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _output_schema(key_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+
+def running_counts(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained in streaming state.
+
+    Each micro-batch emits one row per key updated in that batch with
+    the cumulative totals so far. With an ``availableNow`` run over a
+    static source the emitted totals equal the batch group-by — which
+    is how the oracle checks it.
+    """
+    key_field = stream.schema[key_col]
+    out_schema = _output_schema(key_field)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -770,31 +770,24 @@ ORDER BY e.event_id
 
 @query("q28_asof_join", oracle=Q28_ORACLE)
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.joins import asof_join
+
     load_views(spark, sf_dir, "events")
     ev = spark.table("events").select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    tagged = ev.where(F.col("event_type").isin("error", "click")).select(
-        "event_id",
-        "user_id",
-        "us",
-        F.when(F.col("event_type") == "click", F.col("us")).alias("click_us"),
-        (F.col("event_type") == "error").alias("is_error"),
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
     )
-    # order clicks before errors at identical timestamps? No — strict
-    # inequality: sort by (us, is_error) so a click at the same us sorts
-    # first but must NOT match; we therefore lag the running-click by
-    # excluding current-row clicks via frame end = -1 when same ts —
-    # simplest exact form: running max over rows with us < current us.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("us"), F.col("is_error").cast("int"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "us", F.col("us").alias("click_us")
     )
-    matched = tagged.withColumn("matched_click_us", F.last("click_us", ignorenulls=True).over(w))
+    out = asof_join(
+        errors, clicks, on="us", by="user_id",
+        right_value_cols=["click_us"], strict=True,
+    )
     return (
-        matched.where(F.col("is_error"))
-        .select("event_id", "matched_click_us")
+        out.select("event_id", F.col("asof_click_us").alias("matched_click_us"))
         .orderBy("event_id")
     )
 

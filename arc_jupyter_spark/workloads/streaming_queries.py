@@ -73,3 +73,53 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------
+# st02 — custom stateful operator (applyInPandasWithState): per-user
+# running count+sum carried in the state store. One availableNow batch
+# over the static fixture → emitted totals equal the batch group-by.
+# --------------------------------------------------------------------
+
+ST02_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("st02_stateful_counts", oracle=ST02_ORACLE)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.streaming.stateful import running_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    counts = running_counts(stream, key_col="user_id", value_col="value")
+    name = f"st02_{uuid.uuid4().hex[:10]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # one batch → one emission per user; latest emission per user is
+    # the final state either way (guards multi-batch file splits)
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+    return latest.select(
+        "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+    ).orderBy("user_id")

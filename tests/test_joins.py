@@ -1,0 +1,35 @@
+"""asof_join operator: semantics vs a hand-checked fixture."""
+
+from arc_jupyter_spark.operators.joins import asof_join
+
+
+def test_asof_join_strict(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 20, 2), ("B", 15, 3), ("A", 5, 4)],
+        ["sym", "t", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0), ("A", 18, 102.0), ("B", 14, 50.0)],
+        ["sym", "t", "px"],
+    )
+    out = asof_join(trades, quotes, on="t", by="sym")
+    got = {r["trade_id"]: r["asof_px"] for r in out.collect()}
+    # t=10 strict: quote at t=10 NOT visible → t=8 quote
+    assert got == {1: 100.0, 2: 102.0, 3: 50.0, 4: None}
+
+
+def test_asof_join_non_strict(spark):
+    trades = spark.createDataFrame([("A", 10, 1)], ["sym", "t", "trade_id"])
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0)], ["sym", "t", "px"]
+    )
+    out = asof_join(trades, quotes, on="t", by="sym", strict=False)
+    assert out.first()["asof_px"] == 101.0
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    trades = spark.createDataFrame([("A", 10, 1)], ["sym", "t", "trade_id"])
+    quotes = spark.createDataFrame([("A", 8, 100.0)], ["sym", "t", "px"])
+    plan = asof_join(trades, quotes, on="t", by="sym")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # window-based, not a join node
+    assert plan.count("Exchange hashpartitioning") <= 1
