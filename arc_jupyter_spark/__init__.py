@@ -19,3 +19,7 @@ from arc_jupyter_spark.session import build_session  # noqa: F401
 # importing these packages registers every pipeline stage
 from arc_jupyter_spark import operators  # noqa: E402,F401
 from arc_jupyter_spark import sources  # noqa: E402,F401
+
+# the cell-language entry point (imports back into this package, so it
+# must come after __version__ and the stage registrations)
+from arc_jupyter_spark.interpreter import Interpreter  # noqa: E402,F401

@@ -22,12 +22,17 @@ HEADLINE = [
     "q09_window_topn",
     "q11_rollup",
     "q27_time_window",
+    "q28_asof_join",
     "q29_range_join",
+    "q43_session_window",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
+    "d06_cc_dedup",
     "s01_cosine_topk",
     "t01_quality_score",
+    "t05_corpus_filter",
+    "st01_stream_window",
 ]
 
 
