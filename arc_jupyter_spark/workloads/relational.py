@@ -1238,3 +1238,110 @@ ORDER BY user_id, session_start
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "events")
     return spark.sql(Q43_SPARK)
+
+
+# --------------------------------------------------------------------
+# q44 — correlated LATERAL subquery with ORDER BY + LIMIT (per-group
+# top-k expressed as a lateral join). Catalyst decorrelates this into
+# WindowGroupLimit (partial map-side top-k per group BEFORE the
+# shuffle, final after) + a broadcast join with the outer side — the
+# plan you'd hand-write at 100 TB; no nested-loop execution.
+# Reference surface: SQLTransform carries arbitrary Spark SQL incl.
+# lateral subqueries (ArcInterpreter.scala:246-254 dispatch).
+# --------------------------------------------------------------------
+
+Q44_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query("q44_lateral_topk", oracle=Q44_SQL)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(Q44_SQL)
+
+
+# --------------------------------------------------------------------
+# q45 — unpivot/melt (wide → long). Uses the DataFrame unpivot API
+# (Spark 3.4+); the physical op is a generate-style Expand over the
+# already-aggregated (tiny) frame, so the wide aggregation still gets
+# full partial-agg + single-shuffle treatment.
+# --------------------------------------------------------------------
+
+Q45_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2)      AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         ROUND(SUM(l_discount), 2)      AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM a
+ORDER BY l_returnflag, measure
+"""
+
+
+@query("q45_unpivot", oracle=Q45_ORACLE)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    agg = spark.table("lineitem").groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
+
+
+# --------------------------------------------------------------------
+# q46 — map construction + lookup (map_from_entries, cardinality,
+# element_at). The map is built per group AFTER aggregation, so the
+# heavy path stays a plain two-phase hash aggregate; DuckDB oracle
+# states the same result as conditional aggregation.
+# --------------------------------------------------------------------
+
+Q46_SPARK = """
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderpriority,
+         map_from_entries(array_sort(collect_list(struct(o_orderstatus, n)))) AS status_map
+  FROM counts GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(cardinality(status_map) AS BIGINT)   AS n_statuses,
+       coalesce(element_at(status_map, 'O'), 0)  AS n_open,
+       coalesce(element_at(status_map, 'F'), 0)  AS n_filled,
+       coalesce(element_at(status_map, 'P'), 0)  AS n_pending
+FROM m ORDER BY o_orderpriority
+"""
+
+Q46_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderstatus)                  AS n_statuses,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O')    AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F')    AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P')    AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q46_map_funcs", oracle=Q46_ORACLE)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    return spark.sql(Q46_SPARK)
