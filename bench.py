@@ -25,6 +25,7 @@ HEADLINE = [
     "q28_asof_join",
     "q29_range_join",
     "q43_session_window",
+    "q44_lateral_topk",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
