@@ -533,3 +533,60 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# m01 — multimodal metadata extraction end to end: binary payload
+# column → Arrow-batched mapInPandas decode (the stubbed image decoder,
+# deterministic md5-derived metadata) → relational aggregation. The
+# decode stage is map-only (no shuffle) and scales linearly with
+# executors; the oracle reproduces the stub's digest arithmetic with
+# hex-digit math, so the whole Arrow round-trip is hash-checked.
+# --------------------------------------------------------------------
+
+_HEXV = "instr('0123456789abcdef', substr(x,{p},1))-1"
+
+
+def _hex_byte(p: int) -> str:
+    """DuckDB int value of hex byte at 1-based hex-char position p."""
+    return f"(16*({_HEXV.format(p=p)}) + ({_HEXV.format(p=p + 1)}))"
+
+
+M01_ORACLE = f"""
+WITH b AS (
+  SELECT source, md5(text) AS x FROM documents
+),
+meta AS (
+  SELECT source,
+         64 + ({_hex_byte(1)} + 256*{_hex_byte(3)}) % 1024 AS width,
+         64 + ({_hex_byte(5)} + 256*{_hex_byte(7)}) % 1024 AS height
+  FROM b
+)
+SELECT source,
+       COUNT(*)                   AS n_images,
+       ROUND(AVG(width), 4)       AS avg_width,
+       ROUND(AVG(height), 4)      AS avg_height,
+       CAST(MAX(width) AS INT)    AS max_width
+FROM meta GROUP BY source ORDER BY source
+"""
+
+
+@query("m01_image_meta", oracle=M01_ORACLE)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    payloads = spark.table("documents").select(
+        "source", F.col("text").cast("binary").alias("value")
+    )
+    decoded = multimodal.extract_image_metadata(payloads, binary_col="value")
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("image_meta.width"), 4).alias("avg_width"),
+            F.round(F.avg("image_meta.height"), 4).alias("avg_height"),
+            F.max("image_meta.width").alias("max_width"),
+        )
+        .orderBy("source")
+    )
