@@ -1345,3 +1345,41 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders")
     return spark.sql(Q46_SPARK)
+
+
+# --------------------------------------------------------------------
+# q47 — sketch aggregation (HyperLogLog++ approx_count_distinct, the
+# 100 TB path for distinct counts: fixed-size register state, partial
+# merge, no distinct shuffle). HLL estimates aren't bit-portable to
+# DuckDB's sketch, so the oracle checks the *contract* instead: exact
+# counts plus booleans asserting the sketch is sparse-regime exact at
+# low cardinality and within 5% at high — HLL is deterministic on
+# fixed data, so the hash check is stable.
+# --------------------------------------------------------------------
+
+Q47_SPARK = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey)  AS exact_supp,
+       approx_count_distinct(l_suppkey, 0.02) = COUNT(DISTINCT l_suppkey)
+                                  AS supp_sparse_exact,
+       COUNT(DISTINCT l_orderkey) AS exact_ord,
+       ABS(approx_count_distinct(l_orderkey, 0.02) - COUNT(DISTINCT l_orderkey))
+         <= 0.05 * COUNT(DISTINCT l_orderkey)
+                                  AS ord_within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+Q47_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey)  AS exact_supp,
+       TRUE                       AS supp_sparse_exact,
+       COUNT(DISTINCT l_orderkey) AS exact_ord,
+       TRUE                       AS ord_within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q47_approx_distinct", oracle=Q47_ORACLE)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q47_SPARK)
