@@ -100,22 +100,32 @@ def assign_ivf_cells(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF cell).
 
-    Centroids are broadcast (there are k of them, k ≪ n); assignment is
-    a map-side argmax — the full corpus never shuffles.
+    Pure map-side argmax — the corpus NEVER shuffles (plan-asserted in
+    tests/test_plans.py: zero Exchange nodes). The centroid table is
+    tiny (k rows), so it is collected and folded into the plan as
+    literals; centroids are L2-normalized driver-side so the per-row
+    score is a plain dot product (the row's own norm is a positive
+    per-row constant and cannot change the argmax). One codegen'd
+    struct-array max per row; ties go to the smallest centroid id.
     """
-    sim = cosine_similarity(
-        F.col(vec_col).cast("array<double>"),
-        F.col(centroid_vec_col).cast("array<double>"),
-    )
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_csim", sim)
-    w = Window.partitionBy(*df.columns).orderBy(
-        F.col("_csim").desc(), F.col(centroid_id_col).asc()
-    )
-    # per-row argmax via max_by is cheaper than a window over all df cols:
-    return (
-        scored.groupBy(*df.columns)
-        .agg(F.max_by(F.col(centroid_id_col), F.col("_csim")).alias("cell"))
-    )
+    import math
+
+    rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    vec = F.col(vec_col).cast("array<double>")
+    entries = []
+    for r in rows:
+        cid = int(r[centroid_id_col])
+        cv = [float(x) for x in r[centroid_vec_col]]
+        norm = math.sqrt(sum(x * x for x in cv)) or 1.0
+        unit = F.array(*[F.lit(x / norm).cast("double") for x in cv])
+        entries.append(
+            F.struct(
+                dot(vec, unit).alias("sim"),
+                F.lit(-cid).cast("long").alias("neg_id"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return df.withColumn("cell", (-best["neg_id"]).cast("long"))
 
 
 def kmeans_centroids(

@@ -11,6 +11,7 @@ keys' state, checkpointed with the query.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterable
 
 import pandas as pd
@@ -52,15 +53,25 @@ def running_counts(
     key_field = stream.schema[key_col]
     out_schema = _output_schema(key_field)
 
+    # Exact accumulation: quantize each value at 1e-10 and sum as
+    # Decimal so the emitted total is independent of row/batch order
+    # (a raw float sum can flip a downstream rounding tie depending on
+    # how the source splits batches). Equivalent SQL:
+    # CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE).
+    q10 = Decimal(1).scaleb(-10)
+
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         n, total = state.get if state.exists else (0, 0.0)
+        acc = Decimal(repr(total)).quantize(q10, rounding=ROUND_HALF_UP)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
+            for v in pdf[value_col]:
+                acc += Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
+        total = float(acc)
         state.update((n, total))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "sum_value": [total]}

@@ -35,6 +35,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def exact_sum(col, scale: int = 6):
+    """Order-independent SUM over a double column, returned as DOUBLE.
+
+    Per-row cast to DECIMAL(25, scale) is deterministic; the decimal
+    SUM is exact, so the result cannot depend on partitioning or
+    summation order (the driver's plain session partitions differently
+    from build_session — round-1 q15/t05 hash flips came from exactly
+    that). Mirror with CAST(SUM(CAST(x AS DECIMAL(25,s))) AS DOUBLE)
+    in the DuckDB oracle.
+    """
+    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double")
+
+
 def load_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the parquet fixtures as temp views (explicit schemas come
     from the parquet footers; scans stay pushdown-able).

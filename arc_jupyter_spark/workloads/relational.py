@@ -3,9 +3,13 @@ from SURVEY.md §2 (joins, aggregation, grouping sets, windows, set ops,
 sort/limit, subqueries, CTEs, scalar functions, JSON, pivot, typing,
 diff, metadata, statistics).
 
-Every query is paired with a DuckDB oracle. Floating aggregates are
-rounded identically on both sides (double fp sums agree to ~1e-9
-between engines; rounding removes last-bit noise from the value hash).
+Every query is paired with a DuckDB oracle. Hashed floating aggregates
+use the order-independent recipe ``ROUND(CAST(SUM(CAST(x AS
+DECIMAL(25,s))) AS DOUBLE) [/ COUNT], d)``: the per-row cast is
+deterministic, the decimal SUM is exact (so partitioning / summation
+order can never flip a rounding tie), and the final double ops see
+identical bits in Spark and DuckDB. Verified bit-for-bit across
+partitionings and engines in tools/exp_decimal_recipe.py.
 """
 
 from __future__ import annotations
@@ -14,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from arc_jupyter_spark.context import ArcContext
 from arc_jupyter_spark.operators.transform import SQLTransform
-from arc_jupyter_spark.workloads.base import load_views, query
+from arc_jupyter_spark.workloads.base import exact_sum, load_views, query
 
 # --------------------------------------------------------------------
 # q01 — scan → filter → hash agg → sort (TPC-H Q1 shape). Flagship.
@@ -25,13 +29,13 @@ Q01_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                       AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                  AS avg_price,
-  ROUND(AVG(l_discount), 6)                                       AS avg_disc,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2)      AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2)               AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)      AS avg_disc,
   COUNT(*)                                                        AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,7 +58,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q02_ORACLE = """
 SELECT p.p_brand,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size <= 15
@@ -72,7 +76,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
+            F.round(exact_sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("p_brand")
@@ -85,7 +89,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_ORACLE = """
 SELECT o.o_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
        o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -107,7 +111,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"))
+        .agg(F.round(exact_sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -173,7 +177,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q06_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '${start_date} 00:00:00'
@@ -183,7 +187,7 @@ WHERE l_shipdate >= TIMESTAMP '${start_date} 00:00:00'
 """
 
 Q06_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -208,7 +212,7 @@ Q07_ORACLE = """
 SELECT o.o_orderstatus,
        COUNT(*) AS n_rows,
        COUNT(l.l_orderkey) AS n_lineitems,
-       ROUND(SUM(COALESCE(l.l_quantity, 0)), 2) AS total_qty
+       ROUND(CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_qty
 FROM orders o LEFT JOIN lineitem l
   ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49
 GROUP BY o.o_orderstatus
@@ -227,7 +231,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("l_orderkey").alias("n_lineitems"),
-            F.round(F.sum(F.coalesce(l.l_quantity, F.lit(0))), 2).alias("total_qty"),
+            F.round(exact_sum(F.coalesce(l.l_quantity, F.lit(0))), 2).alias("total_qty"),
         )
         .orderBy("o_orderstatus")
     )
@@ -343,7 +347,7 @@ Q11_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -363,7 +367,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -406,7 +410,7 @@ Q14_SQL = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
        COUNT(DISTINCT l_suppkey) AS n_supps,
-       ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty
+       ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_distinct_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -426,7 +430,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n,
-       ROUND(AVG(LENGTH(c_name)), 4) AS avg_name_len,
+       ROUND(CAST(SUM(LENGTH(c_name)) AS DOUBLE) / COUNT(*), 4) AS avg_name_len,
        MIN(UPPER(SUBSTR(c_name, 1, 8))) AS min_prefix,
        SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS n_with_one,
        MAX(CONCAT(c_mktsegment, '#', LOWER(SUBSTR(c_name, 1, 4)))) AS max_tag
@@ -450,7 +454,7 @@ Q16_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
        CAST(MONTH(o_orderdate) AS INT) AS mo,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS total
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -471,10 +475,10 @@ Q17_SQL = """
 SELECT l_linestatus,
        CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor_qty,
        CAST(SUM(CAST(CEIL(l_extendedprice / 1000) AS BIGINT)) AS BIGINT) AS sum_ceil_kprice,
-       ROUND(SUM(POWER(l_discount, 2)), 4) AS sum_disc_sq,
+       ROUND(CAST(SUM(CAST(POWER(l_discount, 2) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_disc_sq,
        CAST(SUM(l_orderkey % 7) AS BIGINT) AS sum_mod,
-       ROUND(SUM(ABS(l_extendedprice - 1000.0)), 2) AS sum_absdev,
-       ROUND(SUM(SQRT(l_quantity)), 4) AS sum_sqrt_qty
+       ROUND(CAST(SUM(CAST(ABS(l_extendedprice - 1000.0) AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_absdev,
+       ROUND(CAST(SUM(CAST(SQRT(l_quantity) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_sqrt_qty
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -496,7 +500,7 @@ SELECT CASE WHEN l_quantity < 10 THEN 'low'
             WHEN l_quantity < 30 THEN 'mid'
             ELSE 'high' END AS bucket,
        COUNT(*) AS n,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price
 FROM lineitem
 GROUP BY 1
 ORDER BY 1
@@ -516,7 +520,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q19_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_above_avg
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM customer)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -573,13 +577,14 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = """
 WITH supplier_revenue AS (
-  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT COUNT(*) AS n_supp,
        ROUND(MAX(rev), 2) AS max_rev,
        ROUND(MIN(rev), 2) AS min_rev,
-       ROUND(AVG(rev), 2) AS avg_rev
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 2) AS avg_rev
 FROM supplier_revenue
 """
 
@@ -596,8 +601,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q23_ORACLE = """
 SELECT l_returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F
+       ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE), 2) AS O,
+       ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE), 2) AS F
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -611,7 +616,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(F.round(exact_sum(F.col("l_quantity")), 2))
         .orderBy("l_returnflag")
     )
     return pivoted.select(
@@ -659,7 +664,8 @@ Q25_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+       ROUND(CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE)
+             / COUNT(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -676,7 +682,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(k).cast("bigint").alias("sum_k"),
-            F.round(F.avg(k), 4).alias("avg_k"),
+            F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -689,7 +695,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q26_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_gaps,
-       ROUND(AVG(delta), 4) AS avg_delta
+       ROUND(CAST(SUM(CAST(delta AS DECIMAL(25,10))) AS DOUBLE) / COUNT(delta), 4) AS avg_delta
 FROM (
   SELECT user_id,
          value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -712,7 +718,12 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deltas.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_gaps"), F.round(F.avg("delta"), 4).alias("avg_delta"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                exact_sum(F.col("delta"), scale=10) / F.count("delta"), 4
+            ).alias("avg_delta"),
+        )
         .orderBy("user_id")
     )
 
@@ -725,7 +736,7 @@ Q27_ORACLE = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3
@@ -739,7 +750,10 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum(F.col("value"), scale=10), 2).alias("sum_value"),
+        )
         .where(F.col("n") >= 3)
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -835,11 +849,14 @@ Q30_SQL = """
 SELECT COUNT(*) AS n,
        ROUND(MIN(l_quantity), 2) AS min_qty,
        ROUND(MAX(l_quantity), 2) AS max_qty,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)) * CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)), 4) AS std_qty,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price
 FROM lineitem
 """
 
@@ -860,7 +877,7 @@ SELECT
   CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
   CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
   COUNT(*) AS n,
-  ROUND(SUM(l_quantity), 2) AS sum_qty
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY flag, status
@@ -985,7 +1002,7 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q35_SPARK = """
 SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
        COUNT(*) AS n,
-       ROUND(AVG(LENGTH(regexp_replace(p_name, '[aeiou]', ''))), 4) AS avg_consonant_len
+       ROUND(CAST(SUM(LENGTH(regexp_replace(p_name, '[aeiou]', ''))) AS DOUBLE) / COUNT(*), 4) AS avg_consonant_len
 FROM part
 GROUP BY last_word
 ORDER BY n DESC, last_word
@@ -1009,7 +1026,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q36_ORACLE = """
-SELECT kind, key, ROUND(SUM(bal), 2) AS total FROM (
+SELECT kind, key, ROUND(CAST(SUM(CAST(bal AS DECIMAL(25,6))) AS DOUBLE), 2) AS total FROM (
   SELECT 'cust' AS kind, c_nationkey AS key, c_acctbal AS bal FROM customer
   UNION ALL BY NAME
   SELECT s_acctbal AS bal, s_nationkey AS key, 'supp' AS kind FROM supplier
@@ -1034,7 +1051,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.unionByName(supp)
         .groupBy("kind", "key")
-        .agg(F.round(F.sum("bal"), 2).alias("total"))
+        .agg(F.round(exact_sum(F.col("bal")), 2).alias("total"))
         .orderBy("kind", "key")
     )
 
@@ -1081,7 +1098,7 @@ Q38_SQL = """
 SELECT
   COUNT(*) AS n,
   SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_flag_n,
-  ROUND(SUM(COALESCE(NULLIF(l_discount, 0.0), 0.05)), 2) AS disc_with_default
+  ROUND(CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.05) AS DECIMAL(25,6))) AS DOUBLE), 2) AS disc_with_default
 FROM lineitem
 """
 
@@ -1101,7 +1118,7 @@ Q39_SQL = """
 SELECT l_returnflag,
        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
        COUNT(*) FILTER (WHERE l_quantity <= 25) AS n_small,
-       ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2) AS disc_rev
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1146,9 +1163,9 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q41_SQL = """
 SELECT o_orderkey, o_custkey,
-       ROUND(SUM(o_totalprice) OVER (
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_totalprice
-         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_total,
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS near_total,
        DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS quartile
 FROM orders
@@ -1170,7 +1187,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q42_ORACLE = """
-SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+SELECT l_returnflag, COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -1181,13 +1198,14 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
     partial = salted.groupBy("l_returnflag", "_salt").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("l_quantity").alias("_q")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_q"),
     )
     return (
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("_n").alias("n"),
-            F.round(F.sum("_q"), 2).alias("sum_qty"),
+            F.round(F.sum("_q").cast("double"), 2).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -1203,7 +1221,7 @@ Q43_SPARK = """
 SELECT user_id,
        session_window.start AS session_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS session_value
 FROM events
 GROUP BY user_id, session_window(ts, '30 minutes')
 ORDER BY user_id, session_start
@@ -1227,7 +1245,7 @@ sessions AS (
 SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -1279,9 +1297,9 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q45_ORACLE = """
 WITH a AS (
   SELECT l_returnflag,
-         ROUND(SUM(l_quantity), 2)      AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_price,
-         ROUND(SUM(l_discount), 2)      AS sum_disc
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_price,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
@@ -1297,9 +1315,9 @@ ORDER BY l_returnflag, measure
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     agg = spark.table("lineitem").groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        F.round(exact_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+        F.round(exact_sum(F.col("l_extendedprice")), 2).alias("sum_price"),
+        F.round(exact_sum(F.col("l_discount")), 2).alias("sum_disc"),
     )
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"

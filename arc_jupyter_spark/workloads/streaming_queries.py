@@ -26,7 +26,7 @@ ST01_ORACLE = """
 SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -51,7 +51,9 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,10)")).cast("double"), 2
+            ).alias("sum_value"),
         )
     )
     name = f"st01_{uuid.uuid4().hex[:10]}"

@@ -73,3 +73,16 @@ def test_whole_stage_codegen_active(spark):
     # codegen'd operators carry the "*(stage_id)" prefix in plan trees
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """IVF cell assignment must be a pure map (broadcast-by-literal
+    argmax): zero Exchange nodes — the corpus never shuffles."""
+    from arc_jupyter_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centroids = similarity.kmeans_centroids(emb, k=4, vec_col="embedding", max_iter=1)
+    assigned = similarity.assign_ivf_cells(emb, centroids)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -2,10 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB at the given scale factor, then compares row count, column
-names, and order-insensitive values (floats compared exactly after the
-queries' own rounding — if this passes, any value hash matches).
+names, and order-insensitive values. Floats are compared EXACTLY
+(full repr) — the driver value-hashes exact values, so a 1-ulp
+difference fails there; 9-significant-digit normalization masked the
+round-1 q15/t05 hash flips.
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+By default the Spark side runs on a PLAIN SparkSession (mirroring the
+driver, which does NOT use build_session — round 1 proved that plain
+vs tuned sessions partition differently and can flip order-dependent
+float aggregates). Pass --tuned to use build_session instead.
+
+Usage: python tools/selfcheck.py [--tuned] [--loose] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -15,6 +22,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+LOOSE = False
 
 
 def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
@@ -27,10 +36,10 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return ("f", "nan")
-            # collapse -0.0 / 0.0 and format at 9 significant decimals
+            # collapse -0.0 / 0.0
             if v == 0:
                 v = 0.0
-            return ("f", f"{v:.9g}")
+            return ("f", f"{v:.9g}" if LOOSE else repr(v))
         if isinstance(v, int):
             return ("i", v)
         if v is None:
@@ -43,15 +52,28 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
 
 
 def main() -> int:
+    global LOOSE
     import duckdb
 
-    from arc_jupyter_spark.session import build_session
+    from pyspark.sql import SparkSession
+
     from arc_jupyter_spark.workloads import oracle_sql, queries
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tuned = "--tuned" in args
+    LOOSE = "--loose" in args
+    args = [a for a in args if not a.startswith("--")]
 
-    spark = build_session(app_name="selfcheck")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    if tuned:
+        from arc_jupyter_spark.session import build_session
+
+        spark = build_session(app_name="selfcheck")
+    else:
+        spark = SparkSession.builder.getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
