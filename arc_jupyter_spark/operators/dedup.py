@@ -264,6 +264,7 @@ def jaccard_pairs(
     shingle_len: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
@@ -274,9 +275,21 @@ def jaccard_pairs(
     doc's shingle count rides WITH the exploded rows (a long per row)
     instead of a separate sizes branch: re-deriving sizes would
     re-evaluate the shingling pipeline two more times and add two
-    joins (profiled 10× slower). Skew note: ultra-common shingles
-    create hot join keys; at corpus scale, drop stop-shingles
-    (document frequency above a cap) first.
+    joins (profiled 10× slower).
+
+    Join-input pruning: a shingle appearing in exactly ONE document
+    can never contribute to an intersection, so rows with per-block
+    document frequency 1 are dropped before the self-join — results
+    are bit-identical, join input typically shrinks several-fold.
+
+    Skew cap: ``max_doc_freq`` drops stop-shingles (per-block document
+    frequency above the cap) from the *intersection evidence* — a hot
+    boilerplate shingle can otherwise create a quadratic join key at
+    corpus scale. Document sizes still count all shingles, so the
+    capped jaccard is a conservative underestimate of the exact value
+    (shared boilerplate stops counting as similarity evidence). The
+    frequency is computed with a window over the join key, so the
+    self-join reuses the same hash partitioning — no extra shuffle.
     """
     block = [block_col] if block_col else []
     sh = _parallelize(df).select(
@@ -290,6 +303,12 @@ def jaccard_pairs(
         F.explode("_sh").alias("_s"),
         F.size("_sh").alias("_n"),
     )
+    w = Window.partitionBy(*block, "_s")
+    ex = ex.withColumn("_df", F.count(F.lit(1)).over(w))
+    cap = F.col("_df") >= 2
+    if max_doc_freq is not None:
+        cap = cap & (F.col("_df") <= max_doc_freq)
+    ex = ex.where(cap).drop("_df")
     a = ex.alias("a")
     b = ex.alias("b")
     cond = F.col("a._s") == F.col("b._s")

@@ -119,18 +119,41 @@ def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d03 — exact n-gram Jaccard pairs (blocked by source).
 # --------------------------------------------------------------------
 
+# The oracle mirrors jaccard_pairs' stop-shingle cap: shingles with
+# per-block document frequency > 50 are excluded from the intersection
+# evidence (and df=1 shingles can never intersect), while document
+# sizes still count every distinct shingle — the same conservative
+# formula the Spark operator computes.
+_D03_MAX_DF = 50
+
 D03_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, source,
          list_distinct({_duck_shingles(3).replace('toks', _DUCK_TOKS)}) AS s
   FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.12
+),
+ex AS (SELECT doc_id, source, unnest(s) AS sg FROM sh),
+dfreq AS (
+  SELECT source, sg, COUNT(*) AS df FROM ex GROUP BY source, sg
+),
+ex2 AS (
+  SELECT e.doc_id, e.source, e.sg
+  FROM ex e JOIN dfreq d USING (source, sg)
+  WHERE d.df BETWEEN 2 AND {_D03_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+  FROM ex2 a JOIN ex2 b ON a.source = b.source AND a.sg = b.sg
+                        AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.12
 ORDER BY id_a, id_b
 """
 
@@ -145,6 +168,7 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_len=3,
         threshold=0.12,
         block_col="source",
+        max_doc_freq=_D03_MAX_DF,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
