@@ -808,19 +808,16 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # q29 — range self-join: event pairs of the same user within 10 min.
+# Scale-safe plan: instead of joining on user_id alone (k events per
+# user -> k^2 candidate pairs before the interval filter), bucket ts
+# into 10-minute bins and join on (user_id, bin). Any pair within 10
+# minutes spans at most adjacent bins, so the left side explodes into
+# its own bin and the next one; the equi-join keys bound per-bucket
+# pair work, and the exact interval predicate filters after. Each
+# qualifying pair matches exactly once (bin_b is unique per row and
+# the two exploded left keys differ). DuckDB oracle states the naive
+# formulation of the same semantics.
 # --------------------------------------------------------------------
-
-Q29_SQL = """
-SELECT a.user_id, COUNT(*) AS n_pairs
-FROM events a JOIN events b
-  ON a.user_id = b.user_id
- AND a.event_id <> b.event_id
- AND b.ts > a.ts
- AND b.ts <= a.ts + INTERVAL 10 MINUTE
-GROUP BY a.user_id
-HAVING COUNT(*) >= 1
-ORDER BY a.user_id
-"""
 
 Q29_ORACLE = """
 SELECT a.user_id, COUNT(*) AS n_pairs
@@ -834,11 +831,37 @@ HAVING COUNT(*) >= 1
 ORDER BY a.user_id
 """
 
+_BIN_US = 600_000_000  # 10 minutes in microseconds
+
 
 @query("q29_range_join", oracle=Q29_ORACLE)
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "events")
-    return spark.sql(Q29_SQL)
+    ev = spark.table("events").select("user_id", "event_id", "ts")
+    bin_of = F.expr(f"unix_micros(ts) div {_BIN_US}")
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+        bin_of.alias("bin"),
+    )
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bin_of, bin_of + 1)).alias("bin"),
+    )
+    pairs = left.join(right, ["user_id", "bin"]).where(
+        (F.col("eid_a") != F.col("eid_b"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 10 MINUTE"))
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= 1)
+        .orderBy("user_id")
+    )
 
 
 # --------------------------------------------------------------------

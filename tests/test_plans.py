@@ -86,3 +86,16 @@ def test_ivf_assignment_is_map_only(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_q29_range_join_is_bucketed(spark):
+    """q29 must equi-join on (user_id, 10-min bin), not user_id alone —
+    the bin key bounds per-bucket pair work at scale."""
+    plan = plan_of(spark, "q29_range_join")
+    import re
+
+    joins = re.findall(r"(?:BroadcastHash|SortMerge|ShuffledHash)Join \[([^\]]*)\]", plan)
+    assert joins, f"no equi-join in plan:\n{plan}"
+    assert all("user_id" in k and "bin" in k for k in joins), (
+        f"join keys missing bin: {joins}"
+    )
