@@ -432,8 +432,11 @@ class Interpreter:
 
     def magic_arc(self, args: dict[str, str], body: str) -> CellResult:
         """Full pipeline config: parse stages, run sequentially
-        (reference: ArcInterpreter.scala:398-457). Config is JSON with
-        the Arc stage vocabulary; ``${env}`` substitution applies."""
+        (reference: ArcInterpreter.scala:398-457). Config is HOCON —
+        the reference's actual cell language (unquoted keys, comments,
+        optional commas, triple-quoted SQL, ``${ENV}`` substitution);
+        strict JSON is accepted as a subset. ``${param}`` injection
+        applies before parsing."""
         from arc_jupyter_spark.plugins import LIFECYCLE_PLUGINS
 
         text = inject_parameters(body, self.ctx.merged_params())

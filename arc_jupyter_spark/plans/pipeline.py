@@ -112,9 +112,22 @@ def stage_from_config(config: dict[str, Any]) -> PipelineStage:
 
 
 def parse_pipeline(config: str | dict[str, Any] | list[dict[str, Any]]) -> list[PipelineStage]:
-    """Parse a pipeline config (JSON text, dict with 'stages', or list)."""
+    """Parse a pipeline config (HOCON or JSON text, dict with
+    'stages', or list).
+
+    The reference cell language is HOCON (``ArcInterpreter.scala:404``
+    parses cells with ConfigFactory), so Arc notebook cells with
+    unquoted keys, comments, optional commas, triple-quoted SQL and
+    ``${ENV}`` substitution all parse here. Strict JSON is a subset;
+    it is tried first as the fast path.
+    """
     if isinstance(config, str):
-        config = json.loads(config)
+        try:
+            config = json.loads(config)
+        except json.JSONDecodeError:
+            from arc_jupyter_spark.plans.hocon import parse_hocon
+
+            config = parse_hocon(config)
     if isinstance(config, dict):
         config = config.get("stages", [config])
     return [stage_from_config(c) for c in config]
