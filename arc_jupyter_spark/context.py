@@ -105,6 +105,36 @@ class ArcContext:
     def view_names(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
 
+    # -- streaming query lifecycle ------------------------------------
+
+    def track_stream(self, query) -> None:
+        """Track a StreamingQuery handle, stopping any previously
+        tracked query with the same name first (repeated notebook
+        cells would otherwise leak running queries and, for memory
+        sinks, driver-held rows)."""
+        queries = self.user_data.setdefault("streaming_queries", [])
+        for old in list(queries):
+            if old.name is not None and old.name == query.name and old.id != query.id:
+                try:
+                    old.stop()
+                except Exception:  # noqa: BLE001 - best-effort teardown
+                    pass
+                queries.remove(old)
+        queries.append(query)
+
+    def stop_streams(self) -> int:
+        """Stop every tracked StreamingQuery; return how many stopped."""
+        queries = self.user_data.pop("streaming_queries", [])
+        n = 0
+        for q in queries:
+            try:
+                if q.isActive:
+                    q.stop()
+                    n += 1
+            except Exception:  # noqa: BLE001 - best-effort teardown
+                pass
+        return n
+
     # -- substitution variables ---------------------------------------
 
     def merged_params(self, extra: dict[str, str] | None = None) -> dict[str, str]:

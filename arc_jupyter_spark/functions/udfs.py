@@ -20,31 +20,6 @@ from pyspark.sql import SparkSession, functions as F
 from pyspark.sql import types as T
 
 
-def _get_json_array(json_str: str | None, path: str | None, caster):
-    import json as _json
-
-    if json_str is None or path is None:
-        return None
-    # JSONPath subset: $.a.b selects nested key
-    try:
-        obj = _json.loads(json_str)
-    except ValueError:
-        return None
-    if path.startswith("$"):
-        path = path[1:]
-    for part in [p for p in path.split(".") if p]:
-        if isinstance(obj, dict) and part in obj:
-            obj = obj[part]
-        else:
-            return None
-    if not isinstance(obj, list):
-        return None
-    try:
-        return [caster(v) for v in obj]
-    except (TypeError, ValueError):
-        return None
-
-
 def _to_xml_fragment(value, name: str = "root") -> str:
     from xml.sax.saxutils import escape
 
@@ -61,24 +36,51 @@ def _to_xml_fragment(value, name: str = "root") -> str:
 def register_udfs(spark: SparkSession, seed: int | None = None) -> None:
     """Register the Arc UDF set on *spark* (idempotent)."""
 
-    spark.udf.register(
-        "get_json_double_array",
-        lambda s, p: _get_json_array(s, p, float),
-        T.ArrayType(T.DoubleType()),
-    )
-    spark.udf.register(
-        "get_json_integer_array",
-        lambda s, p: _get_json_array(s, p, int),
-        T.ArrayType(T.IntegerType()),
-    )
-    spark.udf.register(
-        "get_json_long_array",
-        lambda s, p: _get_json_array(s, p, int),
-        T.ArrayType(T.LongType()),
-    )
+    # JSON array extraction stays entirely JVM-side: get_json_object
+    # evaluates the JSONPath (it natively supports the dotted subset
+    # plus [idx]/* that Arc paths use) and from_json casts the matched
+    # array; malformed JSON / non-array matches / uncastable elements
+    # all yield NULL, matching the arc UDF contract. SQL scalar
+    # functions (Spark 4) keep the whole expression codegen-able — no
+    # BatchEvalPython in the plan (asserted in tests).
+    for fname, elem in (
+        ("get_json_double_array", "double"),
+        ("get_json_integer_array", "int"),
+        ("get_json_long_array", "bigint"),
+    ):
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}(js STRING, path STRING) "
+            f"RETURNS ARRAY<{elem.upper()}> "
+            f"RETURN from_json(get_json_object(js, path), 'array<{elem}>')"
+        )
 
-    rng = _random.Random(seed)
-    spark.udf.register("random", lambda: rng.random(), T.DoubleType())
+    # Per-task RNG: a driver-seeded Random would ship identical state
+    # to every task, repeating the same values across partitions. With
+    # no seed, each worker draws its stream from os.urandom; with a
+    # seed, the stream is deterministic per partition (seed mixed with
+    # the partition id at first use in that partition).
+    holder: dict = {}
+
+    def _task_random() -> float:
+        import os
+
+        from pyspark import TaskContext
+
+        if seed is None:
+            rng = holder.get("rng")
+            if rng is None:
+                rng = _random.Random(int.from_bytes(os.urandom(8), "little"))
+                holder["rng"] = rng
+        else:
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else -1
+            rng = holder.get(pid)
+            if rng is None:
+                rng = _random.Random((seed << 16) ^ pid)
+                holder[pid] = rng
+        return rng.random()
+
+    spark.udf.register("random", _task_random, T.DoubleType())
 
     def to_xml(value) -> str | None:
         if value is None:

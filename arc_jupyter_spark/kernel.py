@@ -55,9 +55,11 @@ def make_kernel_class():
         def interp(self) -> Interpreter:
             if self._interp is None:
                 # %secret wires to the Jupyter stdin password protocol
-                # (reference: ArcInterpreter.scala:506-518)
+                # (reference: ArcInterpreter.scala:506-518).
+                # ipykernel's raw_input takes no password kwarg — the
+                # password-masked variant is Kernel.getpass.
                 self._interp = Interpreter(
-                    input_fn=lambda key: self.raw_input(f"{key}: ", password=True)
+                    input_fn=lambda key: self.getpass(f"{key}: ")
                 )
             return self._interp
 

@@ -179,7 +179,7 @@ class ConsoleLoad(PipelineStage):
         if not df.isStreaming:
             raise ValueError("ConsoleLoad requires a streaming input view")
         query = df.writeStream.format("console").outputMode(self.output_mode).start()
-        ctx.user_data.setdefault("streaming_queries", []).append(query)
+        ctx.track_stream(query)
         return df
 
 
@@ -205,11 +205,17 @@ class MemoryLoad(PipelineStage):
 
     def execute(self, ctx: ArcContext) -> DataFrame:
         df = ctx.table(self.input_view)
+        # restarting the same-named sink: stop the old query first
+        # (Spark rejects a second active query with the same name, and
+        # the old memory sink would pin its rows on the driver)
+        for active in ctx.spark.streams.active:
+            if active.name == self.query_name:
+                active.stop()
         query = (
             df.writeStream.format("memory")
             .queryName(self.query_name)
             .outputMode(self.output_mode)
             .start()
         )
-        ctx.user_data.setdefault("streaming_queries", []).append(query)
+        ctx.track_stream(query)
         return df

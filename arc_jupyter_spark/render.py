@@ -58,13 +58,19 @@ def _format_column(col, dt: T.DataType):
 
 
 def display_frame(df: DataFrame) -> DataFrame:
-    """Project *df* to display strings (one JVM-side projection)."""
+    """Project *df* to display strings (one JVM-side projection).
+
+    Rename FIRST (``toDF``), then format: resolving duplicate-named
+    columns by name (``df[name]``) raises AMBIGUOUS_REFERENCE for
+    join + select * results — the reference renames before formatting
+    too (Common.scala:246)."""
     names = dedupe_columns(df.columns)
+    renamed = df.toDF(*names)
     cols = []
-    for (field, name) in zip(df.schema.fields, names):
-        formatted = _format_column(df[field.name], field.dataType)
+    for (field, name) in zip(renamed.schema.fields, names):
+        formatted = _format_column(renamed[name], field.dataType)
         cols.append(F.coalesce(formatted, F.lit("null")).alias(name))
-    return df.select(*cols)
+    return renamed.select(*cols)
 
 
 def _truncate(value: str, truncate: int) -> str:

@@ -52,4 +52,13 @@ def preview_stream(
                 break
     finally:
         query.stop()
-    return spark.table(query_name)
+    # Materialize the preview and drop the sink table: the memory sink
+    # pins its rows on the driver for the session's lifetime, so
+    # repeated preview cells would leak driver memory otherwise. The
+    # preview is row-bounded (the loop stops just past num_rows), so
+    # collecting the drained sink is small by construction.
+    sink = spark.table(query_name)
+    rows = sink.collect()
+    schema = sink.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, schema)

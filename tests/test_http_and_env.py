@@ -108,3 +108,34 @@ def test_jdbc_extract_roundtrip_derby(ctx, tmp_path):
     ]), ctx)
     got = {(r["ID"], r["NAME"]) for r in ctx.table("jdbc_v").collect()}
     assert got == {(1, "alpha"), (2, "beta")}
+
+
+def test_get_json_array_is_jvm_side(spark):
+    """The get_json_*_array functions must compile to built-in
+    expressions (SQL scalar functions) — no Python eval in the plan."""
+    from arc_jupyter_spark.functions import register_udfs
+
+    register_udfs(spark)
+    df = spark.sql(
+        "SELECT get_json_long_array('{\"xs\": [1, 2, 3]}', '$.xs') AS xs,"
+        " get_json_integer_array('{\"a\": {\"b\": [4]}}', '$.a.b') AS b,"
+        " get_json_double_array('not json', '$.a') AS bad"
+    )
+    row = df.first()
+    assert row["xs"] == [1, 2, 3] and row["b"] == [4] and row["bad"] is None
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_random_udf_varies_across_partitions(spark):
+    """A driver-seeded RNG ships identical state to every task; the
+    fixed UDF must produce distinct streams per partition."""
+    from arc_jupyter_spark.functions import register_udfs
+
+    register_udfs(spark)
+    vals = [
+        r["r"]
+        for r in spark.range(0, 8, 1, 8).selectExpr("random() AS r").collect()
+    ]
+    assert len(set(vals)) > 1, f"identical values across partitions: {vals}"
+    assert all(0.0 <= v < 1.0 for v in vals)

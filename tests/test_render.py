@@ -90,3 +90,15 @@ def test_flatten_schema_nested_and_escaped(spark):
     )
     cols = flatten_schema(df.schema)
     assert cols == ["s.inner", "s.`odd name`", "`top col`"]
+
+
+def test_duplicate_named_columns_render(spark):
+    """join + select * yields duplicate column names; display must
+    rename first (reference Common.scala:246), not throw
+    AMBIGUOUS_REFERENCE."""
+    a = spark.sql("SELECT 1 AS id, 'x' AS v")
+    b = spark.sql("SELECT 1 AS id, 'y' AS v")
+    joined = a.join(b, a["id"] == b["id"])
+    header, body = take_formatted(joined, num_rows=5)
+    assert header == ["id", "v", "id1", "v1"]
+    assert body == [["1", "x", "1", "y"]]

@@ -62,3 +62,37 @@ def test_streaming_session_flag_flips_extract(ctx, tmp_path):
     assert df.isStreaming
     interp.execute("%conf streaming=false")
     assert not stages[0].load(ctx).isStreaming
+
+
+def test_preview_drops_memory_sink_view(ctx):
+    """preview_stream must not leave the uuid-named memory-sink table
+    registered (it pins rows on the driver for the session)."""
+    before = set(ctx.view_names())
+    df = ctx.spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    out = preview_stream(df, num_rows=5, duration_s=10.0, frequency_ms=200)
+    assert out.count() >= 0  # materialized local copy still queryable
+    leaked = {v for v in set(ctx.view_names()) - before if v.startswith("preview_")}
+    assert not leaked, f"memory sink views leaked: {leaked}"
+
+
+def test_memory_load_restart_and_stop_streams(ctx):
+    """Re-running a MemoryLoad cell with the same query name must stop
+    the previous query (not fail or leak); ctx.stop_streams() tears
+    down everything tracked."""
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    stages = parse_pipeline([
+        {"type": "RateExtract", "name": "r", "rowsPerSecond": 10,
+         "outputView": "rate_restart_v"},
+        {"type": "MemoryLoad", "name": "m", "inputView": "rate_restart_v",
+         "queryName": "restart_sink"},
+    ])
+    run_pipeline(stages, ctx)
+    first = [q for q in ctx.spark.streams.active if q.name == "restart_sink"]
+    assert len(first) == 1
+    run_pipeline(stages, ctx)  # re-run: must stop the old query
+    active = [q for q in ctx.spark.streams.active if q.name == "restart_sink"]
+    assert len(active) == 1
+    assert active[0].id != first[0].id or not first[0].isActive
+    assert ctx.stop_streams() >= 1
+    assert not [q for q in ctx.spark.streams.active if q.name == "restart_sink"]
