@@ -203,3 +203,147 @@ class KafkaCommitExecute(PipelineStage):
             "JVM consumer); prefer Spark-checkpoint offset management "
             "(KafkaExtract streaming + checkpointLocation) where possible"
         )
+
+
+# -- generic connector stages (Cassandra / Elasticsearch / MongoDB /
+# SAS). The reference loads these as out-of-core plugin jars through
+# the same ServiceLoader mechanism as Delta/Kafka
+# (ArcInterpreter.scala:309-336); here they are the same thin
+# format(...) mappings with graceful absence: the stage vocabulary
+# always parses, and execution without the connector raises an
+# actionable package hint.
+
+
+class _FormatExtract(PipelineStage):
+    """Shared shape for connector extracts: format + options → view."""
+
+    stage_kind = "extract"
+    fmt = ""
+    package = ""
+
+    def __init__(
+        self,
+        output_view: str = "",
+        options: dict[str, str] | None = None,
+        input_uri: str = "",
+        streaming: bool = False,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.output_view = output_view
+        self.options = dict(options or {})
+        self.input_uri = input_uri
+        self.streaming = streaming
+
+    def execute(self, ctx: ArcContext) -> DataFrame:
+        reader = (
+            ctx.spark.readStream
+            if (self.streaming or ctx.conf.streaming)
+            else ctx.spark.read
+        )
+        reader = reader.format(self.fmt).options(**{
+            k: self.substitute(str(v), ctx) for k, v in self.options.items()
+        })
+        try:
+            if self.input_uri:
+                df = reader.load(self.substitute(self.input_uri, ctx))
+            else:
+                df = reader.load()
+        except Exception as exc:  # noqa: BLE001
+            _rethrow_missing_source(exc, self.fmt, self.package)
+        return ctx.register(self.repartition(df), self.output_view, persist=self.persist)
+
+
+class _FormatLoad(PipelineStage):
+    """Shared shape for connector loads: view → format + options."""
+
+    stage_kind = "load"
+    fmt = ""
+    package = ""
+
+    def __init__(
+        self,
+        input_view: str = "",
+        save_mode: str = "append",
+        options: dict[str, str] | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.input_view = input_view
+        self.save_mode = save_mode
+        self.options = dict(options or {})
+
+    def execute(self, ctx: ArcContext) -> DataFrame:
+        df = ctx.table(self.input_view)
+        writer = df.write.format(self.fmt).mode(self.save_mode).options(**{
+            k: self.substitute(str(v), ctx) for k, v in self.options.items()
+        })
+        try:
+            writer.save()
+        except Exception as exc:  # noqa: BLE001
+            _rethrow_missing_source(exc, self.fmt, self.package)
+        return df
+
+
+@register_stage
+class CassandraExtract(_FormatExtract):
+    """Read a Cassandra table (options: keyspace, table)."""
+
+    stage_type = "CassandraExtract"
+    fmt = "org.apache.spark.sql.cassandra"
+    package = "com.datastax.spark:spark-cassandra-connector"
+
+
+@register_stage
+class CassandraLoad(_FormatLoad):
+    """Write a view to a Cassandra table (options: keyspace, table)."""
+
+    stage_type = "CassandraLoad"
+    fmt = "org.apache.spark.sql.cassandra"
+    package = "com.datastax.spark:spark-cassandra-connector"
+
+
+@register_stage
+class ElasticsearchExtract(_FormatExtract):
+    """Read an Elasticsearch index (input_uri = index/type resource)."""
+
+    stage_type = "ElasticsearchExtract"
+    fmt = "org.elasticsearch.spark.sql"
+    package = "org.elasticsearch:elasticsearch-spark-30"
+
+
+@register_stage
+class ElasticsearchLoad(_FormatLoad):
+    """Write a view to an Elasticsearch index."""
+
+    stage_type = "ElasticsearchLoad"
+    fmt = "org.elasticsearch.spark.sql"
+    package = "org.elasticsearch:elasticsearch-spark-30"
+
+
+@register_stage
+class MongoDBExtract(_FormatExtract):
+    """Read a MongoDB collection (options: connection.uri, database,
+    collection)."""
+
+    stage_type = "MongoDBExtract"
+    fmt = "mongodb"
+    package = "org.mongodb.spark:mongo-spark-connector"
+
+
+@register_stage
+class MongoDBLoad(_FormatLoad):
+    """Write a view to a MongoDB collection."""
+
+    stage_type = "MongoDBLoad"
+    fmt = "mongodb"
+    package = "org.mongodb.spark:mongo-spark-connector"
+
+
+@register_stage
+class SASExtract(_FormatExtract):
+    """Read a sas7bdat dataset (input_uri = path)."""
+
+    stage_type = "SASExtract"
+    fmt = "com.github.saurfang.sas.spark"
+    package = "saurfang:spark-sas7bdat"
