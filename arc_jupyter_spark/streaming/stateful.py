@@ -11,7 +11,6 @@ keys' state, checkpointed with the query.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
 from typing import Any, Iterable
 
 import pandas as pd
@@ -53,25 +52,29 @@ def running_counts(
     key_field = stream.schema[key_col]
     out_schema = _output_schema(key_field)
 
-    # Exact accumulation: quantize each value at 1e-10 and sum as
-    # Decimal so the emitted total is independent of row/batch order
-    # (a raw float sum can flip a downstream rounding tie depending on
-    # how the source splits batches). Equivalent SQL:
-    # CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE).
-    q10 = Decimal(1).scaleb(-10)
+    # Exact accumulation: quantize each value to micro-units
+    # (floor(v * 1e6 + 0.5) — the same IEEE ops Spark/DuckDB FLOOR
+    # performs) and sum as int64, so the emitted total is independent
+    # of row/batch order (a raw float sum can flip a downstream
+    # rounding tie depending on how the source splits batches).
+    # Equivalent SQL, mirrored by the st02 oracle:
+    # CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6.
+    scale = 1_000_000
 
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
         n, total = state.get if state.exists else (0, 0.0)
-        acc = Decimal(repr(total)).quantize(q10, rounding=ROUND_HALF_UP)
+        acc = int(np.floor(total * scale + 0.5))
         for pdf in pdfs:
             n += len(pdf)
-            for v in pdf[value_col]:
-                acc += Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
-        total = float(acc)
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            acc += int(np.floor(vals * scale + 0.5).astype("int64").sum())
+        total = acc / scale
         state.update((n, total))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "sum_value": [total]}

@@ -381,11 +381,11 @@ m AS (
   FROM t
 )
 SELECT lang, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(
+       ROUND(CAST(SUM(CAST(FLOOR((
          0.5 * LEAST(ln(1 + wc) / ln(1001.0), 1.0)
          + 0.25 * (1.0 - LEAST(abs(mwl - 5.0) / 5.0, 1.0))
          + 0.25 * (1.0 - LEAST(pr * 4.0, 1.0))
-       AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+       ) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000 / COUNT(*), 6) AS avg_quality,
        ROUND(CAST(SUM(CAST(wc AS BIGINT)) AS DOUBLE) / COUNT(*), 4) AS avg_words
 FROM m GROUP BY lang ORDER BY lang
 """
@@ -400,7 +400,7 @@ def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                exact_sum(text.quality_score(F.col("text")), scale=10)
+                exact_sum(text.quality_score(F.col("text")), scale=8)
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_quality"),
@@ -560,7 +560,7 @@ m AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        SUM(CASE WHEN wc BETWEEN 10 AND 1000 AND sr >= 0.05 THEN 1 ELSE 0 END) AS n_kept,
-       ROUND(CAST(SUM(CAST(sr AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6) AS avg_stopword_ratio
+       ROUND((CAST(SUM(CAST(FLOOR(sr * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_stopword_ratio
 FROM m GROUP BY lang ORDER BY lang
 """
 
@@ -590,7 +590,7 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("n_kept"),
             F.round(
-                exact_sum(F.col("sr"), scale=10) / F.count(F.lit(1)), 6
+                exact_sum(F.col("sr"), scale=8) / F.count(F.lit(1)), 6
             ).alias("avg_stopword_ratio"),
         )
         .orderBy("lang")

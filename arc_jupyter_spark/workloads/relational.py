@@ -4,11 +4,14 @@ sort/limit, subqueries, CTEs, scalar functions, JSON, pivot, typing,
 diff, metadata, statistics).
 
 Every query is paired with a DuckDB oracle. Hashed floating aggregates
-use the order-independent recipe ``ROUND(CAST(SUM(CAST(x AS
-DECIMAL(25,s))) AS DOUBLE) [/ COUNT], d)``: the per-row cast is
-deterministic, the decimal SUM is exact (so partitioning / summation
-order can never flip a rounding tie), and the final double ops see
-identical bits in Spark and DuckDB. Verified bit-for-bit across
+use the order-independent scaled-long recipe
+``ROUND(CAST(SUM(CAST(FLOOR(x * S + 0.5) AS BIGINT)) AS DOUBLE) / S
+[/ COUNT], d)``: the per-row quantization is identical IEEE math in
+both engines, the long SUM is exact (so partitioning / summation
+order can never flip a rounding tie), and long sums codegen faster
+than both double and decimal sums. S is chosen per site so
+S * |x| * rows stays far below 2^63 (Spark wraps; DuckDB's HUGEINT
+doesn't — they'd diverge past that). Verified bit-for-bit across
 partitionings and engines in tools/exp_decimal_recipe.py.
 """
 
@@ -29,13 +32,13 @@ Q01_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2)      AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2)               AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4)      AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)      AS avg_disc,
+  ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2)      AS sum_qty,
+  ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_base_price,
+  ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2)               AS sum_disc_price,
+  ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_charge,
+  ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 4)      AS avg_qty,
+  ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 4) AS avg_price,
+  ROUND((CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 6)      AS avg_disc,
   COUNT(*)                                                        AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -58,7 +61,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q02_ORACLE = """
 SELECT p.p_brand,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+       ROUND((CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size <= 15
@@ -89,7 +92,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_ORACLE = """
 SELECT o.o_orderkey,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+       ROUND((CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
        o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -177,7 +180,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q06_SQL = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+SELECT ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '${start_date} 00:00:00'
@@ -187,7 +190,7 @@ WHERE l_shipdate >= TIMESTAMP '${start_date} 00:00:00'
 """
 
 Q06_ORACLE = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+SELECT ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -212,7 +215,7 @@ Q07_ORACLE = """
 SELECT o.o_orderstatus,
        COUNT(*) AS n_rows,
        COUNT(l.l_orderkey) AS n_lineitems,
-       ROUND(CAST(SUM(CAST(COALESCE(l.l_quantity, 0) AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_qty
+       ROUND((CAST(SUM(CAST(FLOOR(COALESCE(l.l_quantity, 0) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS total_qty
 FROM orders o LEFT JOIN lineitem l
   ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 49
 GROUP BY o.o_orderstatus
@@ -347,7 +350,7 @@ Q11_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty,
+       ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -367,7 +370,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_price
+       ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_price
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -410,7 +413,7 @@ Q14_SQL = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
        COUNT(DISTINCT l_suppkey) AS n_supps,
-       ROUND(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_distinct_qty
+       ROUND((CAST(SUM(DISTINCT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_distinct_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -454,7 +457,7 @@ Q16_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
        CAST(MONTH(o_orderdate) AS INT) AS mo,
        COUNT(*) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS total
+       ROUND((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS total
 FROM orders
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -475,10 +478,10 @@ Q17_SQL = """
 SELECT l_linestatus,
        CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_floor_qty,
        CAST(SUM(CAST(CEIL(l_extendedprice / 1000) AS BIGINT)) AS BIGINT) AS sum_ceil_kprice,
-       ROUND(CAST(SUM(CAST(POWER(l_discount, 2) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_disc_sq,
+       ROUND((CAST(SUM(CAST(FLOOR(POWER(l_discount, 2) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000), 4) AS sum_disc_sq,
        CAST(SUM(l_orderkey % 7) AS BIGINT) AS sum_mod,
-       ROUND(CAST(SUM(CAST(ABS(l_extendedprice - 1000.0) AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_absdev,
-       ROUND(CAST(SUM(CAST(SQRT(l_quantity) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_sqrt_qty
+       ROUND((CAST(SUM(CAST(FLOOR(ABS(l_extendedprice - 1000.0) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_absdev,
+       ROUND((CAST(SUM(CAST(FLOOR(SQRT(l_quantity) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000), 4) AS sum_sqrt_qty
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -500,7 +503,7 @@ SELECT CASE WHEN l_quantity < 10 THEN 'low'
             WHEN l_quantity < 30 THEN 'mid'
             ELSE 'high' END AS bucket,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+       ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 4) AS avg_price
 FROM lineitem
 GROUP BY 1
 ORDER BY 1
@@ -520,7 +523,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q19_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_above_avg
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM customer)
+WHERE c_acctbal > (SELECT (CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*) FROM customer)
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -578,13 +581,13 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = """
 WITH supplier_revenue AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
+         (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) AS rev
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT COUNT(*) AS n_supp,
        ROUND(MAX(rev), 2) AS max_rev,
        ROUND(MIN(rev), 2) AS min_rev,
-       ROUND(CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 2) AS avg_rev
+       ROUND((CAST(SUM(CAST(FLOOR(rev * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(*), 2) AS avg_rev
 FROM supplier_revenue
 """
 
@@ -601,8 +604,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q23_ORACLE = """
 SELECT l_returnflag,
-       ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE), 2) AS O,
-       ROUND(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE), 2) AS F
+       ROUND((CAST(SUM(CAST(FLOOR((CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS O,
+       ROUND((CAST(SUM(CAST(FLOOR((CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS F
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -695,7 +698,7 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q26_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_gaps,
-       ROUND(CAST(SUM(CAST(delta AS DECIMAL(25,10))) AS DOUBLE) / COUNT(delta), 4) AS avg_delta
+       ROUND((CAST(SUM(CAST(FLOOR(delta * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000) / COUNT(delta), 4) AS avg_delta
 FROM (
   SELECT user_id,
          value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
@@ -721,7 +724,7 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
             F.round(
-                exact_sum(F.col("delta"), scale=10) / F.count("delta"), 4
+                exact_sum(F.col("delta"), scale=6) / F.count("delta"), 4
             ).alias("avg_delta"),
         )
         .orderBy("user_id")
@@ -736,7 +739,7 @@ Q27_ORACLE = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS sum_value
+       ROUND((CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3
@@ -752,7 +755,7 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_sum(F.col("value"), scale=10), 2).alias("sum_value"),
+            F.round(exact_sum(F.col("value"), scale=6), 2).alias("sum_value"),
         )
         .where(F.col("n") >= 3)
         .select(
@@ -872,14 +875,14 @@ Q30_SQL = """
 SELECT COUNT(*) AS n,
        ROUND(MIN(l_quantity), 2) AS min_qty,
        ROUND(MAX(l_quantity), 2) AS max_qty,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)) * CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
-                   - CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
-                     * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+       ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 4) AS avg_qty,
+       ROUND(SQRT(((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+                   - (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
+                     * (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*))
                   / (COUNT(*) - 1)), 4) AS std_qty,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+       ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 4) AS avg_price
 FROM lineitem
 """
 
@@ -900,7 +903,7 @@ SELECT
   CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS flag,
   CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS status,
   COUNT(*) AS n,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty
+  ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY flag, status
@@ -1049,7 +1052,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q36_ORACLE = """
-SELECT kind, key, ROUND(CAST(SUM(CAST(bal AS DECIMAL(25,6))) AS DOUBLE), 2) AS total FROM (
+SELECT kind, key, ROUND((CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS total FROM (
   SELECT 'cust' AS kind, c_nationkey AS key, c_acctbal AS bal FROM customer
   UNION ALL BY NAME
   SELECT s_acctbal AS bal, s_nationkey AS key, 'supp' AS kind FROM supplier
@@ -1121,7 +1124,7 @@ Q38_SQL = """
 SELECT
   COUNT(*) AS n,
   SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS n_flag_n,
-  ROUND(CAST(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.05) AS DECIMAL(25,6))) AS DOUBLE), 2) AS disc_with_default
+  ROUND((CAST(SUM(CAST(FLOOR(COALESCE(NULLIF(l_discount, 0.0), 0.05) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS disc_with_default
 FROM lineitem
 """
 
@@ -1141,7 +1144,7 @@ Q39_SQL = """
 SELECT l_returnflag,
        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
        COUNT(*) FILTER (WHERE l_quantity <= 25) AS n_small,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2) AS disc_rev
+       ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100), 2) AS disc_rev
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1186,9 +1189,9 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q41_SQL = """
 SELECT o_orderkey, o_custkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+       ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY o_custkey ORDER BY o_totalprice
-         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS near_total,
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS near_total,
        DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS quartile
 FROM orders
@@ -1210,7 +1213,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 Q42_ORACLE = """
-SELECT l_returnflag, COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty
+SELECT l_returnflag, COUNT(*) AS n, ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -1222,13 +1225,13 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = li.withColumn("_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_q"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("_q"),
     )
     return (
         partial.groupBy("l_returnflag")
         .agg(
             F.sum("_n").alias("n"),
-            F.round(F.sum("_q").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("_q").cast("double") / 100, 2).alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -1244,7 +1247,7 @@ Q43_SPARK = """
 SELECT user_id,
        session_window.start AS session_start,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS session_value
+       ROUND((CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS session_value
 FROM events
 GROUP BY user_id, session_window(ts, '30 minutes')
 ORDER BY user_id, session_start
@@ -1268,7 +1271,7 @@ sessions AS (
 SELECT user_id,
        CAST(MIN(ts) AS TIMESTAMP) AS session_start,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS session_value
+       ROUND((CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -1320,9 +1323,9 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q45_ORACLE = """
 WITH a AS (
   SELECT l_returnflag,
-         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_qty,
-         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_price,
-         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_disc
+         ROUND((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_qty,
+         ROUND((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_price,
+         ROUND((CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS sum_disc
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a

@@ -26,7 +26,7 @@ ST01_ORACLE = """
 SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 2) AS sum_value
+       ROUND((CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -52,7 +52,11 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(
-                F.sum(F.col("value").cast("decimal(25,10)")).cast("double"), 2
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / 1000000,
+                2,
             ).alias("sum_value"),
         )
     )
@@ -84,7 +88,8 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 ST02_ORACLE = """
-SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
 

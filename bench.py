@@ -60,7 +60,10 @@ def main() -> int:
     # generated classes (profiled: 15-45s of a first run vs 2-3s once
     # warm). Long-running executors on a real cluster are warm; the
     # benchmark measures steady-state throughput, not JVM start.
-    warm_dir = "/root/testdata/sf0.001"
+    # sf0.01 (not sf0.001): C2 compilation only kicks in on hot loops,
+    # and the tiny fixture doesn't execute enough rows to trigger it —
+    # leaving the first timed pass to pay compilation instead.
+    warm_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
@@ -71,11 +74,14 @@ def main() -> int:
     # boundaries at other sizes); best-of-2 is the steady-state number
     # a warm cluster delivers.
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
             elapsed = round(time.perf_counter() - t0, 3)
+            if _pass == 0:
+                first_pass[name] = elapsed
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             del rows
@@ -90,6 +96,12 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # first timed pass at the target sf (pays any residual
+        # JIT/codegen the sf0.001 warmup didn't cover) — the
+        # driver-visible cold-ish number, recorded so round-over-round
+        # comparisons can line up like-for-like with best-of-2.
+        "value_first_pass": round(sum(first_pass.values()), 3),
+        "queries_first_pass": first_pass,
         "sf": sf_val,
     }
     print(json.dumps(out))

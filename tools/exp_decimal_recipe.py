@@ -1,10 +1,15 @@
-"""Experiment: verify the order-independent aggregate recipe agrees
+"""Experiment: verify order-independent aggregate recipes agree
 bit-for-bit between Spark (any partitioning) and DuckDB.
 
-Recipe: per-row CAST(x AS DECIMAL(p,s)) -> SUM (exact) -> CAST AS
-DOUBLE -> (optional / COUNT) -> ROUND. If both engines agree exactly
-and Spark agrees with itself across partitionings, the driver's value
-hash can never flip on summation order.
+Two recipes:
+- decimal: CAST(x AS DECIMAL(p,s)) -> SUM (exact) -> CAST AS DOUBLE
+- scaled-long (the fast path used in the workloads):
+  CAST(FLOOR(x * S + 0.5) AS BIGINT) -> SUM (exact long) -> / S
+  The per-row quantization is identical double math in both engines,
+  the long SUM is exact, and long sums codegen ~3x faster than
+  decimal sums (and ~1.2x faster than plain double sums). DuckDB's
+  SUM(BIGINT) returns HUGEINT while Spark wraps at 2^63 — keep
+  S * |x| * rowcount below ~9e18 (documented per call site).
 """
 
 import sys
@@ -16,18 +21,25 @@ from pyspark.sql import SparkSession
 
 SF = "/root/testdata/sf0.01"
 
+
+def slong(expr: str, scale: int) -> str:
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE) / {scale}"
+
+
 EXPRS = [
-    ("sum_price", "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2)"),
-    ("avg_price", "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_extendedprice), 4)"),
-    ("sum_disc_price", "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE), 2)"),
-    ("sum_charge", "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE), 2)"),
-    ("avg_disc", "ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount), 6)"),
-    ("sum_sqrt", "ROUND(CAST(SUM(CAST(SQRT(l_quantity) AS DECIMAL(25,10))) AS DOUBLE), 4)"),
-    ("sum_pow", "ROUND(CAST(SUM(CAST(POWER(l_discount, 2) AS DECIMAL(25,10))) AS DOUBLE), 4)"),
+    ("sum_price_dec", "ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE), 2)"),
+    ("sum_price_sl", f"ROUND({slong('l_extendedprice', 100)}, 2)"),
+    ("avg_price_sl", f"ROUND({slong('l_extendedprice', 100)} / COUNT(*), 4)"),
+    ("sum_disc_price_sl", f"ROUND({slong('l_extendedprice * (1 - l_discount)', 1000000)}, 2)"),
+    ("sum_charge_sl", f"ROUND({slong('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)}, 2)"),
+    ("sum_sqrt_sl", f"ROUND({slong('SQRT(l_quantity)', 100000000)}, 4)"),
+    ("avg_negbal_sl", f"ROUND({slong('0 - l_extendedprice', 100)} / COUNT(*), 4)"),
     (
-        "std_qty",
-        "ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(25,2)) * CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)"
-        " - CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*))"
+        "std_qty_sl",
+        "ROUND(SQRT((CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)"
+        " * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000"
+        " - (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)"
+        " * (CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*))"
         " / (COUNT(*) - 1)), 4)",
     ),
 ]
@@ -67,6 +79,5 @@ for label, rows in results.items():
             if a != b:
                 print("  ref :", a)
                 print("  got :", b)
-print("exact repr spot:", [f"{v!r}" for v in ref[0][1:3]])
 print("ALL AGREE" if ok else "MISMATCH", flush=True)
 spark.stop()
