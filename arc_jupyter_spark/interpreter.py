@@ -491,48 +491,120 @@ def _human_bytes(n: int) -> str:
     return f"{n} B"
 
 
+#: completion environments injected into snippet templates
+#: (reference default: ArcInterpreter confCompletionEnvironments)
+COMPLETION_ENVIRONMENTS = "production,test"
+
+
 def completions(ctx: ArcContext) -> list[dict[str, str]]:
-    """Completion snippets: magic templates + per-table SQL
-    (reference: Common.scala:366-456; OutputTable.scala:98-146)."""
+    """Completion snippets mirroring the reference's completer set
+    (Common.scala:366-569; OutputTable.scala:98-146): per-magic
+    templates with name/environments attributes, dynamic %conf / %env
+    snippets reflecting current session state (secrets masked), and —
+    per registered table — a ``%sql <table>`` completer whose snippet
+    is a flattened-column SELECT plus %metadata / %printmetadata /
+    %schema / %printschema shortcuts.
+
+    Each item carries text / type / snippet / language /
+    documentation / sortBy, matching the reference's
+    ``_jupyter_types_experimental`` payload fields.
+    """
     from arc_jupyter_spark.render import flatten_schema
 
+    envs = COMPLETION_ENVIRONMENTS
+
+    def completer(text, type_, snippet, language, documentation=""):
+        return {
+            "text": text,
+            "type": type_,
+            "snippet": snippet,
+            "language": language,
+            "documentation": documentation,
+            "sortBy": f"{type_}:{text}",
+        }
+
+    doc = "https://arc.tripl.ai"
     items = [
-        {"text": "%sql", "snippet": "%sql outputView=out\nSELECT * FROM table"},
-        {"text": "%sqlvalidate",
-         "snippet": "%sqlvalidate\nSELECT TRUE AS valid, "
-                    "to_json(named_struct('message', 'ok')) AS message"},
-        {"text": "%metadata", "snippet": "%metadata\nview"},
-        {"text": "%metadatafilter",
-         "snippet": "%metadatafilter inputView=v outputView=out\n"
-                    "SELECT name FROM metadata"},
-        {"text": "%metadatavalidate",
-         "snippet": "%metadatavalidate inputView=v\n"
-                    "SELECT SUM(CASE WHEN nullable THEN 1 ELSE 0 END) = 0, "
-                    "to_json(named_struct('message','ok'))"},
-        {"text": "%configexecute",
-         "snippet": "%configexecute\nSELECT to_json(named_struct('key','value'))"
-                    " AS parameters"},
-        {"text": "%log", "snippet": "%log\nSELECT to_json(named_struct"
-                                    "('message','hello')) AS message"},
-        {"text": "%schema", "snippet": "%schema\nview"},
-        {"text": "%printschema", "snippet": "%printschema\nview"},
-        {"text": "%printmetadata", "snippet": "%printmetadata\nview"},
-        {"text": "%list", "snippet": "%list\nfile:///path"},
-        {"text": "%env", "snippet": "%env\nKEY=value"},
-        {"text": "%secret", "snippet": "%secret\nMY_SECRET"},
-        {"text": "%conf", "snippet": "%conf numRows=20"},
-        {"text": "%version", "snippet": "%version"},
-        {"text": "%help", "snippet": "%help"},
+        completer(
+            "%sql", "transform",
+            f'%sql name="sql" outputView=outputView environments={envs}\n'
+            "SELECT\n  *\nFROM inputView",
+            "sql", f"{doc}/transform/#sqltransform"),
+        completer(
+            "%sqlvalidate", "validate",
+            f'%sqlvalidate name="sqlvalidate" environments={envs}\n'
+            "SELECT\n  TRUE AS valid\n  ,TO_JSON(NAMED_STRUCT('message', 'ok')) AS message",
+            "sql", f"{doc}/validate/#sqlvalidate"),
+        completer(
+            "%log", "execute",
+            f'%log name="log" environments={envs}\n'
+            "SELECT\n  TO_JSON(\n    NAMED_STRUCT(\n      'key', 'value'\n    )\n  ) AS message",
+            "sql", f"{doc}/execute/#logexecute"),
+        completer(
+            "%configexecute", "execute",
+            f'%configexecute name="configexecute" environments={envs}\n'
+            "SELECT\n  TO_JSON(\n    NAMED_STRUCT(\n      'key', 'value'\n    )\n  ) AS parameters",
+            "sql", f"{doc}/execute/#configexecute"),
+        completer(
+            "%metadatafilter", "transform",
+            f'%metadatafilter name="metadatafiltertransform" inputView=inputView '
+            f"outputView=outputView environments={envs}\n"
+            "SELECT\n  *\nFROM metadata",
+            "sql", f"{doc}/transform/#metadatafiltertransform"),
+        completer(
+            "%metadatavalidate", "validate",
+            f'%metadatavalidate name="metadatavalidate" inputView=inputView '
+            f"environments={envs}\n"
+            "SELECT\n  SUM(test) = 0\n  ,TO_JSON(NAMED_STRUCT('columns', COUNT(*), "
+            "'test', SUM(test)))\nFROM (\n  SELECT\n    CASE WHEN TRUE THEN 1 ELSE 0 END "
+            "AS test\n  FROM metadata\n) valid",
+            "sql", f"{doc}/validate/#metadatavalidate"),
+        completer("%metadata", "execute", "%metadata\nview", "shell"),
+        completer("%printmetadata", "execute", "%printmetadata\nview", "shell"),
+        completer("%schema", "execute", "%schema\nview", "shell"),
+        completer("%printschema", "execute", "%printschema\nview", "shell"),
+        completer("%list", "execute", "%list\nfile:///path", "shell"),
+        completer("%secret", "arc", "%secret\nMY_SECRET", "shell"),
+        completer("%version", "arc", "%version", "shell"),
+        completer("%help", "arc", "%help", "shell"),
     ]
+
+    # dynamic %conf / %env reflect the live session (reference
+    # Common.scala:517-539; secrets masked to their length)
+    conf = ctx.conf
+    items.append(completer(
+        "%conf", "arc",
+        "%conf\n"
+        f"datasetLabels={conf.dataset_labels}\n"
+        f"extendedErrors={conf.extended_errors}\n"
+        f"leftAlign={conf.left_align}\n"
+        f"showLog={conf.show_log}\n"
+        f"monospace={conf.monospace}\n"
+        f"numRows={conf.num_rows}\n"
+        f"streaming={conf.streaming}\n"
+        f"streamingDuration={conf.streaming_duration}\n"
+        f"truncate={conf.truncate}",
+        "shell"))
+    env_lines = sorted(
+        [f"{k}={v}" for k, v in ctx.env.items()]
+        + [f"{k}={'*' * len(str(v))}" for k, v in ctx.secrets.items()]
+    )
+    items.append(completer("%env", "arc", "%env\n" + "\n".join(env_lines), "shell"))
+
     for table in ctx.view_names():
         try:
             cols = flatten_schema(ctx.table(table).schema)
         except Exception:
             continue
-        items.append({
-            "text": table,
-            "snippet": f"SELECT {', '.join(cols)} FROM {table}",
-        })
+        fields = "\n  ,".join(cols)
+        items.append(completer(
+            f"%sql {table}", "transform",
+            f'%sql name="{table}" outputView=outputView environments={envs}\n'
+            f"SELECT\n  {fields}\nFROM {table}",
+            "sql", f"{doc}/transform/#sqltransform"))
+        for magic in ("%metadata", "%printmetadata", "%schema", "%printschema"):
+            items.append(completer(
+                f"{magic} {table}", "execute", f"{magic}\n{table}", "shell"))
     return items
 
 

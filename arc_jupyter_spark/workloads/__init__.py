@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from arc_jupyter_spark.workloads import (  # noqa: F401
     llmops,
     relational,
+    stage_queries,
     streaming_queries,
 )
 from arc_jupyter_spark.workloads.base import ORACLES, QUERIES

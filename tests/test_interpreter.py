@@ -138,12 +138,33 @@ def test_version_and_help(interp):
 
 
 def test_completions_include_tables(interp):
-    interp.execute("%sql outputView=comp_t\nSELECT 1 AS a")
+    """Per-table completers mirror the reference (OutputTable.scala:
+    98-146): '%sql <t>' carries a flattened-column SELECT snippet plus
+    %metadata/%schema shortcuts; every item has the reference's
+    completion payload fields."""
+    interp.execute("%sql outputView=comp_t\nSELECT 1 AS a, named_struct('x', 2) AS s")
     items = completions(interp.ctx)
-    by_text = {i["text"]: i["snippet"] for i in items}
+    by_text = {i["text"]: i for i in items}
     assert "%sql" in by_text
-    assert "comp_t" in by_text
-    assert by_text["comp_t"] == "SELECT a FROM comp_t"
+    assert "%sql comp_t" in by_text
+    snippet = by_text["%sql comp_t"]["snippet"]
+    # flattened (leaf) columns, one per line, comma-leading continuation
+    assert "SELECT\n  a\n  ,s.x\nFROM comp_t" in snippet
+    assert by_text["%sql comp_t"]["language"] == "sql"
+    for magic in ("%metadata", "%printmetadata", "%schema", "%printschema"):
+        assert f"{magic} comp_t" in by_text
+    for item in items:
+        assert {"text", "type", "snippet", "language", "documentation", "sortBy"} <= set(item)
+
+
+def test_completions_dynamic_conf_and_env(interp):
+    interp.execute("%env\nMY_KEY=abc")
+    interp.ctx.secrets["TOKEN"] = "s3cr3t"
+    by_text = {i["text"]: i["snippet"] for i in completions(interp.ctx)}
+    assert "numRows=20" in by_text["%conf"]
+    assert "MY_KEY=abc" in by_text["%env"]
+    assert "TOKEN=******" in by_text["%env"]  # masked to length
+    assert "s3cr3t" not in by_text["%env"]
 
 
 def test_format_error_chain():
