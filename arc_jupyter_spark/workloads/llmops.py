@@ -656,3 +656,98 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# m02 — multimodal feature extraction end to end: binary payload →
+# Arrow-batched md5-seeded feature vector (array<float>, the stub
+# embedding) → per-source aggregation. The oracle reproduces the
+# stub's uint16-little-endian/65535 arithmetic with hex-digit math,
+# including the float32 round-trip (CAST ... AS FLOAT), so the whole
+# binary → array<float> Arrow path is value-hash checked.
+# --------------------------------------------------------------------
+
+def _feat(i: int) -> str:
+    """DuckDB expr for stub feature i (uint16 LE at digest bytes 2i)
+    quantized through float32 like the Arrow FloatType column."""
+    lo, hi = _hex_byte(4 * i + 1), _hex_byte(4 * i + 3)
+    return f"CAST(CAST((({lo}) + 256*({hi})) / 65535.0 AS FLOAT) AS DOUBLE)"
+
+
+M02_ORACLE = f"""
+WITH b AS (SELECT source, md5(text) AS x FROM documents),
+f AS (SELECT source, {_feat(0)} AS f0, {_feat(1)} AS f1 FROM b)
+SELECT source,
+       COUNT(*) AS n,
+       ROUND((CAST(SUM(CAST(FLOOR(f0 * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_f0,
+       ROUND((CAST(SUM(CAST(FLOOR(f1 * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_f1
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@query("m02_image_features", oracle=M02_ORACLE)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    payloads = spark.table("documents").select(
+        "source", F.col("text").cast("binary").alias("value")
+    )
+    feats = multimodal.image_features_stub(payloads, binary_col="value", dim=4)
+    f0 = F.element_at("features", 1).cast("double")
+    f1 = F.element_at("features", 2).cast("double")
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum(f0, scale=8) / F.count(F.lit(1)), 6).alias("avg_f0"),
+            F.round(exact_sum(f1, scale=8) / F.count(F.lit(1)), 6).alias("avg_f1"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# m03 — video frame sampling end to end: the 1→N explode-shaped
+# mapInPandas (each payload emits max(1, bytes//10 % 8) fake frames
+# with positional digests). Oracle regenerates the same frame rows
+# with generate_series + md5(text || i).
+# --------------------------------------------------------------------
+
+M03_ORACLE = """
+WITH d AS (
+  SELECT source, text, GREATEST(1, (strlen(text) // 10) % 8) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT source,
+         unnest(generate_series(0, n_frames - 1)) AS frame_index,
+         md5(text || unnest(generate_series(0, n_frames - 1))::VARCHAR) AS frame_digest
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS total_frames,
+       COUNT(DISTINCT frame_digest) AS n_digests,
+       CAST(MAX(frame_index) AS INT) AS max_frame_index
+FROM frames GROUP BY source ORDER BY source
+"""
+
+
+@query("m03_frame_sample", oracle=M03_ORACLE)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    payloads = spark.table("documents").select(
+        "source", F.col("text").cast("binary").alias("value")
+    )
+    frames = multimodal.sample_frames_stub(payloads, binary_col="value", every_n=10)
+    return (
+        frames.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_frames"),
+            F.countDistinct("frame_digest").alias("n_digests"),
+            F.max("frame_index").alias("max_frame_index"),
+        )
+        .orderBy("source")
+    )
