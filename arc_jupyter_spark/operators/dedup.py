@@ -333,24 +333,63 @@ def jaccard_pairs(
     )
 
 
+def _union_find_labels(edge_rows: list[tuple]) -> list[tuple]:
+    """Driver-side union-find → [(node, min-node-in-component)]."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component's min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(node, find(node)) for node in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over candidate pairs → ``[node, label]``
     with label = min node id in the component.
 
-    Min-label propagation: each round every node takes the minimum of
-    its own label and its neighbors' labels; fixpoint when no label
-    changes. The loop is driver-coordinated but each step is one
-    distributed join+groupBy; rounds needed = graph diameter (near-dup
-    clusters are shallow — a handful). ``localCheckpoint`` truncates
-    the growing lineage each round so plan size stays constant — at
-    cluster scale use ``checkpoint`` (HDFS-backed) for fault tolerance.
+    Fast path: the candidate edge list after LSH banding is orders of
+    magnitude smaller than the corpus (it only contains near-dup
+    evidence), so when it fits comfortably on the driver
+    (≤ ``driver_threshold`` edges, counted with a capped scan) an
+    exact union-find labels it in one pass — the standard shape for
+    dedup pipelines even at 100 TB corpus scale. Larger graphs fall
+    back to distributed min-label propagation: each round every node
+    takes the minimum of its own label and its neighbors' labels;
+    fixpoint when no label changes; rounds needed = graph diameter
+    (near-dup clusters are shallow). ``localCheckpoint`` truncates the
+    growing lineage each round so plan size stays constant — at
+    cluster scale use ``checkpoint`` (HDFS-backed) for fault
+    tolerance.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    base = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_threshold > 0:
+        # single capped collect: one execution of the candidate
+        # pipeline decides the path AND supplies the edges
+        head = base.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            labels = _union_find_labels([(r["src"], r["dst"]) for r in head])
+            return pairs.sparkSession.createDataFrame(
+                labels, schema=base.select(F.col("src").alias("node"),
+                                           F.col("src").alias("label")).schema,
+            )
+    edges = base
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint()

@@ -77,9 +77,15 @@ def test_connected_components_and_keep_one(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
     )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # driver-side union-find fast path (default) and the distributed
+    # min-label propagation fallback must agree exactly
     labels = dedup.connected_components(pairs)
     got = {r["node"]: r["label"] for r in labels.collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == expected
+    dist = dedup.connected_components(pairs, driver_threshold=0)
+    got_dist = {r["node"]: r["label"] for r in dist.collect()}
+    assert got_dist == expected
 
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 5, 10, 11, 22)], ["doc_id", "text"]
