@@ -71,11 +71,14 @@ def main() -> int:
     # two timed passes at the target sf; report per-query best. The
     # first pass can still pay C2/codegen warmup for plan shapes that
     # differ from the sf0.001 warmup (AQE picks different stage
-    # boundaries at other sizes); best-of-2 is the steady-state number
+    # boundaries at other sizes); best-of-N is the steady-state number
     # a warm cluster delivers.
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
-    for _pass in range(2):
+    # best-of-3: this machine shows intermittent multi-second stalls
+    # on otherwise-warm queries; a third pass makes the per-query min
+    # a stable steady-state number.
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
