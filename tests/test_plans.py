@@ -99,3 +99,19 @@ def test_q29_range_join_is_bucketed(spark):
     assert all("user_id" in k and "bin" in k for k in joins), (
         f"join keys missing bin: {joins}"
     )
+
+
+def test_q50_metadata_pruning_reaches_scan(spark):
+    """MetadataFilterTransform prunes via a plain select, so Catalyst
+    must push the column pruning into the parquet scan: the ReadSchema
+    only carries the surviving (non-pii) columns."""
+    plan = plan_of(spark, "q50_metadata_filter")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no scan in plan:\n{plan}"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert "l_extendedprice" not in cols and "l_partkey" not in cols, (
+            f"pii column not pruned from scan: {cols}"
+        )
