@@ -560,7 +560,7 @@ m AS (
 SELECT lang,
        COUNT(*) AS n_docs,
        SUM(CASE WHEN wc BETWEEN 10 AND 1000 AND sr >= 0.05 THEN 1 ELSE 0 END) AS n_kept,
-       ROUND((CAST(SUM(CAST(FLOOR(sr * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_stopword_ratio
+       SUM(CAST(FLOOR(sr * 100000000 + 0.5) AS BIGINT)) AS sum_sr_e8
 FROM m GROUP BY lang ORDER BY lang
 """
 
@@ -589,9 +589,9 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("wc").between(10, 1000) & (F.col("sr") >= 0.05), 1
                 ).otherwise(0)
             ).alias("n_kept"),
-            F.round(
-                exact_sum(F.col("sr"), scale=8) / F.count(F.lit(1)), 6
-            ).alias("avg_stopword_ratio"),
+            F.sum(
+                F.floor(F.col("sr") * 100000000 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_sr_e8"),
         )
         .orderBy("lang")
     )

@@ -433,7 +433,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(LENGTH(c_name)) AS DOUBLE) / COUNT(*), 4) AS avg_name_len,
+       CAST(FLOOR(CAST(SUM(LENGTH(c_name)) AS DOUBLE) * 10000 / COUNT(*) + 0.5) AS BIGINT) AS avg_name_len_e4,
        MIN(UPPER(SUBSTR(c_name, 1, 8))) AS min_prefix,
        SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS n_with_one,
        MAX(CONCAT(c_mktsegment, '#', LOWER(SUBSTR(c_name, 1, 4)))) AS max_tag
