@@ -1,0 +1,91 @@
+"""Deterministic sampling / data-mixing operators for training-data
+pipelines.
+
+Web-scale corpus assembly needs *reproducible* sampling: the same
+document must land in the same split on every run, on any cluster
+layout, so sampling keys off a content hash, never ``rand()``. Both
+operators here are pure column expressions / window functions —
+map-side (sampling) or one shuffle on the stratum key (budgeting) —
+and mirror 1:1 into ANSI SQL for oracle checks.
+
+Scale notes: ``stratified_sample`` is a narrow filter (predicate
+pushdown applies when the key is a stored column); ``budget_select``
+shuffles once on the partition column and streams each partition
+through a running-sum window — no driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from arc_jupyter_spark.operators.dedup import base_hash28
+
+#: Number of hash buckets sampling rates are quantized to. 4096 keeps
+#: rate resolution at ~0.02% while staying far inside the 28-bit hash
+#: range (uniformity of ``base_hash28 % 4096`` is exact: 2^28 is a
+#: multiple of 4096).
+SAMPLE_BUCKETS = 4096
+
+
+def sample_bucket(key: Column, buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Uniform deterministic bucket in ``[0, buckets)`` from a key column.
+
+    md5-derived (``base_hash28``), so it is portable across engines —
+    DuckDB mirror: ``('0x' || substr(md5(k), 1, 7))::BIGINT % buckets``.
+    """
+    return base_hash28(key.cast("string")) % F.lit(buckets)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. re-balance languages).
+
+    Keeps a row iff ``sample_bucket(key) < rate(stratum) * BUCKETS``.
+    Content-hash keyed: reproducible across runs, cluster layouts and
+    engines; no shuffle, no RNG state (the round-1 advisor flagged
+    driver-seeded ``rand()`` for exactly the repeated-state hazard this
+    avoids).
+    """
+    bucket = sample_bucket(F.col(key_col))
+    threshold: Column = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for stratum, rate in rates.items():
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.where(bucket < threshold)
+
+
+def budget_select(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[Column],
+    cost_col: Column,
+    budget: int,
+    running_col: str = "running_cost",
+) -> DataFrame:
+    """Select rows per partition, best-first, until a cost budget fills.
+
+    The data-mixing primitive: "take the highest-quality documents from
+    each source until its token budget is spent". One shuffle on
+    ``partition_col``; the running sum is an explicit ROWS-frame window
+    (RANGE, the default, merges peer rows and is not engine-portable).
+    ``order_cols`` must be a total order (tie-break on a unique id) or
+    the selection is nondeterministic.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(running_col, F.sum(cost_col).over(w))
+        .where(F.col(running_col) <= budget)
+    )

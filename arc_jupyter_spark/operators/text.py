@@ -102,6 +102,77 @@ def detect_language(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def term_pattern(terms: tuple[str, ...]) -> str:
+    """Word-boundary alternation regex for a term list.
+
+    ``\\b`` word boundaries behave identically in Java regex (Spark)
+    and RE2 (DuckDB) for ASCII terms, so the same pattern string works
+    in both engines (DuckDB needs the ``'g'`` flag on replace).
+    """
+    return r"\b(" + "|".join(terms) + r")\b"
+
+
+def redact_terms(text: Column, terms: tuple[str, ...], token: str = "[X]") -> Column:
+    """Scrub sensitive terms (PII shapes, blocklist vocabulary) from text.
+
+    Pure ``regexp_replace`` — map-side, codegen'd. The same operator
+    covers email/phone/ID patterns on real corpora; term lists are the
+    deterministic fixture-friendly case.
+    """
+    return F.regexp_replace(text, term_pattern(terms), token)
+
+
+def redaction_count(text: Column, terms: tuple[str, ...]) -> Column:
+    """How many matches ``redact_terms`` would scrub."""
+    return F.size(F.regexp_extract_all(text, F.lit(term_pattern(terms)), 0))
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: 1 − distinct/total words."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of word bigrams equal to the most frequent bigram.
+
+    Per-row mode count = longest equal run in the SORTED bigram array,
+    computed with one ``aggregate`` pass over ``array_sort`` — O(d log d)
+    per document instead of the naive O(d²) distinct×filter scan (HOF
+    lambdas evaluate interpreted, so the quadratic form was ~40× slower
+    at 55-word documents). Entirely map-side. High values mark
+    boilerplate/template text (the Gopher repetition filters).
+    """
+    from arc_jupyter_spark.operators.dedup import word_shingles
+
+    sh = F.array_sort(word_shingles(text, 2))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    mode_cnt = F.aggregate(
+        sh,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    return F.when(
+        F.size(sh) > 0, mode_cnt.cast("double") / F.size(sh)
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-content fingerprint: md5 of whitespace-normalized lowercased text."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")

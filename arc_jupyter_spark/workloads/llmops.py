@@ -598,6 +598,205 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# t06 — PII-style term redaction: regexp scrub + hit accounting per
+# source. Pure regexp_replace / regexp_extract_all — map-side,
+# codegen'd; \b word boundaries behave identically in Java regex and
+# DuckDB's RE2 for ASCII terms.
+# --------------------------------------------------------------------
+
+_T06_TERMS = ("data", "spark", "table")
+_T06_PAT = text.term_pattern(_T06_TERMS)
+
+T06_ORACLE = f"""
+SELECT source,
+       SUM(len(regexp_extract_all(text, '{_T06_PAT}'))) AS n_redactions,
+       SUM(CASE WHEN len(regexp_extract_all(text, '{_T06_PAT}')) > 0
+                THEN 1 ELSE 0 END) AS n_docs_hit,
+       SUM(LENGTH(regexp_replace(text, '{_T06_PAT}', '[X]', 'g'))) AS total_len_after
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("t06_redaction", oracle=T06_ORACLE)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    rc = text.redaction_count(F.col("text"), _T06_TERMS)
+    return (
+        spark.table("documents")
+        .groupBy("source")
+        .agg(
+            F.sum(rc).cast("bigint").alias("n_redactions"),
+            F.sum((rc > 0).cast("int")).cast("bigint").alias("n_docs_hit"),
+            F.sum(F.length(text.redact_terms(F.col("text"), _T06_TERMS)))
+            .cast("bigint")
+            .alias("total_len_after"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t07 — repetition signals (Gopher-style filters): duplicate-word
+# fraction and top-bigram fraction, aggregated as scaled-long sums so
+# the hashed output is integer-exact in both engines.
+# --------------------------------------------------------------------
+
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "j -> toks[j] || ' ' || toks[j + 1]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+T07_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_DUCK_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT source,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS dupfrac,
+         {_DUCK_BIGRAMS} AS sh
+  FROM t
+),
+b AS (
+  SELECT source, dupfrac,
+         CASE WHEN len(sh) > 0
+              THEN CAST(list_max(list_transform(list_distinct(sh),
+                     s -> len(list_filter(sh, x -> x = s)))) AS DOUBLE) / len(sh)
+              ELSE 0.0 END AS topbigram
+  FROM m
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(FLOOR(dupfrac * 100000000 + 0.5) AS BIGINT)) AS sum_dupfrac_e8,
+       SUM(CAST(FLOOR(topbigram * 100000000 + 0.5) AS BIGINT)) AS sum_topbigram_e8
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+@query("t07_repetition", oracle=T07_ORACLE)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    dupfrac = text.dup_word_fraction(F.col("text"))
+    topbigram = text.top_bigram_fraction(F.col("text"))
+
+    def e8(c):
+        return F.floor(c * 100000000 + F.lit(0.5)).cast("bigint")
+
+    return (
+        dedup._parallelize(spark.table("documents"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(e8(dupfrac)).alias("sum_dupfrac_e8"),
+            F.sum(e8(topbigram)).alias("sum_topbigram_e8"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t08 — deterministic stratified sampling (data mixing): content-hash
+# bucketed per-language rates, reproducible across runs / cluster
+# layouts / engines. Map-side filter — no shuffle before the summary
+# aggregation; id_sum is an exact integer checksum of the selection.
+# --------------------------------------------------------------------
+
+_T08_RATES = {"en": 0.5, "de": 1.0, "zh": 0.25}
+_T08_DEFAULT = 0.75
+
+T08_ORACLE = """
+WITH b AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 4096 AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 4096
+                         WHEN 'zh' THEN 1024 ELSE 3072 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t08_stratified_sample", oracle=T08_ORACLE)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.sampling import stratified_sample
+
+    load_views(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        spark.table("documents"), "lang", _T08_RATES, "doc_id",
+        default_rate=_T08_DEFAULT,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# t09 — budgeted best-first selection (data mixing): per-source running
+# token-cost window, longest documents first, stop at the budget. One
+# shuffle on the partition key; integer ordering keys keep the
+# selection engine-exact.
+# --------------------------------------------------------------------
+
+_T09_BUDGET = 700
+
+T09_ORACLE = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS cost
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, cost,
+         SUM(cost) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cost
+  FROM c
+)
+SELECT source, COUNT(*) AS n_docs, SUM(cost) AS spent, SUM(doc_id) AS id_sum
+FROM r WHERE running_cost <= {_T09_BUDGET}
+GROUP BY source ORDER BY source
+"""
+
+
+@query("t09_budget_select", oracle=T09_ORACLE)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.sampling import budget_select
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        text.token_count(F.col("text")).cast("bigint").alias("cost"),
+    )
+    sel = budget_select(
+        docs,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        F.col("cost"),
+        budget=_T09_BUDGET,
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cost").alias("spent"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
 # m01 — multimodal metadata extraction end to end: binary payload
 # column → Arrow-batched mapInPandas decode (the stubbed image decoder,
 # deterministic md5-derived metadata) → relational aggregation. The

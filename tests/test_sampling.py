@@ -1,0 +1,56 @@
+"""Deterministic sampling / data-mixing operators."""
+
+from pyspark.sql import functions as F
+
+from arc_jupyter_spark.operators import sampling
+
+
+def _docs(spark):
+    rows = [(i, "ab"[i % 2], (i % 7) + 1) for i in range(200)]
+    return spark.createDataFrame(rows, ["id", "stratum", "cost"])
+
+
+def test_stratified_sample_deterministic(spark):
+    df = _docs(spark)
+    a = sampling.stratified_sample(df, "stratum", {"a": 0.5}, "id").collect()
+    b = sampling.stratified_sample(df, "stratum", {"a": 0.5}, "id").collect()
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+
+
+def test_stratified_sample_rates(spark):
+    df = _docs(spark)
+    out = sampling.stratified_sample(
+        df, "stratum", {"a": 1.0, "b": 0.0}, "id"
+    )
+    got = {r["stratum"] for r in out.collect()}
+    assert got == {"a"}
+    n_a = out.count()
+    assert n_a == 100  # rate 1.0 keeps every 'a' row
+
+
+def test_stratified_sample_monotone_in_rate(spark):
+    df = _docs(spark)
+    small = {
+        r["id"]
+        for r in sampling.stratified_sample(df, "stratum", {}, "id", 0.25).collect()
+    }
+    big = {
+        r["id"]
+        for r in sampling.stratified_sample(df, "stratum", {}, "id", 0.75).collect()
+    }
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_budget_select_exact(spark):
+    rows = [
+        ("s", 1, 40), ("s", 2, 40), ("s", 3, 40),
+        ("t", 4, 90), ("t", 5, 90),
+    ]
+    df = spark.createDataFrame(rows, ["part", "id", "cost"])
+    out = sampling.budget_select(
+        df, "part", [F.col("id")], F.col("cost"), budget=100
+    )
+    got = sorted((r["part"], r["id"], r["running_cost"]) for r in out.collect())
+    # s: 40, 80, (120 > 100 dropped); t: 90, (180 dropped)
+    assert got == [("s", 1, 40), ("s", 2, 80), ("t", 4, 90)]

@@ -51,3 +51,35 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     b = one(spark, "  hello world ", text.fingerprint(F.col("t")))
     c = one(spark, "hello worlds", text.fingerprint(F.col("t")))
     assert a == b and a != c
+
+
+def test_redact_terms_word_boundary(spark):
+    out = one(
+        spark,
+        "spark tables and spark data, sparkly",
+        text.redact_terms(F.col("t"), ("spark", "data")),
+    )
+    # whole words replaced; "tables"/"sparkly" untouched
+    assert out == "[X] tables and [X] [X], sparkly"
+
+
+def test_redaction_count(spark):
+    assert one(
+        spark, "data spark data", text.redaction_count(F.col("t"), ("data",))
+    ) == 2
+    assert one(spark, "database", text.redaction_count(F.col("t"), ("data",))) == 0
+
+
+def test_dup_word_fraction(spark):
+    assert one(spark, "a a b", text.dup_word_fraction(F.col("t"))) == (1 - 2 / 3)
+    assert one(spark, "a b c", text.dup_word_fraction(F.col("t"))) == 0.0
+    assert one(spark, "", text.dup_word_fraction(F.col("t"))) == 0.0
+
+
+def test_top_bigram_fraction(spark):
+    # bigrams of "a b a b a": [a b, b a, a b, b a] -> mode 2/4
+    assert one(spark, "a b a b a", text.top_bigram_fraction(F.col("t"))) == 0.5
+    # all-distinct bigrams -> 1/(n-1)
+    assert one(spark, "a b c d", text.top_bigram_fraction(F.col("t"))) == 1 / 3
+    # fewer than 2 tokens: single joined shingle -> fraction 1.0
+    assert one(spark, "solo", text.top_bigram_fraction(F.col("t"))) == 1.0
