@@ -208,3 +208,76 @@ def ivf_topk(
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+# -- random-hyperplane LSH (SimHash for dense vectors) ----------------
+
+def hyperplane_planes(
+    dim: int, n_planes: int = 8, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny).
+
+    Seeded so corpus and query signatures agree across runs and
+    engines; the planes are folded into the plan as literals (a few KB
+    even at 1024-dim), so signature computation is pure map-side.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_signature(
+    vec: Column, planes: Sequence[Sequence[float]]
+) -> Column:
+    """LSH bucket id: bit i = sign of the projection onto plane i.
+
+    One codegen'd projection per row — no shuffle, no UDF. Cosine-near
+    vectors disagree on each bit with probability theta/pi, so they
+    collide in the same bucket with high probability; bucket count is
+    2^n_planes, tuned so the expected bucket size stays near
+    corpus/2^n_planes at the target scale.
+    """
+    v = vec.cast("array<double>")
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+        sig = sig + F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    corpus_with_sig: DataFrame,
+    planes: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Approximate top-k: exact-score only the query's LSH bucket(s).
+
+    ``multi_probe=1`` also probes every bucket at Hamming distance 1
+    from the query signature (n_planes extra buckets) — the standard
+    multi-probe trick that buys recall without more tables. The probe
+    list is a literal IN filter, so partition/file pruning applies when
+    the corpus is written bucketed by ``sig``; only ~(n_probes ·
+    corpus / 2^n_planes) rows are ever scored.
+    """
+    qsig = 0
+    for i, plane in enumerate(planes):
+        proj = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if proj >= 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multi_probe >= 1:
+        probes += [qsig ^ (1 << i) for i in range(len(planes))]
+
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    pruned = corpus_with_sig.where(F.col(sig_col).isin(probes))
+    scored = pruned.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -361,6 +361,53 @@ def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# s04 — random-hyperplane LSH top-k (the bucketed ANN scale path
+# complementing IVF): signatures are one codegen'd map-side projection;
+# the probe set is a literal IN filter, so only ~n_probes/2^planes of
+# the corpus is ever exact-scored. Tolerance-contract oracle (the
+# recall booleans are computed Spark-side against the exact answer;
+# deterministic on the fixed fixture + fixed plane seed).
+# --------------------------------------------------------------------
+
+S04_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       TRUE AS all_in_exact_top50,
+       TRUE AS recall_at_10_ok
+"""
+
+
+@query("s04_lsh_topk", oracle=S04_ORACLE)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    dim = len(qvec)
+    planes = similarity.hyperplane_planes(dim, n_planes=6, seed=7)
+    with_sig = emb.withColumn(
+        "sig", similarity.hyperplane_signature(F.col("embedding"), planes)
+    )
+    lsh = similarity.lsh_topk(
+        with_sig, planes, qvec, k=10, multi_probe=1,
+        id_col="vec_id", vec_col="embedding",
+    ).select("vec_id")
+    exact50 = similarity.cosine_topk(
+        emb, qvec, id_col="vec_id", vec_col="embedding", k=50
+    ).select(F.col("vec_id").alias("exact_id"), F.lit(True).alias("in50"))
+    exact10 = exact50.limit(10).select(
+        F.col("exact_id").alias("exact10_id"), F.lit(True).alias("in10")
+    )
+    joined = (
+        lsh.join(F.broadcast(exact50), lsh.vec_id == exact50.exact_id, "left")
+        .join(F.broadcast(exact10), lsh.vec_id == exact10.exact10_id, "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count("in50") == F.count(F.lit(1))).alias("all_in_exact_top50"),
+        (F.count("in10") >= 4).alias("recall_at_10_ok"),
+    )
+
+
+# --------------------------------------------------------------------
 # t01 — quality scoring per language.
 # --------------------------------------------------------------------
 

@@ -69,3 +69,38 @@ def test_ivf_recall_against_brute_force(spark):
     assert row["n_results"] == 10
     assert row["all_in_exact_top50"], "IVF returned an id outside exact top-50"
     assert row["recall_at_10_ok"], "IVF recall@10 below 0.7"
+
+
+def test_hyperplane_signature_deterministic_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = S.hyperplane_planes(64, n_planes=6, seed=7)
+    sig = S.hyperplane_signature(F.col("embedding"), planes)
+    a = sorted(r[0] for r in emb.select(sig.alias("s")).collect())
+    b = sorted(r[0] for r in emb.select(sig.alias("s")).collect())
+    assert a == b
+    assert all(0 <= s < 64 for s in a)
+
+
+def test_lsh_topk_subset_of_probed_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    planes = S.hyperplane_planes(len(qvec), n_planes=6, seed=7)
+    with_sig = emb.withColumn(
+        "sig", S.hyperplane_signature(F.col("embedding"), planes)
+    )
+    got = S.lsh_topk(with_sig, planes, qvec, k=5, multi_probe=1)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    # scores sorted descending, ids tie-broken ascending
+    scores = [r["cosine"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # query vector itself (vec_id 0) lands in its own bucket -> top hit
+    assert rows[0]["vec_id"] == 0
