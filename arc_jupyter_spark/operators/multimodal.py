@@ -68,6 +68,48 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, 3, "fake"
 
 
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake audio decode (sample_rate, n_samples, channels).
+
+    Real path: ``soundfile.read`` / ffprobe. Digest-derived like
+    ``_decode_image_stub`` so the DuckDB oracle can reproduce it with
+    hex-digit arithmetic (m04).
+    """
+    digest = hashlib.md5(payload).digest()
+    sample_rate = _AUDIO_RATES[digest[0] % 4]
+    n_samples = 1000 + struct.unpack("<I", digest[4:8])[0] % 160000
+    channels = 1 + digest[8] % 2
+    return sample_rate, n_samples, channels
+
+
+def extract_audio_metadata(
+    df: DataFrame, binary_col: str = "value", out_col: str = "audio_meta"
+) -> DataFrame:
+    """Append decoded audio metadata struct via Arrow-batched decode.
+
+    Map-only ``mapInPandas`` — no shuffle; scales linearly with
+    executors exactly like ``extract_image_metadata``.
+    """
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_META_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[binary_col]:
+                rate, n, ch = _decode_audio_stub(bytes(payload or b""))
+                metas.append(
+                    {"sample_rate": rate, "n_samples": n, "channels": ch}
+                )
+            yield pdf.assign(**{out_col: metas})
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def extract_image_metadata(
     df: DataFrame, binary_col: str = "value", out_col: str = "image_meta"
 ) -> DataFrame:

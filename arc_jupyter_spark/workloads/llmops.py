@@ -954,6 +954,63 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# m04 — audio metadata extraction end to end: binary payload →
+# Arrow-batched stub decode (digest-derived sample_rate / n_samples /
+# channels) → integer-exact per-source aggregation. The oracle
+# reproduces the stub's md5-byte arithmetic with hex-digit math, so
+# the audio mapInPandas path is value-hash checked like m01/m02.
+# --------------------------------------------------------------------
+
+M04_ORACLE = f"""
+WITH b AS (SELECT source, md5(text) AS x FROM documents),
+meta AS (
+  SELECT source,
+         CASE ({_hex_byte(1)}) % 4
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         1000 + ({_hex_byte(9)} + 256*{_hex_byte(11)}
+                 + 65536*{_hex_byte(13)} + 16777216*{_hex_byte(15)}) % 160000
+           AS n_samples,
+         1 + ({_hex_byte(17)}) % 2 AS channels
+  FROM b
+)
+SELECT source,
+       COUNT(*) AS n_clips,
+       SUM(n_samples) AS total_samples,
+       SUM(channels - 1) AS n_stereo,
+       SUM(CAST(FLOOR(n_samples * 1000.0 / sample_rate + 0.5) AS BIGINT)) AS total_ms,
+       CAST(MAX(sample_rate) AS INT) AS max_rate
+FROM meta GROUP BY source ORDER BY source
+"""
+
+
+@query("m04_audio_meta", oracle=M04_ORACLE)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    payloads = spark.table("documents").select(
+        "source", F.col("text").cast("binary").alias("value")
+    )
+    decoded = multimodal.extract_audio_metadata(payloads, binary_col="value")
+    ms = F.floor(
+        F.col("audio_meta.n_samples") * 1000.0 / F.col("audio_meta.sample_rate")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("audio_meta.n_samples").alias("total_samples"),
+            F.sum(F.col("audio_meta.channels") - 1).alias("n_stereo"),
+            F.sum(ms).alias("total_ms"),
+            F.max("audio_meta.sample_rate").alias("max_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
 # m03 — video frame sampling end to end: the 1→N explode-shaped
 # mapInPandas (each payload emits max(1, bytes//10 % 8) fake frames
 # with positional digests). Oracle regenerates the same frame rows

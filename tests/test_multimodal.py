@@ -50,3 +50,15 @@ def test_resize_requires_decoder(spark, binary_df):
         pytest.skip("PIL installed; stub-unavailable path not reachable")
     with pytest.raises(multimodal.DecoderUnavailable):
         multimodal.resize_images(binary_df, 32, 32)
+
+
+def test_audio_metadata_schema_and_determinism(spark, binary_df):
+    out = multimodal.extract_audio_metadata(binary_df)
+    assert out.schema["audio_meta"].dataType == multimodal.AUDIO_META_SCHEMA
+    a = sorted((r["id"], tuple(r["audio_meta"])) for r in out.collect())
+    b = sorted((r["id"], tuple(r["audio_meta"])) for r in out.collect())
+    assert a == b
+    for _, (rate, n, ch) in a:
+        assert rate in multimodal._AUDIO_RATES
+        assert 1000 <= n < 161000
+        assert ch in (1, 2)
