@@ -130,3 +130,76 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------
+# st03 — sliding event-time window (1 h window, 30 min slide) with a
+# watermark: each event contributes to exactly two overlapping
+# windows. The oracle materializes both containing window starts per
+# event with unnest — sliding windows are not expressible as a single
+# time_bucket, but the 2-window expansion is exact because window
+# starts align to the 30-minute grid in both engines.
+# --------------------------------------------------------------------
+
+ST03_ORACLE = """
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+FROM w
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("st03_sliding_window", oracle=ST03_ORACLE)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_value_e6"),
+        )
+    )
+    name = f"st03_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_e6",
+        )
+        .orderBy("window_start", "event_type")
+    )
+    spark.catalog.dropTempView(name)
+    return out
