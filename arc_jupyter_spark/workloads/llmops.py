@@ -844,6 +844,107 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# p01 — the composed corpus pipeline, end to end in ONE lazy plan:
+# quality gate → exact dedup → deterministic stratified sample →
+# per-source token-budget selection → summary. Every stage is the
+# production operator (operators/{text,dedup,sampling}); nothing
+# materializes between stages, so Catalyst fuses the gate + token
+# projection into the scan and only two shuffles touch document-scale
+# data (dedup groupBy on the 16-byte digest, budget window on source);
+# the closing summary agg/sort shuffle a handful of rows. That is the
+# plan shape a 100 TB run wants.
+# --------------------------------------------------------------------
+
+def _p01_oracle() -> str:
+    from arc_jupyter_spark.operators.text import LANG_STOPWORDS
+
+    stops = ", ".join(
+        f"'{w}'" for ws in LANG_STOPWORDS.values() for w in ws
+    )
+    return f"""
+WITH t AS (
+  SELECT lang, source, doc_id, text, n_chars, {_DUCK_TOKS} AS toks
+  FROM documents
+),
+gated AS (
+  SELECT lang, source, doc_id, text, n_chars,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS cost
+  FROM t
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)
+                  / len(toks)
+             ELSE 0.0 END >= 0.05
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 4096
+        < CASE lang WHEN 'en' THEN 2048 ELSE 4096 END
+),
+budgeted AS (
+  SELECT * FROM (
+    SELECT lang, source, doc_id, cost,
+           SUM(cost) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_cost
+    FROM sampled
+  ) WHERE running_cost <= 900
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(cost) AS total_cost,
+       SUM(doc_id) AS id_sum
+FROM budgeted GROUP BY lang ORDER BY lang
+"""
+
+
+@query("p01_corpus_pipeline", oracle=_p01_oracle())
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.sampling import budget_select, stratified_sample
+    from arc_jupyter_spark.operators.text import LANG_STOPWORDS, tokens
+
+    load_views(spark, sf_dir, "documents")
+    all_stops = tuple(w for ws in LANG_STOPWORDS.values() for w in ws)
+    toks = tokens(F.col("text"))
+    sr = F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: t.isin(*all_stops))).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+    gated = (
+        spark.table("documents")
+        .where(F.size(toks).between(10, 1000) & (sr >= 0.05))
+        .select(
+            "lang", "source", "doc_id", "text", "n_chars",
+            text.token_count(F.col("text")).cast("bigint").alias("cost"),
+        )
+    )
+    deduped = dedup.exact_dedup_by_digest(gated, "text", "doc_id")
+    sampled = stratified_sample(deduped, "lang", {"en": 0.5}, "doc_id")
+    budgeted = budget_select(
+        sampled, "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        F.col("cost"), budget=900,
+    )
+    return (
+        budgeted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cost").alias("total_cost"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
 # m01 — multimodal metadata extraction end to end: binary payload
 # column → Arrow-batched mapInPandas decode (the stubbed image decoder,
 # deterministic md5-derived metadata) → relational aggregation. The
