@@ -157,19 +157,25 @@ def kmeans_centroids(
             df.select(F.col(vec_col)), cdf, vec_col=vec_col,
             centroid_id_col="centroid_id", centroid_vec_col="centroid",
         )
+        # per-dimension sums: dim plain SUM aggregates — hash-aggregable
+        # with map-side partial combine, so no per-cell vector list ever
+        # materializes (collect_list of vectors would buffer a whole
+        # cell's embeddings in one aggregation state at scale)
+        v = F.col(vec_col).cast("array<double>")
         sums = (
             assigned.groupBy("cell")
             .agg(
-                F.aggregate(
-                    F.collect_list(F.col(vec_col).cast("array<double>")),
-                    F.array(*[F.lit(0.0) for _ in range(dim)]),
-                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
-                ).alias("vsum"),
                 F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(v, i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
             )
             .select(
                 F.col("cell").alias("centroid_id"),
-                F.transform(F.col("vsum"), lambda x: x / F.col("n")).alias("centroid"),
+                F.array(
+                    *[F.col(f"_s{i}") / F.col("n") for i in range(dim)]
+                ).alias("centroid"),
             )
         )
         centroids = [(int(r["centroid_id"]), list(r["centroid"])) for r in sums.collect()]

@@ -5,7 +5,8 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Headline set covers the engine's main plan shapes: scan+agg, broadcast
 join, 3-way join topk, window, rollup, range join, time window,
-minhash dedup, jaccard, cosine topk, text quality.
+minhash dedup, jaccard, cosine topk, LSH topk, text quality,
+repetition signals, and the composed corpus pipeline.
 """
 
 from __future__ import annotations
@@ -31,8 +32,11 @@ HEADLINE = [
     "d03_ngram_jaccard",
     "d06_cc_dedup",
     "s01_cosine_topk",
+    "s04_lsh_topk",
     "t01_quality_score",
     "t05_corpus_filter",
+    "t07_repetition",
+    "p01_corpus_pipeline",
     "st01_stream_window",
 ]
 
