@@ -844,6 +844,73 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# t10 — distinctive-term extraction (TF-IDF-shaped, integer-exact):
+# per-document top term ranked by (tf DESC, corpus document-frequency
+# ASC, term ASC) — the rare-and-frequent-here signal TF-IDF encodes,
+# with no float scores so the ranking is engine-exact. Shape: explode →
+# partial-agg tf → tiny df table joined back (vocabulary-sized, Spark
+# broadcasts it under AQE) → min_by per doc.
+# --------------------------------------------------------------------
+
+T10_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, source, term, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.source, tf.term, tf.tf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT term) AS n_distinct_top,
+       MIN(term) AS alpha_first,
+       MAX(term) AS alpha_last,
+       SUM(tf) AS sum_top_tf
+FROM ranked WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+
+@query("t10_tfidf_topterm", oracle=T10_ORACLE)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    exploded = (
+        dedup._parallelize(spark.table("documents"))
+        .select("doc_id", "source", F.explode(toks).alias("term"))
+    )
+    tf = exploded.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(df_tbl, "term")
+    top = joined.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.min_by(
+            F.struct("term", "tf"),
+            F.struct(-F.col("tf"), F.col("df"), F.col("term")),
+        ).alias("_top"),
+    )
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_top.term").alias("n_distinct_top"),
+            F.min("_top.term").alias("alpha_first"),
+            F.max("_top.term").alias("alpha_last"),
+            F.sum("_top.tf").alias("sum_top_tf"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
 # p01 — the composed corpus pipeline, end to end in ONE lazy plan:
 # quality gate → exact dedup → deterministic stratified sample →
 # per-source token-budget selection → summary. Every stage is the

@@ -1427,3 +1427,49 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     return spark.sql(Q47_SPARK)
+
+
+# --------------------------------------------------------------------
+# q51 — CDC-style latest-record compaction: one max_by aggregation
+# keyed on user_id keeps the newest event per key (ties broken by
+# event_id so replays are idempotent). The upsert/compaction primitive
+# every incremental pipeline runs; partial aggregation collapses
+# same-key rows map-side, so the shuffle carries one row per key per
+# partition, not the event stream.
+# --------------------------------------------------------------------
+
+Q51_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       event_id AS last_event_id,
+       n_events
+FROM r
+WHERE rn = 1 AND n_events >= 10
+ORDER BY user_id
+"""
+
+
+@query("q51_latest_event", oracle=Q51_ORACLE)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    order_key = F.struct("ts", "event_id")
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.max_by("event_type", order_key).alias("last_type"),
+            F.max_by("event_id", order_key).alias("last_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .where(F.col("n_events") >= 10)
+        .orderBy("user_id")
+    )
