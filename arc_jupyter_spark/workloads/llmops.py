@@ -1093,8 +1093,8 @@ WITH b AS (SELECT source, md5(text) AS x FROM documents),
 f AS (SELECT source, {_feat(0)} AS f0, {_feat(1)} AS f1 FROM b)
 SELECT source,
        COUNT(*) AS n,
-       ROUND((CAST(SUM(CAST(FLOOR(f0 * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_f0,
-       ROUND((CAST(SUM(CAST(FLOOR(f1 * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000) / COUNT(*), 6) AS avg_f1
+       SUM(CAST(FLOOR(f0 * 100000000 + 0.5) AS BIGINT)) AS sum_f0_e8,
+       SUM(CAST(FLOOR(f1 * 100000000 + 0.5) AS BIGINT)) AS sum_f1_e8
 FROM f GROUP BY source ORDER BY source
 """
 
@@ -1114,8 +1114,12 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(exact_sum(f0, scale=8) / F.count(F.lit(1)), 6).alias("avg_f0"),
-            F.round(exact_sum(f1, scale=8) / F.count(F.lit(1)), 6).alias("avg_f1"),
+            F.sum(F.floor(f0 * 100000000 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_f0_e8"
+            ),
+            F.sum(F.floor(f1 * 100000000 + F.lit(0.5)).cast("bigint")).alias(
+                "sum_f1_e8"
+            ),
         )
         .orderBy("source")
     )
