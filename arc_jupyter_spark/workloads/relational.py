@@ -1473,3 +1473,40 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") >= 10)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# q52 — sketch percentiles at scale: approx_percentile (one pass,
+# mergeable KLL-style sketch — the 100 TB path) checked against the
+# exact interpolated percentile via a tolerance contract (the q47
+# pattern: booleans computed Spark-side, oracle emits literal TRUE;
+# exact percentiles ride along as scaled integers).
+# --------------------------------------------------------------------
+
+Q52_SPARK = """
+SELECT l_returnflag,
+       CAST(FLOOR(percentile(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS p50_e2,
+       CAST(FLOOR(percentile(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_e2,
+       ABS(approx_percentile(l_extendedprice, 0.5, 10000)
+           - percentile(l_extendedprice, 0.5))
+         <= 0.02 * percentile(l_extendedprice, 0.5)  AS p50_within_2pct,
+       ABS(approx_percentile(l_extendedprice, 0.95, 10000)
+           - percentile(l_extendedprice, 0.95))
+         <= 0.02 * percentile(l_extendedprice, 0.95) AS p95_within_2pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+Q52_ORACLE = """
+SELECT l_returnflag,
+       CAST(FLOOR(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) AS BIGINT) AS p50_e2,
+       CAST(FLOOR(quantile_cont(l_extendedprice, 0.95) * 100 + 0.5) AS BIGINT) AS p95_e2,
+       TRUE AS p50_within_2pct,
+       TRUE AS p95_within_2pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q52_approx_percentile", oracle=Q52_ORACLE)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q52_SPARK)

@@ -115,3 +115,34 @@ def test_q50_metadata_pruning_reaches_scan(spark):
         assert "l_extendedprice" not in cols and "l_partkey" not in cols, (
             f"pii column not pruned from scan: {cols}"
         )
+
+
+def test_t08_sample_is_map_side_filter(spark):
+    # the stratified sample must be a pure filter: no Exchange between
+    # the scan and the partial aggregation
+    plan = plan_of(spark, "t08_stratified_sample")
+    scan_to_agg = plan.split("Exchange")[-1]
+    assert "Scan parquet" in scan_to_agg  # first exchange comes after scan+filter+partial agg
+    assert "partial" in plan.split("Exchange")[-1] or plan.count("Exchange") <= 2
+
+
+def test_s04_lsh_prune_is_map_side(spark):
+    # LSH probe filter + scoring happen before any exchange; top-k is
+    # TakeOrderedAndProject (no full sort, no shuffle of the corpus)
+    plan = plan_of(spark, "s04_lsh_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_p01_two_document_scale_shuffles(spark):
+    # gate+digest fuse into the scan projection; only the dedup groupBy
+    # and the budget window shuffle document-scale rows; the closing
+    # summary agg + sort shuffle a handful of rows (4 exchanges total)
+    plan = plan_of(spark, "p01_corpus_pipeline")
+    assert plan.count("Exchange") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q51_compaction_partial_aggregates(spark):
+    plan = plan_of(spark, "q51_latest_event")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
