@@ -1510,3 +1510,68 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     return spark.sql(Q52_SPARK)
+
+
+# --------------------------------------------------------------------
+# q53 — sequential funnel (view → click-after-view →
+# purchase-after-click): each stage is "first qualifying event after
+# the previous stage's timestamp", computed as chained min-aggregations
+# with a join back per stage. The per-stage tables shrink monotonically
+# (users still in the funnel), so each join's right side is small and
+# broadcastable; event rows are scanned once per stage with the stage
+# predicate pushed into the scan filter.
+# --------------------------------------------------------------------
+
+Q53_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel
+"""
+
+
+@query("q53_funnel", oracle=Q53_ORACLE)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    ev = spark.table("events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.join(F.broadcast(v), "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.join(F.broadcast(c), "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    # one lazy plan: three 1-row scalar aggregates cross-joined (no
+    # driver-side counts; Spark runs the stages in one job)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
