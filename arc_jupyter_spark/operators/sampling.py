@@ -63,6 +63,63 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
+def mixture_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    qsqrt_scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-scaled (α=0.5) sampling allocation per group.
+
+    The training-mix primitive: groups (languages, domains) get sample
+    budgets proportional to ``count^α`` rather than raw count, so
+    low-resource groups are upweighted (α=0.5 is the classic
+    multilingual smoothing exponent). The overall budget is
+    ``budget_num/budget_den`` of the corpus row count. Returns one row
+    per group: ``(group_col, n_docs, weight, alloc_docs, threshold)``
+    where ``threshold/4096`` is the deterministic hash-sampling rate
+    that realizes the allocation via ``sample_bucket``.
+
+    Engine-exact by construction: ``sqrt`` is correctly rounded in
+    IEEE-754 (bit-identical across engines, unlike ``pow``), it is
+    quantized to a long immediately, and every downstream step is
+    integer arithmetic (BIGINT multiply + integer division) except the
+    final ``weight`` double, which divides two identical longs. The
+    group table is tiny (one row per language/domain), so the
+    normalizing SUM is a window over an unpartitioned frame — exact
+    long addition, order-free; the corpus-scale work is just the one
+    partial-agg ``groupBy(group_col)`` count.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    counts = (
+        counts.withColumn(
+            "_q",
+            F.floor(F.sqrt(F.col("n_docs")) * qsqrt_scale + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("_total_q", F.sum("_q").over(w))
+        .withColumn(
+            "_budget",
+            F.expr(f"(SUM(n_docs) OVER () * {budget_num}) DIV {budget_den}"),
+        )
+        .withColumn("alloc_docs", F.expr("(_budget * _q) DIV _total_q"))
+    )
+    threshold = F.least(
+        F.lit(SAMPLE_BUCKETS).cast("bigint"),
+        F.expr(f"({SAMPLE_BUCKETS} * alloc_docs) DIV n_docs"),
+    )
+    return counts.select(
+        group_col,
+        "n_docs",
+        (F.col("_q").cast("double") / F.col("_total_q")).alias("weight"),
+        "alloc_docs",
+        threshold.alias("threshold"),
+    )
+
+
 def budget_select(
     df: DataFrame,
     partition_col: str,

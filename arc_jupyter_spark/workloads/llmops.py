@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arc_jupyter_spark.operators import dedup, similarity, text
+from arc_jupyter_spark.operators import decontaminate, dedup, sampling, similarity, text
 from arc_jupyter_spark.workloads.base import exact_sum, load_views, query
 
 # shared DuckDB fragments -------------------------------------------------
@@ -907,6 +907,115 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_top.tf").alias("sum_top_tf"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t11 — benchmark decontamination: flag training docs sharing word
+# 7-grams with the eval set (source 'src0' plays the benchmark). The
+# eval shingle-digest set broadcasts; the corpus maps scan → shingle →
+# md5 → explode with no shuffle until the post-join per-doc count of
+# matched rows only. All-integer outputs → engine-exact hashes.
+# --------------------------------------------------------------------
+
+_T11_N = 7
+
+T11_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest({_duck_shingles(_T11_N)}) AS shingle FROM tok
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+  FROM sh s JOIN ev USING (shingle)
+  WHERE s.source <> 'src0' GROUP BY 1
+),
+base AS (SELECT doc_id, source FROM documents WHERE source <> 'src0')
+SELECT b.source,
+       COUNT(*) AS n_docs,
+       COUNT(h.doc_id) AS n_contaminated,
+       COALESCE(MAX(h.n_shared), 0) AS max_shared,
+       COALESCE(SUM(h.n_shared), 0) AS sum_shared
+FROM base b LEFT JOIN hits h USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("t11_decontaminate", oracle=T11_ORACLE)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    ev = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    scores = decontaminate.contamination_scores(corpus, ev, n=_T11_N)
+    per_doc = corpus.select("doc_id", "source").join(scores, "doc_id", "left")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_shared").alias("n_contaminated"),
+            F.coalesce(F.max("n_shared"), F.lit(0).cast("long")).alias("max_shared"),
+            F.coalesce(F.sum("n_shared"), F.lit(0).cast("long")).alias("sum_shared"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t12 — temperature-scaled training-mix allocation (α=0.5): per-
+# language sample budgets ∝ sqrt(count), realized as deterministic
+# content-hash sampling. The group table is 5 rows; the corpus-scale
+# work is one partial-agg count plus one broadcast-join filter pass.
+# sqrt is IEEE-correctly-rounded (bit-identical across engines);
+# everything after is integer arithmetic, so hashes are exact.
+# --------------------------------------------------------------------
+
+T12_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+alloc AS (
+  SELECT lang, n_docs,
+         CAST(FLOOR(SQRT(n_docs) * 1000000 + 0.5) AS BIGINT) AS q,
+         SUM(CAST(FLOOR(SQRT(n_docs) * 1000000 + 0.5) AS BIGINT)) OVER () AS total_q,
+         (SUM(n_docs) OVER () * 2) // 5 AS budget
+  FROM counts
+),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(q AS DOUBLE) / CAST(total_q AS DOUBLE) AS weight,
+         (budget * q) // total_q AS alloc_docs,
+         LEAST(4096, (4096 * ((budget * q) // total_q)) // n_docs) AS threshold
+  FROM alloc
+)
+SELECT t.lang, t.n_docs, t.weight, t.alloc_docs,
+       COUNT(*) FILTER (
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT % 4096
+               < t.threshold
+       ) AS n_sampled
+FROM documents d JOIN thr t USING (lang)
+GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""
+
+
+@query("t12_mixture_sample", oracle=T12_ORACLE)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    alloc = sampling.mixture_allocation(docs, "lang", budget_num=2, budget_den=5)
+    bucket = sampling.sample_bucket(F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(alloc), "lang")
+        .groupBy("lang", "n_docs", "weight", "alloc_docs")
+        .agg(
+            F.sum(F.when(bucket < F.col("threshold"), 1).otherwise(0)).alias(
+                "n_sampled"
+            )
+        )
+        .orderBy("lang")
     )
 
 

@@ -54,3 +54,31 @@ def test_budget_select_exact(spark):
     got = sorted((r["part"], r["id"], r["running_cost"]) for r in out.collect())
     # s: 40, 80, (120 > 100 dropped); t: 90, (180 dropped)
     assert got == [("s", 1, 40), ("s", 2, 80), ("t", 4, 90)]
+
+
+def test_mixture_allocation_upweights_small_groups(spark):
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    out = {r["lang"]: r.asDict() for r in
+           sampling.mixture_allocation(df, "lang").collect()}
+    assert out["big"]["n_docs"] == 180 and out["small"]["n_docs"] == 20
+    # alpha=0.5: weights proportional to sqrt(count), so the small
+    # group's share (sqrt20/(sqrt180+sqrt20) ~ 0.25) beats its raw
+    # share (0.1)
+    assert abs(out["small"]["weight"] - 0.25) < 0.01
+    assert abs(sum(v["weight"] for v in out.values()) - 1.0) < 1e-9
+    # total allocation ~= 40% of corpus (integer floors may undershoot)
+    total_alloc = sum(v["alloc_docs"] for v in out.values())
+    assert 76 <= total_alloc <= 80
+    # sampling rate threshold realizes alloc/n, capped at full keep
+    assert out["small"]["threshold"] == min(
+        4096, 4096 * out["small"]["alloc_docs"] // 20
+    )
+
+
+def test_mixture_allocation_deterministic(spark):
+    rows = [(i, chr(97 + i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    a = sorted(map(tuple, sampling.mixture_allocation(df, "lang").collect()))
+    b = sorted(map(tuple, sampling.mixture_allocation(df, "lang").collect()))
+    assert a == b
