@@ -228,3 +228,91 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+# --------------------------------------------------------------------
+# st04 — stream-stream interval join: clicks joined to the same user's
+# purchases within the following 10 minutes. Both sides carry
+# watermarks and the join condition bounds event-time distance, so the
+# state store can evict rows once the watermark passes — the unbounded
+# form runs with bounded state (the whole point of interval joins over
+# raw stream joins). With availableNow over the static fixture every
+# match lands in one micro-batch, so the batch SQL join is an exact
+# oracle. Join rows stream to the sink append-mode; the summary
+# aggregation happens batch-side on the drained sink (integer-exact).
+# --------------------------------------------------------------------
+
+ST04_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, a.ts) AS TIMESTAMP) AS click_hour,
+       COUNT(*) AS n_pairs,
+       SUM(CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT)) AS sum_purchase_e2,
+       MIN((epoch_us(b.ts) // 1000000) - (epoch_us(a.ts) // 1000000)) AS min_delay_s,
+       MAX((epoch_us(b.ts) // 1000000) - (epoch_us(a.ts) // 1000000)) AS max_delay_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("st04_stream_join", oracle=ST04_ORACLE)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("c_ts", "p_ts", "p_value")
+    name = f"st04_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(
+            F.date_trunc("hour", F.col("c_ts")).alias("click_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("p_value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_purchase_e2"),
+            F.min(
+                (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint")
+            ).alias("min_delay_s"),
+            F.max(
+                (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).cast("bigint")
+            ).alias("max_delay_s"),
+        )
+        .orderBy("click_hour")
+    )
+    spark.catalog.dropTempView(name)
+    return out

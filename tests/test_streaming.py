@@ -96,3 +96,25 @@ def test_memory_load_restart_and_stop_streams(ctx):
     assert active[0].id != first[0].id or not first[0].isActive
     assert ctx.stop_streams() >= 1
     assert not [q for q in ctx.spark.streams.active if q.name == "restart_sink"]
+
+
+def test_stream_stream_interval_join(spark):
+    """st04's shape: two watermarked streams, event-time interval join,
+    availableNow; matches equal the batch join exactly."""
+    from arc_jupyter_spark.workloads.streaming_queries import st04
+
+    out = st04(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 1
+    total = sum(r["n_pairs"] for r in out)
+    # batch equivalent on the same fixture
+    from arc_jupyter_spark.workloads.base import load_views
+    load_views(spark, "/root/testdata/sf0.001", "events")
+    batch = spark.sql("""
+        SELECT COUNT(*) AS n FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_type = 'click'
+        AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES
+    """).collect()[0]["n"]
+    assert total == batch
+    # delays must sit inside the interval bound
+    assert all(0 <= r["min_delay_s"] <= r["max_delay_s"] <= 600 for r in out)
