@@ -408,6 +408,44 @@ def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# s05 — product-quantization ANN (PQ codes + ADC pool + exact rerank).
+# The index column is ONE packed long per vector (16 subspaces × 4
+# bits): stage 1 scans only codes (column pruning drops the raw
+# embedding), stage 2 reranks the 100-candidate pool exactly via a
+# broadcast semi-join. Codebook training is a bounded-sample
+# driver-side k-means (the standard PQ recipe) — not SQL-expressible,
+# so the oracle checks the contract (the proven s02/s04 pattern):
+# exactly k results, recall@10 vs the exact answer ≥ 0.7, computed
+# Spark-side on fixed data (deterministic).
+# --------------------------------------------------------------------
+
+S05_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_at_10_ok
+"""
+
+
+@query("s05_pq_topk", oracle=S05_ORACLE)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    books = similarity.pq_train(emb, vec_col="embedding", id_col="vec_id")
+    enc = similarity.pq_encode(emb, books)
+    pq = similarity.pq_search(
+        enc, books, qvec, k=10, pool=100, id_col="vec_id", vec_col="embedding"
+    ).select("vec_id")
+    exact10 = similarity.cosine_topk(
+        emb, qvec, id_col="vec_id", vec_col="embedding", k=10
+    ).select(F.col("vec_id").alias("exact_id"), F.lit(True).alias("in10"))
+    joined = pq.join(F.broadcast(exact10), pq.vec_id == exact10.exact_id, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count("in10") >= 7).alias("recall_at_10_ok"),
+    )
+
+
+# --------------------------------------------------------------------
 # t01 — quality scoring per language.
 # --------------------------------------------------------------------
 

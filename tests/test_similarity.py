@@ -104,3 +104,37 @@ def test_lsh_topk_subset_of_probed_buckets(spark):
     assert scores == sorted(scores, reverse=True)
     # query vector itself (vec_id 0) lands in its own bucket -> top hit
     assert rows[0]["vec_id"] == 0
+
+
+def test_pq_roundtrip_and_recall(spark):
+    from arc_jupyter_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    books = S.pq_train(emb, vec_col="embedding", id_col="vec_id")
+    assert len(books) == 16 and len(books[0]) <= 16 and len(books[0][0]) == 4
+    enc = S.pq_encode(emb, books)
+    assert enc.columns == emb.columns + ["pq_code"]
+    # codes are deterministic across partitionings
+    a = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    b = {r["vec_id"]: r["pq_code"]
+         for r in S.pq_encode(emb.repartition(7), books).collect()}
+    assert a == b
+    res = [r["vec_id"] for r in
+           S.pq_search(enc, books, qvec, k=10, pool=100).collect()]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qvec, k=10).collect()]
+    assert len(res) == 10
+    assert len(set(res) & set(exact)) >= 7
+
+
+def test_pq_adc_orders_by_distance(spark):
+    """ADC of a vector against its own codebook entry scores ~0."""
+    from arc_jupyter_spark.operators import similarity as S
+    import math
+    rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7)] * 2) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_train(df, m=2, k=8, vec_col="embedding", id_col="vec_id",
+                       sample_n=64)
+    enc = S.pq_encode(df, books)
+    top = S.pq_topk(enc, books, rows[3][1], k=5, id_col="vec_id").collect()
+    assert top[0]["adc"] < 0.2  # own cell ≈ zero quantized distance
+    assert [r["adc"] for r in top] == sorted(r["adc"] for r in top)
