@@ -146,3 +146,70 @@ def test_q51_compaction_partial_aggregates(spark):
     plan = plan_of(spark, "q51_latest_event")
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_t11_eval_side_broadcast_corpus_map_side(spark):
+    """Decontamination: the eval digest set broadcasts; the corpus
+    reaches the join without an Exchange (map-side shingle+explode)."""
+    plan = plan_of(spark, "t11_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # the corpus must never co-partition by digest for the join — a
+    # SortMergeJoin here would shuffle corpus-scale exploded shingles
+    # (the eval side's tiny distinct may hash-shuffle; that's fine)
+    assert "SortMergeJoin" not in plan
+
+
+def test_t12_alloc_table_broadcast(spark):
+    """Mixture sampling: the 5-row allocation table broadcasts back
+    onto the corpus; corpus-side work is one partial-agg count."""
+    plan = plan_of(spark, "t12_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_s05_adc_scan_prunes_embedding(spark, tmp_path):
+    """PQ ADC search over a stored code table must not read the raw
+    embedding column at all (the 8-byte-per-vector scan story)."""
+    from pyspark.sql import functions as F
+    from arc_jupyter_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = S.pq_train(emb, vec_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "pq_codes")
+    S.pq_encode(emb, books).write.parquet(path)
+    stored = spark.read.parquet(path)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    plan = (
+        S.pq_topk(stored, books, qvec, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "pq_code" in read_schema and "embedding" not in read_schema
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_st04_join_state_has_watermarks(spark):
+    """Stream-stream join must carry watermarks on both sides (state
+    eviction at scale) — assert on the analyzed streaming plan."""
+    from arc_jupyter_spark.workloads.streaming_queries import ST04_ORACLE  # noqa: F401
+    from pyspark.sql import functions as F
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(et, p):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(SF_DIR)
+            .where(F.col("event_type") == et)
+            .select(F.col("user_id").alias(f"{p}_user"),
+                    F.timestamp_micros(F.expr("ts div 1000")).alias(f"{p}_ts"))
+            .withWatermark(f"{p}_ts", "1 hour")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        F.expr("c_user = p_user AND p_ts >= c_ts "
+               "AND p_ts <= c_ts + INTERVAL 10 MINUTES"),
+    )
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2
