@@ -198,6 +198,73 @@ def minhash_signature_table(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document LSH band digests: ``(id_col, _band)`` rows.
+
+    The shared banding primitive behind candidate generation and
+    incremental near-dedup — one md5 per band over the concatenated
+    band rows of the MinHash signature.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
+    band_digests = [
+        F.md5(
+            F.concat(
+                F.lit(f"band{b}|"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_s{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ),
+            ).cast("binary")
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_digests)).alias("_band"))
+
+
+def incremental_near_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Drop new documents that near-duplicate the EXISTING corpus
+    (share ≥1 MinHash band) — the incremental-crawl dedup pass.
+
+    Production pipelines dedup each new crawl against everything
+    already ingested; recomputing pairwise candidates over old+new
+    (d02's job) would redo corpus-scale work per increment. Here the
+    existing side reduces to its distinct band-digest set — in steady
+    state that set is precomputed once and stored (8-byte-ish keys) —
+    and the anti-join shuffles only (id, band) pairs, co-partitioned
+    on the band digest. Both sides are band tables, never documents:
+    the 100 TB increment never shuffles text.
+    """
+    new_bands = minhash_band_table(
+        new, id_col, text_col, shingle_len, num_hashes, bands
+    )
+    existing_bands = (
+        minhash_band_table(existing, id_col, text_col, shingle_len, num_hashes, bands)
+        .select("_band")
+        .distinct()
+    )
+    hit_ids = new_bands.join(existing_bands, "_band").select(id_col).distinct()
+    return new.join(hit_ids, id_col, "left_anti")
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -217,24 +284,9 @@ def minhash_candidates(
     a bucket shared by thousands of documents is boilerplate, not
     near-duplication, and is better handled by exact dedup upstream).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
-    band_digests = [
-        F.md5(
-            F.concat(
-                F.lit(f"band{b}|"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"_s{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ),
-            ).cast("binary")
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_digests)).alias("_band"))
+    banded = minhash_band_table(
+        df, id_col, text_col, shingle_len, num_hashes, bands
+    )
     if max_bucket_size is not None:
         # one extra count-aggregate on the tiny (id, band) table; the
         # filter removes the quadratic blowup before the self-join

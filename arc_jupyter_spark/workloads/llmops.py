@@ -61,7 +61,9 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _SHINGLE_LEN = 3
 
 
-def _d02_oracle() -> str:
+def _banded_cte() -> str:
+    """DuckDB CTE chain ending in ``banded(doc_id, band)`` — the exact
+    md5-minhash band digests the Spark operators compute."""
     coeffs = dedup.minhash_coefficients(_NUM_HASHES)
     sigs = ", ".join(
         f"list_min(list_transform(shingles, "
@@ -90,7 +92,11 @@ sigs AS (
 ),
 banded AS (
   SELECT doc_id, unnest([{band_list}]) AS band FROM ( SELECT doc_id, {bands} FROM sigs )
-),
+)"""
+
+
+def _d02_oracle() -> str:
+    return f"""{_banded_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b USING (band)
@@ -288,6 +294,40 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# d07 — incremental near-dedup: drop new-crawl documents that share a
+# MinHash band with the already-ingested corpus. Existing corpus =
+# doc_id % 3 == 0; the new crawl is everything else. Only (id, band)
+# pairs shuffle; the existing side reduces to a distinct band set.
+# --------------------------------------------------------------------
+
+D07_ORACLE = f"""
+WITH {_banded_cte()},
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM banded n JOIN banded e USING (band)
+  WHERE n.doc_id % 3 <> 0 AND e.doc_id % 3 = 0
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+ORDER BY d.doc_id
+"""
+
+
+@query("d07_incremental_dedup", oracle=D07_ORACLE)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    existing = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    kept = dedup.incremental_near_dedup(
+        new, existing, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------

@@ -110,3 +110,26 @@ def test_minhash_bucket_cap_drops_boilerplate(spark):
     cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (10, 11) in unc and (10, 11) in cap
     assert (0, 1) in unc and (0, 1) not in cap
+
+
+def test_incremental_near_dedup_drops_corpus_near_dups(spark):
+    df = docs_df(spark)
+    existing = df.where(F.col("id") == 1)
+    new = df.where(F.col("id") != 1)
+    kept = dedup.incremental_near_dedup(
+        new, existing, "id", "text", shingle_len=2, num_hashes=16, bands=8
+    ).collect()
+    ids = sorted(r["id"] for r in kept)
+    # 2 is an exact dup of corpus doc 1, 3 a near dup sharing bands;
+    # 4 is unrelated and survives.
+    assert ids == [4]
+
+
+def test_incremental_near_dedup_keeps_all_against_disjoint_corpus(spark):
+    df = docs_df(spark)
+    existing = df.where(F.col("id") == 4)
+    new = df.where(F.col("id").isin(1, 3))
+    kept = dedup.incremental_near_dedup(
+        new, existing, "id", "text", shingle_len=2, num_hashes=16, bands=8
+    ).collect()
+    assert sorted(r["id"] for r in kept) == [1, 3]
