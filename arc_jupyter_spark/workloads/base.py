@@ -58,21 +58,51 @@ def exact_sum(col, scale: int = 6):
     return F.sum(F.floor(col * s + F.lit(0.5)).cast("bigint")).cast("double") / s
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fixture with ``ts`` normalized to TimestampType.
+
+    The fixture generator has shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (which Spark's vectorized reader only accepts as raw int64 via
+    ``nanosAsLong``) and as TIMESTAMP(MICROS) (read natively as
+    TIMESTAMP_NTZ). Both normalize to a microsecond TimestampType column
+    with identical values — a pure projection, pushdown-safe.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "long":  # int64 nanos under nanosAsLong
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":  # timestamp_ntz → session-tz timestamp
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream read of the events fixture, ``ts`` normalized to
+    TimestampType (same nanos/micros tolerance as :func:`read_events`).
+    The file-stream source wants a directory; a glob filter selects the
+    one fixture file out of it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def load_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the parquet fixtures as temp views (explicit schemas come
-    from the parquet footers; scans stay pushdown-able).
-
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw int64 nanos
-    (``nanosAsLong``) and converted to a microsecond TimestampType
-    column — a pure projection, pushdown-safe.
-    """
+    from the parquet footers; scans stay pushdown-able)."""
     for name in names or TABLES:
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = read_events(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.createOrReplaceTempView(name)

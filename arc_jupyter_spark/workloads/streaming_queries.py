@@ -21,7 +21,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arc_jupyter_spark.workloads.base import query
+from arc_jupyter_spark.workloads.base import query, read_events_stream
 
 
 @contextmanager
@@ -57,17 +57,7 @@ ORDER BY 1, 2
 
 @query("st01_stream_window", oracle=ST01_ORACLE)
 def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    # the file-stream source wants a directory; select the one file
-    # out of the fixture dir with a glob filter
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -121,15 +111,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_jupyter_spark.streaming.stateful import running_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "value")
-    )
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
     counts = running_counts(stream, key_col="user_id", value_col="value")
     name = f"st02_{uuid.uuid4().hex[:10]}"
     with _stream_partitions(spark):
@@ -185,15 +167,7 @@ ORDER BY 1, 2
 
 @query("st03_sliding_window", oracle=ST03_ORACLE)
 def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(
@@ -258,19 +232,13 @@ GROUP BY 1 ORDER BY 1
 
 @query("st04_stream_join", oracle=ST04_ORACLE)
 def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            read_events_stream(spark, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
                 F.col("value").alias(f"{prefix}_value"),
             )
             .withWatermark(f"{prefix}_ts", "1 hour")

@@ -192,17 +192,15 @@ def test_st04_join_state_has_watermarks(spark):
     """Stream-stream join must carry watermarks on both sides (state
     eviction at scale) — assert on the analyzed streaming plan."""
     from arc_jupyter_spark.workloads.streaming_queries import ST04_ORACLE  # noqa: F401
+    from arc_jupyter_spark.workloads.base import read_events_stream
     from pyspark.sql import functions as F
-    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def side(et, p):
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(SF_DIR)
+            read_events_stream(spark, SF_DIR)
             .where(F.col("event_type") == et)
             .select(F.col("user_id").alias(f"{p}_user"),
-                    F.timestamp_micros(F.expr("ts div 1000")).alias(f"{p}_ts"))
+                    F.col("ts").alias(f"{p}_ts"))
             .withWatermark(f"{p}_ts", "1 hour")
         )
 
