@@ -569,3 +569,97 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# -- exact substring-span dedup --------------------------------------
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Word n-grams with their token position: ``(id, _pos, _digest)``.
+
+    The positional variant of :func:`word_shingles`, for span-level
+    duplicate detection. Grams are md5-digested immediately so only
+    16-byte keys (plus two ints) ever shuffle — never gram text.
+    Documents shorter than ``n`` tokens contribute no grams.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toks = (
+        df.select(F.col(id_col), tokens.alias("_toks"))
+        .where(F.size("_toks") >= n)
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_toks"), F.col("_pos") + i) for i in range(n)]
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+        ).alias("_pos"),
+        "_toks",
+    ).select(F.col(id_col), "_pos", F.md5(gram.cast("binary")).alias("_digest"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics (exact substring dedup).
+
+    Finds word ``gram_len``-grams that occur in >= ``min_docs`` distinct
+    documents — the train-set memorization signal of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"): long
+    verbatim repeats across documents are boilerplate or mirrored text
+    and inflate memorization. Returns one row per document that
+    contains any duplicated gram:
+    ``(id, n_grams, n_dup_grams, dup_tokens)`` where ``dup_tokens`` is
+    the size of the UNION of token intervals covered by duplicated
+    grams (overlapping spans counted once).
+
+    Scale shape (suffix arrays don't distribute; this does):
+    - gram table: map-side projection to (id, pos, digest) — 16-byte
+      digests shuffle, text never does;
+    - document frequency: distinct (digest, id) then count — both
+      partially aggregated map-side;
+    - membership: LEFT SEMI join of grams against the duplicated-digest
+      set — no row multiplication, a hot boilerplate gram cannot fan
+      out (each occurrence matches at most once);
+    - coverage: explode each dup gram to its ``gram_len`` token
+      positions, distinct per (id, pos), count — bounded by
+      ``gram_len x dup_grams``.
+    """
+    grams = positional_shingles(_parallelize(df), id_col, text_col, gram_len)
+    dup_digests = (
+        grams.select("_digest", id_col)
+        .distinct()
+        .groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_digest")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_occ = grams.join(dup_digests, "_digest", "left_semi")
+    dup_counts = dup_occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        dup_occ.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (gram_len - 1))
+            ).alias("_tok"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        per_doc.join(dup_counts, id_col)
+        .join(covered, id_col)
+        .select(id_col, "n_grams", "n_dup_grams", "dup_tokens")
+    )

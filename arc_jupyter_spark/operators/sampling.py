@@ -146,3 +146,46 @@ def budget_select(
         df.withColumn(running_col, F.sum(cost_col).over(w))
         .where(F.col(running_col) <= budget)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: Sequence[Column],
+    cost_col: Column,
+    capacity: int,
+    start_col: str = "start_bin",
+    end_col: str = "end_bin",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: per-partition bin spans.
+
+    The pretraining batch-assembly primitive: within each partition
+    (source/shard), documents are laid out in ``order_cols`` order,
+    their token streams concatenated, and the stream chopped into
+    fixed-``capacity`` training sequences. Each document occupies the
+    half-open token interval ``[running - cost, running)`` and so lands
+    in bins ``floor((running - cost) / capacity)`` through
+    ``floor((running - 1) / capacity)`` — computed from ONE running-sum
+    window, no iteration, no driver state. A document longer than
+    ``capacity`` simply spans several bins (it is split, exactly like
+    the GPT-style pack-and-chop loader).
+
+    Scale: one shuffle on ``partition_col``; each partition streams
+    through the window operator in sort order. Partitions are
+    independent, so 100 TB packs as wide as the partition count.
+    ``order_cols`` must be a total order (tie-break on a unique id) or
+    bin assignment is nondeterministic. Zero-cost documents get
+    ``end_bin = start_bin`` (they sit at a boundary, occupying no
+    tokens).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(cost_col).over(w)
+    start = F.floor((running - cost_col) / F.lit(capacity))
+    end = F.floor((running - F.lit(1)) / F.lit(capacity))
+    return df.withColumn(start_col, start).withColumn(
+        end_col, F.greatest(F.col(start_col), end)
+    )

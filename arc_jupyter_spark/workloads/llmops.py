@@ -1413,3 +1413,134 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# t13 — concat-and-chop sequence packing: lay out each source's
+# documents in doc_id order, concatenate their token streams, chop
+# into fixed-capacity training sequences. One running-sum window per
+# source; bin spans are pure integer arithmetic, so the whole layout
+# is engine-exact. The checksum column pins every per-document bin
+# assignment, not just the aggregates.
+# --------------------------------------------------------------------
+
+_T13_CAPACITY = 256
+
+T13_ORACLE = f"""
+WITH c AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS cost
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, cost,
+         SUM(cost) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM c
+),
+b AS (
+  SELECT source, doc_id, cost,
+         CAST(FLOOR((running - cost) / {_T13_CAPACITY}.0) AS BIGINT) AS start_bin,
+         GREATEST(CAST(FLOOR((running - cost) / {_T13_CAPACITY}.0) AS BIGINT),
+                  CAST(FLOOR((running - 1) / {_T13_CAPACITY}.0) AS BIGINT)) AS end_bin
+  FROM r
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       MAX(end_bin) + 1 AS n_seqs,
+       SUM(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END) AS n_split_docs,
+       SUM(cost) AS total_tokens,
+       SUM(doc_id * end_bin + start_bin) AS bin_checksum
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+@query("t13_seq_pack", oracle=T13_ORACLE)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "source",
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("cost"),
+    )
+    packed = sampling.pack_sequences(
+        docs,
+        "source",
+        [F.col("doc_id")],
+        F.col("cost"),
+        capacity=_T13_CAPACITY,
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("end_bin") + F.lit(1)).alias("n_seqs"),
+            F.sum(
+                F.when(F.col("end_bin") > F.col("start_bin"), 1).otherwise(0)
+            ).alias("n_split_docs"),
+            F.sum("cost").alias("total_tokens"),
+            F.sum(
+                F.col("doc_id") * F.col("end_bin") + F.col("start_bin")
+            ).alias("bin_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# d08 — duplicated-span detection (exact substring dedup, Lee et al.
+# 2021 shape): word 5-grams occurring in >= 2 distinct documents,
+# reported per document as gram counts + union-of-spans token
+# coverage. Digests shuffle, text doesn't; the membership check is a
+# LEFT SEMI join so hot boilerplate grams cannot fan out.
+# --------------------------------------------------------------------
+
+_D08_GRAM = 5
+
+D08_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D08_GRAM - 1})) AS pos
+  FROM toks WHERE len(toks) >= {_D08_GRAM}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D08_GRAM - 1}], ' ') AS gram
+  FROM ex
+),
+dupg AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd >= 2
+),
+occ AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dupg)),
+cov AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(pos, pos + {_D08_GRAM - 1})) AS tok
+  FROM occ
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       (SELECT COUNT(*) FROM occ o WHERE o.doc_id = g.doc_id) AS n_dup_grams,
+       (SELECT COUNT(*) FROM cov c WHERE c.doc_id = g.doc_id) AS dup_tokens
+FROM g
+WHERE g.doc_id IN (SELECT doc_id FROM occ)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("d08_span_dedup", oracle=D08_ORACLE)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    spans = dedup.duplicated_spans(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        gram_len=_D08_GRAM,
+        min_docs=2,
+    )
+    return spans.orderBy("doc_id")

@@ -133,3 +133,29 @@ def test_incremental_near_dedup_keeps_all_against_disjoint_corpus(spark):
         new, existing, "id", "text", shingle_len=2, num_hashes=16, bands=8
     ).collect()
     assert sorted(r["id"] for r in kept) == [1, 3]
+
+
+def test_duplicated_spans_counts_and_coverage(spark):
+    # docs 1 and 2 are identical (9 tokens -> 5 five-grams, all
+    # duplicated, covering all 9 token positions); doc 3 shares the
+    # 7-token prefix "the quick brown fox jumps over the" with them ->
+    # grams at positions 1-3 duplicated, covering tokens 1..7; doc 4
+    # shares nothing and must be absent.
+    out = {
+        r["id"]: (r["n_grams"], r["n_dup_grams"], r["dup_tokens"])
+        for r in dedup.duplicated_spans(
+            docs_df(spark), "id", "text", gram_len=5, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (5, 5, 9)
+    assert out[2] == (5, 5, 9)
+    assert out[3] == (5, 3, 7)
+    assert 4 not in out
+
+
+def test_duplicated_spans_short_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["id", "text"]
+    )
+    # both docs are shorter than the gram length: no grams, no rows
+    assert dedup.duplicated_spans(df, "id", "text", gram_len=5).count() == 0

@@ -82,3 +82,41 @@ def test_mixture_allocation_deterministic(spark):
     a = sorted(map(tuple, sampling.mixture_allocation(df, "lang").collect()))
     b = sorted(map(tuple, sampling.mixture_allocation(df, "lang").collect()))
     assert a == b
+
+
+def test_pack_sequences_bin_spans(spark):
+    # capacity 10; source s costs 4,4,4 -> running 4,8,12:
+    #   doc 0 [0,4)  -> bins 0..0
+    #   doc 1 [4,8)  -> bins 0..0
+    #   doc 2 [8,12) -> bins 0..1 (straddles the boundary)
+    rows = [("s", 0, 4), ("s", 1, 4), ("s", 2, 4),
+            ("t", 0, 25),               # longer than capacity: spans 0..2
+            ("t", 1, 0)]                # zero-cost doc sits at a boundary
+    df = spark.createDataFrame(rows, ["src", "id", "cost"])
+    out = {
+        (r["src"], r["id"]): (r["start_bin"], r["end_bin"])
+        for r in sampling.pack_sequences(
+            df, "src", [F.col("id")], F.col("cost"), capacity=10
+        ).collect()
+    }
+    assert out[("s", 0)] == (0, 0)
+    assert out[("s", 1)] == (0, 0)
+    assert out[("s", 2)] == (0, 1)
+    assert out[("t", 0)] == (0, 2)
+    assert out[("t", 1)] == (2, 2)  # zero-cost: start == end
+
+
+def test_pack_sequences_partitions_independent(spark):
+    rows = [(chr(97 + s), i, 7) for s in range(3) for i in range(5)]
+    df = spark.createDataFrame(rows, ["src", "id", "cost"])
+    got = sampling.pack_sequences(
+        df, "src", [F.col("id")], F.col("cost"), capacity=10
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append((r["id"], r["start_bin"], r["end_bin"]))
+    # every source packs identically (same costs, independent streams)
+    vals = [sorted(v) for v in by_src.values()]
+    assert vals[0] == vals[1] == vals[2]
+    # 5 docs x 7 tokens = 35 tokens -> bins 0..3 used
+    assert max(e for _, _, e in vals[0]) == 3
