@@ -90,3 +90,25 @@ def running_counts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: keep the first arrival per key, with
+    state bounded by the event-time watermark.
+
+    The continuous-crawl counterpart of batch exact dedup: duplicate
+    submissions (retries, mirrored feeds) arrive within some bounded
+    lateness, so ``dropDuplicatesWithinWatermark`` holds each seen key
+    only until the watermark passes it — state size tracks the dedup
+    horizon, not the stream's history, which is what makes it runnable
+    forever. State is hash-partitioned on the key; each executor holds
+    only its shard.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

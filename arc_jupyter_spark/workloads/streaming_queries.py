@@ -284,3 +284,40 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+# --------------------------------------------------------------------
+# st05 — streaming ingest dedup: first arrival per (user_id,
+# event_type) via dropDuplicatesWithinWatermark. Which *row* wins
+# depends on arrival order, so the query emits only the KEY SET —
+# deterministic regardless of scheduling — and the oracle is a batch
+# SELECT DISTINCT. The final distinct also guards key re-emission
+# across micro-batch file splits (state evicted once the watermark
+# passes a key).
+# --------------------------------------------------------------------
+
+ST05_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
+@query("st05_stream_dedup", oracle=ST05_ORACLE)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.streaming.stateful import dedup_within_watermark
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour"
+    ).select("user_id", "event_type")
+    name = f"st05_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).distinct().orderBy("user_id", "event_type")

@@ -118,3 +118,15 @@ def test_stream_stream_interval_join(spark):
     assert total == batch
     # delays must sit inside the interval bound
     assert all(0 <= r["min_delay_s"] <= r["max_delay_s"] <= 600 for r in out)
+
+
+def test_stream_dedup_matches_batch_distinct(spark):
+    from arc_jupyter_spark.workloads.streaming_queries import st05
+    from arc_jupyter_spark.workloads.base import load_views
+
+    got = {(r["user_id"], r["event_type"])
+           for r in st05(spark, "/root/testdata/sf0.001").collect()}
+    load_views(spark, "/root/testdata/sf0.001", "events")
+    want = {(r["user_id"], r["event_type"]) for r in
+            spark.sql("SELECT DISTINCT user_id, event_type FROM events").collect()}
+    assert got == want
