@@ -190,3 +190,51 @@ def winnow_fingerprint(text: Column, shingle_len: int = 5) -> Column:
     return F.array_min(
         F.transform(word_shingles(text, shingle_len), lambda s: F.md5(s.cast("binary")))
     )
+
+
+def token_rarity(df, id_col: str, text_col: str, broadcast_model: bool = True):
+    """Per-document rare-token density — a corpus-statistics quality
+    signal (integer-exact stand-in for n-gram LM perplexity).
+
+    Two passes over the corpus, both distributed:
+
+    1. MODEL: token → occurrence count (one groupBy with map-side
+       partial aggregation; the result is vocabulary-sized, orders of
+       magnitude smaller than the corpus).
+    2. SCORE: each token occurrence is charged the integer surprisal
+       ``total_tokens div count(token)`` (large for rare tokens, 1-ish
+       for stopwords), summed per document.
+
+    Returns ``(id, sum_rarity, n_tokens)``; callers rank on
+    ``sum_rarity / n_tokens``. All intermediate values are BIGINTs, so
+    scores are bit-identical across engines and partitionings.
+
+    ``broadcast_model=True`` broadcasts the vocabulary to the
+    occurrence join (right for vocabularies up to ~100M-token corpora);
+    at larger vocab, pass False for a shuffle hash join on the token —
+    occurrences and model co-partition, text never shuffles (tokens
+    do, but each is a short string).
+
+    The one driver-side value is the scalar ``total_tokens`` (a
+    single-row aggregate, same pattern as centroid collection).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (typing docs only)
+
+    occ = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    model = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = occ.count()
+    scored_model = model.select(
+        "_tok", F.expr(f"CAST({total} AS BIGINT) div _n").alias("_rarity")
+    )
+    if broadcast_model:
+        scored_model = F.broadcast(scored_model)
+    return (
+        occ.join(scored_model, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_rarity").alias("sum_rarity"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -1544,3 +1544,42 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_docs=2,
     )
     return spans.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# t14 — rare-token density (integer-exact perplexity stand-in): build
+# a corpus token-frequency model, charge each occurrence the integer
+# surprisal total div count, rank documents by mean rarity. Model is
+# vocabulary-sized and broadcast; BIGINT scores are engine-exact.
+# --------------------------------------------------------------------
+
+T14_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+model AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         SUM((SELECT total FROM tot) // m.n) AS sum_rarity,
+         COUNT(*) AS n_tokens
+  FROM tok t JOIN model m USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, sum_rarity, n_tokens
+FROM scored
+ORDER BY CAST(sum_rarity AS DOUBLE) / n_tokens DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("t14_token_rarity", oracle=T14_ORACLE)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    scored = text.token_rarity(
+        spark.table("documents"), id_col="doc_id", text_col="text"
+    )
+    return scored.orderBy(
+        (F.col("sum_rarity").cast("double") / F.col("n_tokens")).desc(),
+        "doc_id",
+    ).limit(20)

@@ -83,3 +83,27 @@ def test_top_bigram_fraction(spark):
     assert one(spark, "a b c d", text.top_bigram_fraction(F.col("t"))) == 1 / 3
     # fewer than 2 tokens: single joined shingle -> fraction 1.0
     assert one(spark, "solo", text.top_bigram_fraction(F.col("t"))) == 1.0
+
+
+def test_token_rarity_integer_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the zebra"), (2, "the the the the")],
+        ["id", "text"],
+    )
+    # corpus: the x7, zebra x1 -> total 8; surprisal: the -> 8 div 7 = 1,
+    # zebra -> 8 div 1 = 8
+    from arc_jupyter_spark.operators.text import token_rarity
+    out = {r["id"]: (r["sum_rarity"], r["n_tokens"])
+           for r in token_rarity(df, "id", "text").collect()}
+    assert out[1] == (3 * 1 + 8, 4)
+    assert out[2] == (4 * 1, 4)
+
+
+def test_token_rarity_shuffle_join_matches_broadcast(spark):
+    from arc_jupyter_spark.operators.text import token_rarity
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i}") for i in range(20)], ["id", "text"]
+    )
+    a = sorted(map(tuple, token_rarity(df, "id", "text", broadcast_model=True).collect()))
+    b = sorted(map(tuple, token_rarity(df, "id", "text", broadcast_model=False).collect()))
+    assert a == b

@@ -125,7 +125,8 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    n_checked = len([n for n in qs if not only or n in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} passed")
     return 1 if failures else 0
 
 
