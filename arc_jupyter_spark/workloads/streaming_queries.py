@@ -82,7 +82,7 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return (
+    out = (
         spark.table(name)
         .select(
             F.col("w.start").alias("window_start"),
@@ -92,6 +92,8 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # --------------------------------------------------------------------
@@ -133,9 +135,11 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sum_value").alias("sum_value"),
         )
     )
-    return latest.select(
+    out = latest.select(
         "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
     ).orderBy("user_id")
+    spark.catalog.dropTempView(name)
+    return out
 
 
 # --------------------------------------------------------------------
@@ -320,4 +324,6 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name).distinct().orderBy("user_id", "event_type")
+    out = spark.table(name).distinct().orderBy("user_id", "event_type")
+    spark.catalog.dropTempView(name)
+    return out

@@ -211,3 +211,30 @@ def test_st04_join_state_has_watermarks(spark):
     )
     analyzed = joined._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("EventTimeWatermark") == 2
+
+
+def test_d08_membership_is_semi_join_no_cartesian(spark):
+    """Span-dedup membership must be a semi join on the gram digest —
+    a hot boilerplate gram must not multiply rows — and no join in the
+    plan may be a cartesian product."""
+    plan = plan_of(spark, "d08_span_dedup")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_t13_pack_single_partition_shuffle(spark):
+    """Sequence packing is one window pass: exactly one exchange
+    hash-partitioned on the source column before the running-sum
+    window (plus the final ordering exchange)."""
+    plan = plan_of(spark, "t13_seq_pack")
+    assert "Window" in plan
+    # the window's partitioning shuffle keys on source
+    assert "hashpartitioning(source" in plan
+
+
+def test_t14_model_join_is_broadcast(spark):
+    """The vocabulary model must broadcast to the occurrence join —
+    scoring must not shuffle the token-occurrence table for the join."""
+    plan = plan_of(spark, "t14_token_rarity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
