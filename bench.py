@@ -31,11 +31,14 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
     "d06_cc_dedup",
+    "d08_span_dedup",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",
     "t05_corpus_filter",
     "t07_repetition",
+    "t13_seq_pack",
+    "t14_token_rarity",
     "p01_corpus_pipeline",
     "st01_stream_window",
 ]
