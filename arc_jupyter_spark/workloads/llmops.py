@@ -1583,3 +1583,99 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_rarity").cast("double") / F.col("n_tokens")).desc(),
         "doc_id",
     ).limit(20)
+
+
+# --------------------------------------------------------------------
+# t15 — vocabulary statistics per source: vocab size, hapax count
+# (tokens seen once — the Zipf tail), total occurrences, type-token
+# ratio numerators. Two partial-aggregated shuffles on (source, token)
+# then (source); all counts BIGINT, engine-exact.
+# --------------------------------------------------------------------
+
+T15_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+tc AS (
+  SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok
+)
+SELECT source,
+       COUNT(*) AS vocab,
+       SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax,
+       SUM(n) AS total_tokens
+FROM tc GROUP BY source ORDER BY source
+"""
+
+
+@query("t15_vocab_stats", oracle=T15_ORACLE)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    occ = spark.table("documents").select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    tc = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+            F.sum("n").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# m05 — multimodal curation join: media lives in its own (id, binary)
+# table; image metadata is decoded Arrow-batched (mapInPandas), gated
+# on resolution, and the surviving ids join back to the text corpus
+# for quality accounting. The decode stage carries only (id, payload)
+# — text never rides through the Python worker — and the survivors
+# join is id-to-id. Oracle reproduces the stub digest arithmetic, so
+# the Arrow path is value-hash-checked end to end.
+# --------------------------------------------------------------------
+
+_M05_MIN_WIDTH = 512
+
+M05_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS x FROM documents
+),
+meta AS (
+  SELECT doc_id,
+         64 + ({_hex_byte(1)} + 256*{_hex_byte(3)}) % 1024 AS width
+  FROM b
+),
+kept AS (SELECT doc_id FROM meta WHERE width >= {_M05_MIN_WIDTH})
+SELECT d.source,
+       COUNT(*) AS n_kept,
+       SUM(len(regexp_extract_all(d.text, '{text.TOKEN_PATTERN}'))) AS sum_tokens,
+       SUM(d.n_chars) AS sum_chars
+FROM documents d JOIN kept USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("m05_media_gate_join", oracle=M05_ORACLE)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("value"))
+    meta = multimodal.extract_image_metadata(media, binary_col="value")
+    kept = meta.where(
+        F.col("image_meta.width") >= _M05_MIN_WIDTH
+    ).select("doc_id")
+    return (
+        docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(text.token_count(F.col("text")).cast("bigint")).alias(
+                "sum_tokens"
+            ),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1575,3 +1575,82 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+
+
+# --------------------------------------------------------------------
+# q54 — volume shipping (TPC-H Q7 shape): revenue between two trading
+# nations by year and direction. Six-table join; Catalyst reorders it
+# so the fact tables meet on l_orderkey (one co-partitioned shuffle
+# join) while the four dimension legs broadcast — the canonical
+# star-with-a-bridge plan at 100 TB.
+# --------------------------------------------------------------------
+
+_Q54_NATIONS = ("NATION_3", "NATION_7")
+
+Q54_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{_Q54_NATIONS[0]}' AND n2.n_name = '{_Q54_NATIONS[1]}')
+   OR (n1.n_name = '{_Q54_NATIONS[1]}' AND n2.n_name = '{_Q54_NATIONS[0]}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q54_volume_shipping", oracle=Q54_ORACLE)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    a, b = _Q54_NATIONS
+    nations = spark.table("nation").where(F.col("n_name").isin(a, b))
+    supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(nations.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        spark.table("customer")
+        .join(
+            F.broadcast(nations.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
