@@ -1679,3 +1679,103 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# p02 — multimodal corpus-assembly pipeline, ONE lazy plan:
+#   media resolution gate (Arrow-batched stub decode over the
+#   (id, binary) media table) -> join survivors to text -> exact
+#   dedup (digest min_by) -> token-count gate -> concat-and-chop
+#   sequence packing per source -> per-source layout summary.
+# Document-scale shuffles: dedup groupBy, packing window, final agg —
+# the gate and token counting fuse into the scan/decode projections.
+# Every stage is integer-exact, so the whole composition value-hashes.
+# --------------------------------------------------------------------
+
+_P02_MIN_WIDTH = 384
+_P02_CAPACITY = 512
+
+
+def _p02_oracle() -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, md5(text) AS x FROM documents
+),
+kept AS (
+  SELECT doc_id FROM b
+  WHERE 64 + ({_hex_byte(1)} + 256*{_hex_byte(3)}) % 1024 >= {_P02_MIN_WIDTH}
+),
+survivors AS (
+  SELECT d.source, d.doc_id, d.text,
+         len(regexp_extract_all(d.text, '{text.TOKEN_PATTERN}')) AS cost
+  FROM documents d JOIN kept USING (doc_id)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM survivors
+  ) WHERE rn = 1
+),
+gated AS (
+  SELECT source, doc_id, cost FROM deduped WHERE cost BETWEEN 20 AND 2000
+),
+r AS (
+  SELECT source, doc_id, cost,
+         SUM(cost) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM gated
+),
+packed AS (
+  SELECT source, doc_id, cost,
+         CAST(FLOOR((running - cost) / {_P02_CAPACITY}.0) AS BIGINT) AS start_bin,
+         GREATEST(CAST(FLOOR((running - cost) / {_P02_CAPACITY}.0) AS BIGINT),
+                  CAST(FLOOR((running - 1) / {_P02_CAPACITY}.0) AS BIGINT)) AS end_bin
+  FROM r
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       MAX(end_bin) + 1 AS n_seqs,
+       SUM(cost) AS total_tokens,
+       SUM(doc_id * end_bin + start_bin) AS bin_checksum
+FROM packed GROUP BY source ORDER BY source
+"""
+
+
+@query("p02_media_pack_pipeline", oracle=_p02_oracle())
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("value"))
+    kept = (
+        multimodal.extract_image_metadata(media, binary_col="value")
+        .where(F.col("image_meta.width") >= _P02_MIN_WIDTH)
+        .select("doc_id")
+    )
+    survivors = docs.join(kept, "doc_id").select(
+        "source",
+        "doc_id",
+        "text",
+        text.token_count(F.col("text")).cast("bigint").alias("cost"),
+    )
+    deduped = dedup.exact_dedup_by_digest(survivors, "text", "doc_id")
+    gated = deduped.where(F.col("cost").between(20, 2000)).select(
+        "source", "doc_id", "cost"
+    )
+    packed = sampling.pack_sequences(
+        gated, "source", [F.col("doc_id")], F.col("cost"),
+        capacity=_P02_CAPACITY,
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("end_bin") + F.lit(1)).alias("n_seqs"),
+            F.sum("cost").alias("total_tokens"),
+            F.sum(
+                F.col("doc_id") * F.col("end_bin") + F.col("start_bin")
+            ).alias("bin_checksum"),
+        )
+        .orderBy("source")
+    )

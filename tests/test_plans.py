@@ -238,3 +238,14 @@ def test_t14_model_join_is_broadcast(spark):
     plan = plan_of(spark, "t14_token_rarity")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_p02_pipeline_shape(spark):
+    """Composed multimodal pipeline: survivors join broadcasts (no
+    corpus-vs-corpus SortMergeJoin), one Arrow decode stage, one
+    packing window, <= 4 exchanges, no cartesian."""
+    plan = plan_of(spark, "p02_media_pack_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") <= 4
