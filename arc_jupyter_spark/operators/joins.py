@@ -68,3 +68,47 @@ def asof_join(
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
     out_cols += [F.col("_asof")[c].alias(f"asof_{c}") for c in value_cols]
     return matched.where(F.col("_is_left")).select(*out_cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-resilient equi-join: spread a hot key over ``salts`` tasks.
+
+    Hash joins send every row of one key to one task, so a single hot
+    key (the null-ish user, the boilerplate digest) caps the join at
+    one core no matter how wide the cluster is. Salting restores
+    parallelism deterministically:
+
+    - FACT side: add ``pmod(xxhash64(<all columns>), salts)`` — a
+      content-derived salt, so reruns partition identically (no
+      ``rand()``);
+    - DIM side: replicate each row ``salts`` times (explode of a
+      ``sequence`` literal — map-side, no shuffle);
+    - join on ``(on, salt)``; drop the salt.
+
+    Results are exactly the plain join's (each fact row still meets
+    every dim row of its key exactly once); only the shuffle layout
+    changes. Cost: the dim shuffles ``salts``× — use for
+    fact-skewed × modest-dim joins, and prefer AQE skew-join when the
+    skew is mild enough for runtime splitting. ``how`` supports
+    inner/left (fact-preserving joins; right/full would need the
+    dim side deduplicated after the explode).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    fact_s = fact.withColumn(
+        salt_col,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts)
+        ).cast("int"),
+    )
+    dim_s = dim.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return fact_s.join(dim_s, [on, salt_col], how).drop(salt_col)

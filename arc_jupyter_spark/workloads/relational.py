@@ -1654,3 +1654,40 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# --------------------------------------------------------------------
+# q55 — skew-resilient salted join: events (fact; hot users in real
+# traffic) joined to the customer dim on a content-derived salt so a
+# hot key spreads over 8 tasks instead of capping the join at one
+# core. Results are exactly the plain join's — which is what the
+# oracle checks.
+# --------------------------------------------------------------------
+
+Q55_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q55_salted_join", oracle=Q55_ORACLE)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.joins import salted_join
+
+    load_views(spark, sf_dir, "events", "customer")
+    fact = spark.table("events").select("user_id", "value")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, on="user_id", salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(exact_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )

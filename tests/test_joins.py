@@ -33,3 +33,35 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     plan = asof_join(trades, quotes, on="t", by="sym")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # window-based, not a join node
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from arc_jupyter_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, i) for i in range(5)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "name"])
+    got = sorted(map(tuple, salted_join(fact, dim, "k", salts=4).collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from arc_jupyter_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (9, 90)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a")], ["k", "name"])
+    rows = {r["k"]: r["name"] for r in
+            salted_join(fact, dim, "k", salts=4, how="left").collect()}
+    assert rows == {1: "a", 9: None}
+
+
+def test_salted_join_rejects_right(spark):
+    from arc_jupyter_spark.operators.joins import salted_join
+    import pytest
+
+    fact = spark.createDataFrame([(1, 10)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_join(fact, fact, "k", how="right")
