@@ -663,3 +663,29 @@ def duplicated_spans(
         .join(covered, id_col)
         .select(id_col, "n_grams", "n_dup_grams", "dup_tokens")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space dedup (SemDeDup shape): drop every vector that
+    has a smaller-id neighbor with cosine >= ``threshold`` inside its
+    block (cluster / LSH bucket).
+
+    The kept set is exactly the id-minimal elements of the ε-ball
+    graph: deterministic (no random tie-breaks), order-independent,
+    and computable in two steps — the blocked pair join
+    (:func:`embedding_dup_pairs`; pairs never leave their block) and
+    one anti-join of the corpus against the distinct dropped-id set.
+    At 100 TB the block assignment (k-means cells, map-side argmax)
+    bounds each join bucket; the anti-join shuffles ids, not vectors.
+    """
+    pairs = embedding_dup_pairs(
+        df, id_col, vec_col, threshold=threshold, block_col=block_col
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

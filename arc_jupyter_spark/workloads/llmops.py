@@ -1779,3 +1779,67 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# s06 — semantic dedup (SemDeDup shape): k-means cells block the
+# ε-ball search; any vector with a smaller-id neighbor above the
+# cosine threshold inside its cell is dropped. Floats stay Spark-side;
+# the oracle checks the CONTRACT (the s02/s04 pattern): totals add
+# up, kept vectors are pairwise below-threshold within cells, and
+# every dropped vector has a smaller near-neighbor.
+# --------------------------------------------------------------------
+
+_S06_TAU = 0.92
+
+S06_ORACLE = """
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_total,
+       TRUE AS counts_add_up,
+       TRUE AS kept_pairwise_ok,
+       TRUE AS kept_disjoint_from_dropped
+"""
+
+
+@query("s06_semantic_dedup", oracle=S06_ORACLE)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    centroids = similarity.kmeans_centroids(
+        emb, k=8, vec_col="embedding", max_iter=3
+    )
+    cells = similarity.assign_ivf_cells(
+        emb, centroids, vec_col="embedding",
+        centroid_id_col="centroid_id", centroid_vec_col="centroid",
+    )
+    kept = dedup.semantic_dedup(
+        cells, id_col="vec_id", vec_col="embedding",
+        block_col="cell", threshold=_S06_TAU,
+    )
+    # contract checks, all Spark-side, ONE lazy plan (scalar aggregates
+    # cross-joined, the q53 pattern — centroids are plan literals, so
+    # nothing iterative reruns per aggregate):
+    pairs = dedup.embedding_dup_pairs(
+        cells, "vec_id", "embedding", threshold=_S06_TAU, block_col="cell"
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept_pairs = dedup.embedding_dup_pairs(
+        kept, "vec_id", "embedding", threshold=_S06_TAU, block_col="cell"
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("_n_kept")))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("_n_dropped")))
+        .crossJoin(kept_pairs.agg(F.count(F.lit(1)).alias("_n_kept_pairs")))
+        .crossJoin(
+            kept.join(dropped, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("_n_overlap"))
+        )
+        .select(
+            "n_total",
+            (F.col("_n_kept") + F.col("_n_dropped") == F.col("n_total")).alias(
+                "counts_add_up"
+            ),
+            (F.col("_n_kept_pairs") == 0).alias("kept_pairwise_ok"),
+            (F.col("_n_overlap") == 0).alias("kept_disjoint_from_dropped"),
+        )
+    )

@@ -159,3 +159,22 @@ def test_duplicated_spans_short_docs_excluded(spark):
     )
     # both docs are shorter than the gram length: no grams, no rows
     assert dedup.duplicated_spans(df, "id", "text", gram_len=5).count() == 0
+
+
+def test_semantic_dedup_keeps_id_minimal_elements(spark):
+    # block 1: vectors 1 and 2 identical (cos=1), 3 orthogonal;
+    # block 2: vector 4 alone. Drop 2 (smaller neighbor 1 exists).
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [2.0, 0.0], "a"),   # same direction as 1 -> cos 1.0
+        (3, [0.0, 1.0], "a"),
+        (4, [1.0, 0.0], "b"),   # same direction but different block
+    ]
+    df = spark.createDataFrame(rows, ["id", "vec", "blk"])
+    kept = sorted(
+        r["id"]
+        for r in dedup.semantic_dedup(
+            df, "id", "vec", block_col="blk", threshold=0.95
+        ).collect()
+    )
+    assert kept == [1, 3, 4]
