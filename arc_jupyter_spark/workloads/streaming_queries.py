@@ -327,3 +327,77 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).distinct().orderBy("user_id", "event_type")
     spark.catalog.dropTempView(name)
     return out
+
+
+# --------------------------------------------------------------------
+# st06 — streaming session windows: per-user sessions merged in the
+# state store as events arrive (session_window + watermark). Sessions
+# merge while consecutive windows overlap, i.e. a gap >= 30 min (the
+# window is end-exclusive) starts a new session — the oracle's
+# gaps-and-islands CASE uses >= to match. Unbounded, the watermark
+# finalizes and evicts closed sessions; over the static fixture the
+# complete-mode drain equals the batch sessionization.
+# --------------------------------------------------------------------
+
+ST06_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS session_value_e6
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@query("st06_stream_sessions", oracle=ST06_ORACLE)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("session_value_e6"),
+        )
+    )
+    name = f"st06_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value_e6",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    spark.catalog.dropTempView(name)
+    return out

@@ -130,3 +130,30 @@ def test_stream_dedup_matches_batch_distinct(spark):
     want = {(r["user_id"], r["event_type"]) for r in
             spark.sql("SELECT DISTINCT user_id, event_type FROM events").collect()}
     assert got == want
+
+
+def test_stream_sessions_match_batch_sessionization(spark):
+    from arc_jupyter_spark.workloads.streaming_queries import st06
+    from arc_jupyter_spark.workloads.base import load_views
+
+    got = st06(spark, "/root/testdata/sf0.001").collect()
+    load_views(spark, "/root/testdata/sf0.001", "events")
+    batch = spark.sql("""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTES
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """).collect()
+    assert [(r["user_id"], r["session_start"], r["n_events"]) for r in got] == \
+           [(r["user_id"], r["session_start"], r["n_events"]) for r in batch]
