@@ -249,3 +249,28 @@ def test_p02_pipeline_shape(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") <= 4
+
+
+def test_no_cartesian_in_any_batch_query(spark):
+    """Blanket 100 TB gate: no batch query's plan may contain a
+    cartesian product or an unintended nested-loop join.
+
+    Allowlisted BroadcastNestedLoopJoin uses — all broadcast a
+    provably tiny side:
+    - q53_funnel / s06_semantic_dedup: crossJoin of 1-row scalar
+      aggregates (the one-lazy-plan contract pattern);
+    - s03_batch_topk: the handful of query vectors broadcast against
+      the corpus by design (every corpus row scores every query).
+    """
+    ALLOWED_BNL = {"q53_funnel", "s06_semantic_dedup", "s03_batch_topk"}
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        if name.startswith("st"):  # streaming queries execute on build
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNL:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, f"scale-unsafe joins: {offenders}"
