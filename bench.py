@@ -27,6 +27,7 @@ HEADLINE = [
     "q29_range_join",
     "q43_session_window",
     "q44_lateral_topk",
+    "q54_volume_shipping",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
@@ -40,6 +41,7 @@ HEADLINE = [
     "t13_seq_pack",
     "t14_token_rarity",
     "p01_corpus_pipeline",
+    "p02_media_pack_pipeline",
     "st01_stream_window",
 ]
 
