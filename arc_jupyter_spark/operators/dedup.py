@@ -629,9 +629,10 @@ def duplicated_spans(
     - membership: LEFT SEMI join of grams against the duplicated-digest
       set — no row multiplication, a hot boilerplate gram cannot fan
       out (each occurrence matches at most once);
-    - coverage: explode each dup gram to its ``gram_len`` token
-      positions, distinct per (id, pos), count — bounded by
-      ``gram_len x dup_grams``.
+    - coverage: classic interval-union-by-sorting — duplicated grams
+      sorted by position per document; each contributes
+      ``min(gram_len, pos - prev_pos)`` new tokens. One window shuffle
+      of the dup occurrences, no row multiplication.
     """
     grams = positional_shingles(_parallelize(df), id_col, text_col, gram_len)
     dup_digests = (
@@ -647,16 +648,15 @@ def duplicated_spans(
     dup_counts = dup_occ.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_grams")
     )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    prev = F.lag("_pos").over(w)
+    contrib = F.when(prev.isNull(), F.lit(gram_len)).otherwise(
+        F.least(F.lit(gram_len), F.col("_pos") - prev)
+    )
     covered = (
-        dup_occ.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("_pos"), F.col("_pos") + (gram_len - 1))
-            ).alias("_tok"),
-        )
-        .distinct()
+        dup_occ.withColumn("_new_tokens", contrib)
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .agg(F.sum("_new_tokens").alias("dup_tokens"))
     )
     return (
         per_doc.join(dup_counts, id_col)
