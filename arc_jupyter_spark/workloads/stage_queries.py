@@ -259,3 +259,59 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
     ).orderBy("query_id", "vec_id")
+
+
+# --------------------------------------------------------------------
+# q56 — the kernel surface end to end, driver-checked: a verbatim
+# Arc-style HOCON cell (ParquetExtract -> SQLTransform -> SQLValidate,
+# unquoted keys, comments, triple-quoted SQL) through
+# Interpreter.execute; the query returns the pipeline's output view.
+# Reference cell language: ArcInterpreter.scala:404 (ConfigFactory
+# parse), stage dispatch 423-457.
+# --------------------------------------------------------------------
+
+Q56_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_e2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q56_arc_pipeline", oracle=Q56_ORACLE)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.interpreter import Interpreter
+
+    interp = Interpreter(spark=spark)
+    cell = f"""%arc
+{{
+  type = ParquetExtract
+  name = extract lineitem          // reference-style bare HOCON
+  inputURI = "{sf_dir}/lineitem.parquet"
+  outputView = q56_lineitem
+}}
+{{
+  type = SQLTransform
+  name = revenue by returnflag
+  sql = \"\"\"
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_e2
+    FROM q56_lineitem
+    GROUP BY l_returnflag
+  \"\"\"
+  outputView = q56_out
+}}
+{{
+  type = SQLValidate
+  name = output nonempty
+  sql = \"\"\"
+    SELECT COUNT(*) > 0 AS valid, TO_JSON(MAP('rows', COUNT(*))) AS message
+    FROM q56_out
+  \"\"\"
+}}
+"""
+    interp.execute(cell)
+    return spark.table("q56_out").orderBy("l_returnflag")
