@@ -120,3 +120,42 @@ def test_pack_sequences_partitions_independent(spark):
     assert vals[0] == vals[1] == vals[2]
     # 5 docs x 7 tokens = 35 tokens -> bins 0..3 used
     assert max(e for _, _, e in vals[0]) == 3
+
+
+def test_pack_sequences_invariants_random(spark):
+    """Packing invariants over randomized cost vectors: spans are
+    well-formed and consecutive, total bins cover exactly the token
+    stream, and a doc's span width matches its cost."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = [
+        (f"s{g}", i, rng.randint(0, 37))
+        for g in range(4)
+        for i in range(rng.randint(1, 40))
+    ]
+    cap = 16
+    df = spark.createDataFrame(rows, ["src", "id", "cost"])
+    got = sampling.pack_sequences(
+        df, "src", [F.col("id")], F.col("cost"), capacity=cap
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["id"])
+        running = 0
+        prev_end = 0
+        for r in rs:
+            assert 0 <= r["start_bin"] <= r["end_bin"]
+            # a doc starts in the bin its first token falls in
+            assert r["start_bin"] == running // cap
+            running += r["cost"]
+            if r["cost"] > 0:
+                assert r["end_bin"] == (running - 1) // cap
+                # spans never go backwards
+                assert r["start_bin"] >= prev_end - 1
+                prev_end = r["end_bin"]
+        if running > 0:
+            # last used bin is exactly ceil(total/cap) - 1
+            assert max(r["end_bin"] for r in rs) == (running - 1) // cap
