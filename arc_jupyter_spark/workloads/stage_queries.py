@@ -315,3 +315,71 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 """
     interp.execute(cell)
     return spark.table("q56_out").orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------
+# q57 — bucketed co-located join, driver-checked: both fact tables are
+# written bucketed on the join key (the ParquetLoad bucketBy path),
+# re-read, and joined WITHOUT any exchange feeding the join — the
+# pre-shuffle layout a 100 TB pipeline pays for once and reuses every
+# run. Broadcast is disabled during the join so the co-located
+# sort-merge path is what actually executes; results are identical
+# either way, which is what the oracle checks.
+# --------------------------------------------------------------------
+
+Q57_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_e2
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q57_bucketed_join", oracle=Q57_ORACLE)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    load_views(spark, sf_dir, "lineitem", "orders")
+    base = tempfile.mkdtemp(prefix="q57_buckets_")
+    for view, table, key in (
+        ("lineitem", "q57_li", "l_orderkey"),
+        ("orders", "q57_ord", "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            spark.table(view)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{table}")
+            .saveAsTable(table)
+        )
+    li, ord_ = spark.table("q57_li"), spark.table("q57_ord")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("revenue_e2"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize under the no-broadcast setting so the co-located
+        # SMJ is the executed plan; tiny result, driver-safe
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.createDataFrame(rows, out.schema)
