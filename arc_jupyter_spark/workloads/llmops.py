@@ -1843,3 +1843,60 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n_overlap") == 0).alias("kept_disjoint_from_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# t16 — quantile-gated curation: keep each source's top quality decile
+# (ntile over an integer score with a doc_id tie-break, so decile
+# assignment is a total order and engine-exact). The "keep the best
+# X% per stratum" selection that thresholds can't express when score
+# distributions differ across sources. One window shuffle per stratum.
+# --------------------------------------------------------------------
+
+T16_ORACLE = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         NTILE(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS decile
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score,
+       SUM(doc_id) AS id_sum
+FROM ranked WHERE decile = 1
+GROUP BY source ORDER BY source
+"""
+
+
+@query("t16_quality_decile", oracle=T16_ORACLE)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    scored = spark.table("documents").select(
+        "source",
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    kept = scored.withColumn("decile", F.ntile(10).over(w)).where(
+        F.col("decile") == 1
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
