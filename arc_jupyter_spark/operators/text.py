@@ -218,8 +218,6 @@ def token_rarity(df, id_col: str, text_col: str, broadcast_model: bool = True):
     The one driver-side value is the scalar ``total_tokens`` (a
     single-row aggregate, same pattern as centroid collection).
     """
-    from pyspark.sql import DataFrame  # noqa: F401  (typing docs only)
-
     occ = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
