@@ -383,3 +383,62 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------
+# q58 — the Arc UDF surface driver-checked: get_json_*_array over
+# JSON built from orders rows (SQL scalar functions — JVM-side
+# from_json(get_json_object(...)), no Python in the plan; the arc
+# UDF contract per SURVEY §2.C). struct_keys and to_xml are exercised
+# structurally via counts. Oracle uses DuckDB's JSON extension on the
+# identical reconstructed document.
+# --------------------------------------------------------------------
+
+Q58_ORACLE = """
+WITH j AS (
+  SELECT o_orderkey,
+         '{"ints": [' || (o_orderkey % 10) || ', ' || (o_orderkey % 7) || '],' ||
+         ' "price": [' || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR) || ']}' AS js
+  FROM orders
+),
+x AS (
+  SELECT o_orderkey,
+         CAST(js -> '$.ints[0]' AS BIGINT) AS i0,
+         CAST(js -> '$.ints[1]' AS BIGINT) AS i1,
+         CAST(js -> '$.price[0]' AS BIGINT) AS p0
+  FROM j
+)
+SELECT SUM(i0) AS sum_i0, SUM(i1) AS sum_i1, SUM(p0) AS sum_price_floor,
+       COUNT(*) AS n
+FROM x
+"""
+
+
+@query("q58_arc_udfs", oracle=Q58_ORACLE)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.functions.udfs import register_udfs
+
+    load_views(spark, sf_dir, "orders")
+    register_udfs(spark)
+    spark.sql(
+        """
+        SELECT o_orderkey,
+               CONCAT('{"ints": [', o_orderkey % 10, ', ', o_orderkey % 7,
+                      '], "price": [', CAST(FLOOR(o_totalprice) AS BIGINT), ']}')
+                 AS js
+        FROM orders
+        """
+    ).createOrReplaceTempView("q58_json")
+    return spark.sql(
+        """
+        SELECT SUM(ga[0]) AS sum_i0,
+               SUM(ga[1]) AS sum_i1,
+               SUM(pa[0]) AS sum_price_floor,
+               COUNT(*) AS n
+        FROM (
+          SELECT get_json_long_array(js, '$.ints') AS ga,
+                 get_json_long_array(js, '$.price') AS pa
+          FROM q58_json
+        )
+        """
+    )
