@@ -593,13 +593,21 @@ def positional_shingles(
     gram = F.concat_ws(
         " ", *[F.element_at(F.col("_toks"), F.col("_pos") + i) for i in range(n)]
     )
+    # 64-bit digest (md5 truncated via base conversion): 8 bytes per
+    # gram on the shuffle instead of a 32-char hex string. Collisions
+    # merge two grams' doc sets — at 2^64, negligible against the >= 2
+    # doc-frequency threshold even at corpus scale, and engine-portable
+    # (DuckDB can reproduce the same conv(md5) if ever needed).
+    digest = F.conv(
+        F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
     return toks.select(
         F.col(id_col),
         F.explode(
             F.sequence(F.lit(1), F.size("_toks") - (n - 1))
         ).alias("_pos"),
         "_toks",
-    ).select(F.col(id_col), "_pos", F.md5(gram.cast("binary")).alias("_digest"))
+    ).select(F.col(id_col), "_pos", digest.alias("_digest"))
 
 
 def duplicated_spans(
