@@ -210,23 +210,34 @@ def minhash_band_table(
 
     The shared banding primitive behind candidate generation and
     incremental near-dedup — one md5 per band over the concatenated
-    band rows of the MinHash signature.
+    band rows of the MinHash signature, truncated to a BIGINT (8 bytes
+    per band key on the shuffle instead of a 32-char hex string; a
+    2^-60-scale collision just adds one spurious candidate pair, which
+    downstream exact verification tolerates by design).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
     band_digests = [
-        F.md5(
-            F.concat(
-                F.lit(f"band{b}|"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"_s{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"band{b}|"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"_s{b * rows_per_band + j}").cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        ),
+                    ).cast("binary")
                 ),
-            ).cast("binary")
-        )
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
         for b in range(bands)
     ]
     return sigs.select(F.col(id_col), F.explode(F.array(*band_digests)).alias("_band"))

@@ -63,7 +63,7 @@ _SHINGLE_LEN = 3
 
 def _banded_cte() -> str:
     """DuckDB CTE chain ending in ``banded(doc_id, band)`` — the exact
-    md5-minhash band digests the Spark operators compute."""
+    truncated-md5 minhash band BIGINTs the Spark operators compute."""
     coeffs = dedup.minhash_coefficients(_NUM_HASHES)
     sigs = ", ".join(
         f"list_min(list_transform(shingles, "
@@ -72,7 +72,7 @@ def _banded_cte() -> str:
         for i, (a, b) in enumerate(coeffs)
     )
     bands = ", ".join(
-        "md5('band{b}|' || {parts}) AS band{b}".format(
+        "('0x' || substr(md5('band{b}|' || {parts}), 1, 15))::BIGINT AS band{b}".format(
             b=b,
             parts=" || '|' || ".join(
                 f"s{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
