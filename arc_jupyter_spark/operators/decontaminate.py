@@ -36,14 +36,23 @@ from arc_jupyter_spark.operators.dedup import word_shingles
 
 
 def shingle_digests(text: Column, n: int = 7) -> Column:
-    """Per-document array of DISTINCT md5 digests of word n-grams.
+    """Per-document array of DISTINCT 64-bit digests of word n-grams.
 
     ``array_distinct`` runs map-side so a document repeating one
     shingle many times contributes it once — overlap counts below are
-    set-semantics, matching COUNT(DISTINCT ...) oracles.
+    set-semantics, matching COUNT(DISTINCT ...) oracles. Digests are
+    md5 truncated to BIGINT: the broadcast eval set and the exploded
+    corpus rows carry 8 bytes per shingle instead of a 32-char string;
+    a 2^-60-scale collision flags one extra shared shingle, a
+    conservative error for a contamination screen.
     """
     return F.array_distinct(
-        F.transform(word_shingles(text, n), lambda s: F.md5(s.cast("binary")))
+        F.transform(
+            word_shingles(text, n),
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
     )
 
 
