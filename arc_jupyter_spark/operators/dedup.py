@@ -355,10 +355,19 @@ def jaccard_pairs(
     self-join reuses the same hash partitioning — no extra shuffle.
     """
     block = [block_col] if block_col else []
+    # shingles become 8-byte digests BEFORE the explode/shuffle: the
+    # self-join keys on a bigint, never on shingle text (a 2^-60-scale
+    # collision overcounts one intersection element — the standard
+    # trade everywhere this module shuffles digests)
     sh = _parallelize(df).select(
         F.col(id_col),
         *[F.col(c) for c in block],
-        F.array_distinct(word_shingles(F.col(text_col), shingle_len)).alias("_sh"),
+        F.transform(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_len)),
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("bigint"),
+        ).alias("_sh"),
     )
     ex = sh.select(
         F.col(id_col),
