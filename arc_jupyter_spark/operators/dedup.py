@@ -671,25 +671,33 @@ def duplicated_spans(
         .where(F.col("_nd") >= min_docs)
         .select("_digest")
     )
-    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    dup_occ = grams.join(dup_digests, "_digest", "left_semi")
-    dup_counts = dup_occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_grams")
+    # n_grams needs no aggregation: it is size(tokens) - n + 1,
+    # computed map-side straight from the document
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
+    per_doc = df.select(
+        F.col(id_col),
+        (F.size(tokens) - (gram_len - 1)).cast("bigint").alias("n_grams"),
+    ).where(F.col("n_grams") > 0)
+    dup_occ = grams.join(dup_digests, "_digest", "left_semi")
+    # one shuffle: the coverage window and the dup-gram count share the
+    # same per-document partitioning and fuse into one aggregation
     w = Window.partitionBy(id_col).orderBy("_pos")
     prev = F.lag("_pos").over(w)
     contrib = F.when(prev.isNull(), F.lit(gram_len)).otherwise(
         F.least(F.lit(gram_len), F.col("_pos") - prev)
     )
-    covered = (
+    dup_stats = (
         dup_occ.withColumn("_new_tokens", contrib)
         .groupBy(id_col)
-        .agg(F.sum("_new_tokens").alias("dup_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("_new_tokens").alias("dup_tokens"),
+        )
     )
-    return (
-        per_doc.join(dup_counts, id_col)
-        .join(covered, id_col)
-        .select(id_col, "n_grams", "n_dup_grams", "dup_tokens")
+    return per_doc.join(dup_stats, id_col).select(
+        id_col, "n_grams", "n_dup_grams", "dup_tokens"
     )
 
 
