@@ -1691,3 +1691,41 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------
+# q59 — DISTRIBUTE BY / SORT BY (SURVEY §2.B SQLTransform row): the
+# write-layout clustering clause. The inner query hash-partitions on
+# l_suppkey and sorts within partitions; the outer aggregation then
+# REUSES that partitioning — Catalyst plans partial+final hash
+# aggregation with no additional exchange (plan-asserted), which is
+# exactly why you cluster before grouped writes at 100 TB.
+# --------------------------------------------------------------------
+
+Q59_SPARK = """
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_e2
+FROM (
+  SELECT l_suppkey, l_extendedprice
+  FROM lineitem
+  DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_extendedprice
+)
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+Q59_ORACLE = """
+SELECT l_suppkey,
+       COUNT(*) AS n_lines,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_e2
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+@query("q59_distribute_by", oracle=Q59_ORACLE)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(Q59_SPARK)

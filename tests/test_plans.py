@@ -274,3 +274,12 @@ def test_no_cartesian_in_any_batch_query(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNL:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, f"scale-unsafe joins: {offenders}"
+
+
+def test_q59_aggregation_reuses_distribute_by_partitioning(spark):
+    """The GROUP BY must reuse the DISTRIBUTE BY hash partitioning:
+    exactly one hashpartitioning exchange on l_suppkey (plus the final
+    ORDER BY range exchange), not two."""
+    plan = plan_of(spark, "q59_distribute_by")
+    assert plan.count("Exchange hashpartitioning(l_suppkey") == 1
+    assert "rangepartitioning" in plan
