@@ -46,6 +46,8 @@ class _FileLoad(PipelineStage):
     def execute(self, ctx: ArcContext) -> DataFrame:
         df = ctx.table(self.input_view)
         uri = self.substitute(self.output_uri, ctx)
+        if df.isStreaming:
+            return self._execute_streaming(ctx, df, uri)
         if self.num_partitions:
             df_out = df.repartition(self.num_partitions)
         else:
@@ -72,6 +74,42 @@ class _FileLoad(PipelineStage):
             writer.saveAsTable(self.table_name)
         else:
             writer.save(uri)
+        return df
+
+    def _execute_streaming(
+        self, ctx: ArcContext, df: DataFrame, uri: str
+    ) -> DataFrame:
+        """Streaming file sink (reference: file Loads accept streaming
+        input): exactly-once append via the checkpointed file-sink
+        commit log. The checkpoint lives beside the output unless
+        overridden via the ``checkpointLocation`` option; the query is
+        tracked with the same managed-stop contract as
+        ConsoleLoad/MemoryLoad and drains with an availableNow trigger
+        (bounded source snapshot; an unbounded deployment swaps the
+        trigger and simply doesn't awaitTermination).
+        """
+        if self.bucket_by:
+            raise ValueError(
+                f"{self.stage_type} '{self.name}': bucketBy is a batch-only "
+                "layout (catalog metadata); streaming sinks append files"
+            )
+        opts = {**self.default_options(), **self.options}
+        checkpoint = opts.pop(
+            "checkpointLocation", uri.rstrip("/") + "/_checkpoints"
+        )
+        writer = (
+            df.writeStream.format(self.format_name)
+            .outputMode("append")
+            .queryName(f"load:{self.name}")
+            .option("checkpointLocation", checkpoint)
+        )
+        if opts:
+            writer = writer.options(**opts)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        query = writer.trigger(availableNow=True).start(uri)
+        ctx.track_stream(query)
+        query.awaitTermination()
         return df
 
 

@@ -173,3 +173,30 @@ def test_delimited_extract_filename_and_index(ctx, tmp_path):
         by_file.setdefault(r["_filename"].rsplit("/", 1)[-1], []).append(r["_index"])
     assert sorted(by_file["one.csv"]) == [1, 2, 3]
     assert by_file["two.csv"] == [1]
+
+
+def test_parquet_load_streaming_sink_round_trip(ctx, tmp_path):
+    """File Loads accept streaming input: checkpointed append sink,
+    drained with availableNow, rows equal the batch source."""
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+    from arc_jupyter_spark.workloads.base import read_events_stream
+
+    spark = ctx.spark
+    stream = read_events_stream(spark, SF_DIR).select("event_id", "user_id")
+    ctx.register(stream, "stream_events")
+    out = str(tmp_path / "stream_out")
+    run_pipeline(parse_pipeline([
+        {"type": "ParquetLoad", "name": "sink", "inputView": "stream_events",
+         "outputURI": out},
+    ]), ctx)
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert got.count() == want.count()
+    assert set(got.columns) == {"event_id", "user_id"}
+    # exactly-once: a second drain over the same (fully consumed)
+    # source appends nothing
+    run_pipeline(parse_pipeline([
+        {"type": "ParquetLoad", "name": "sink", "inputView": "stream_events",
+         "outputURI": out},
+    ]), ctx)
+    assert spark.read.parquet(out).count() == want.count()
