@@ -401,3 +401,56 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+# --------------------------------------------------------------------
+# st07 — streaming file-sink loop, driver-checked: events stream
+# through the ParquetLoad stage (checkpointed exactly-once append
+# sink), the written files are read back batch-side, and the
+# aggregate must equal the batch source's — the land-then-serve loop
+# every streaming ingest pipeline runs.
+# --------------------------------------------------------------------
+
+ST07_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS sum_value_e6
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("st07_stream_sink", oracle=ST07_ORACLE)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from arc_jupyter_spark.context import ArcContext
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    ctx = ArcContext(spark)
+    stream = read_events_stream(spark, sf_dir).select("event_type", "value")
+    ctx.register(stream, "st07_stream")
+    out = tempfile.mkdtemp(prefix="st07_sink_")
+    with _stream_partitions(spark):
+        run_pipeline(
+            parse_pipeline(
+                [
+                    {
+                        "type": "ParquetLoad",
+                        "name": "st07 sink",
+                        "inputView": "st07_stream",
+                        "outputURI": out,
+                    }
+                ]
+            ),
+            ctx,
+        )
+    landed = spark.read.parquet(out)
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_value_e6"),
+        )
+        .orderBy("event_type")
+    )
