@@ -442,3 +442,61 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------
+# q60 — DelimitedExtract driver-checked: orders lands as CSV (integer
+# and string columns only — CSV text round-trips them exactly), the
+# extract stage reads it back with an EXPLICIT schema (the at-scale
+# contract: inference scans twice), and the aggregate must equal the
+# parquet source's.
+# --------------------------------------------------------------------
+
+Q60_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+       SUM(o_custkey) AS cust_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q60_delimited_extract", oracle=Q60_ORACLE)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    load_views(spark, sf_dir, "orders")
+    csv_dir = tempfile.mkdtemp(prefix="q60_csv_")
+    (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(csv_dir)
+    )
+    ctx = ArcContext(spark)
+    run_pipeline(
+        parse_pipeline(
+            [
+                {
+                    "type": "DelimitedExtract",
+                    "name": "q60 extract",
+                    "inputURI": csv_dir,
+                    "outputView": "q60_csv",
+                    "header": True,
+                    "schema": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING",
+                }
+            ]
+        ),
+        ctx,
+    )
+    return (
+        spark.table("q60_csv")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
