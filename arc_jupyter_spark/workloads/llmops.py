@@ -1900,3 +1900,63 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# s07 — IVF-PQ (the production ANN composition): the coarse quantizer
+# prunes the scan to n_probe cells, ADC scores 8-byte codes inside
+# the surviving cells only, and the candidate pool reranks exactly.
+# Cell assignment and ADC are both map-side; the only per-query
+# driver work is ranking k centroids. Contract oracle (s02/s05
+# pattern): exactly k results, recall@10 vs exact >= 0.6 on the
+# fixed fixture.
+# --------------------------------------------------------------------
+
+S07_ORACLE = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       TRUE AS recall_at_10_ok
+"""
+
+
+@query("s07_ivf_pq_topk", oracle=S07_ORACLE)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    centroids = similarity.kmeans_centroids(
+        emb, k=8, vec_col="embedding", max_iter=3
+    )
+    cells = similarity.assign_ivf_cells(
+        emb, centroids, vec_col="embedding",
+        centroid_id_col="centroid_id", centroid_vec_col="centroid",
+    )
+    books = similarity.pq_train(emb, vec_col="embedding", id_col="vec_id")
+    enc = similarity.pq_encode(cells, books)
+
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+
+    def _cos(c):
+        cn = math.sqrt(sum(float(x) ** 2 for x in c)) or 1.0
+        return sum(float(a) * b for a, b in zip(c, qvec)) / (cn * qn)
+
+    crows = centroids.collect()  # k rows — the per-query driver work
+    probe = [
+        int(r["centroid_id"])
+        for r in sorted(crows, key=lambda r: -_cos(r["centroid"]))
+    ][:3]
+    pruned = enc.where(F.col("cell").isin(probe))
+    found = similarity.pq_search(
+        pruned, books, qvec, k=10, pool=50, id_col="vec_id", vec_col="embedding"
+    ).select("vec_id")
+    exact10 = similarity.cosine_topk(
+        emb, qvec, id_col="vec_id", vec_col="embedding", k=10
+    ).select(F.col("vec_id").alias("exact_id"), F.lit(True).alias("in10"))
+    joined = found.join(
+        F.broadcast(exact10), found.vec_id == exact10.exact_id, "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.count("in10") >= 6).alias("recall_at_10_ok"),
+    )
