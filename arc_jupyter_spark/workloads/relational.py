@@ -1729,3 +1729,59 @@ ORDER BY l_suppkey
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     return spark.sql(Q59_SPARK)
+
+
+# --------------------------------------------------------------------
+# q61 — retention cohorts: users grouped by first-seen week, activity
+# counted per (cohort, weeks-since). Two aggregations over events plus
+# a broadcast of the tiny per-user cohort table — the canonical
+# product-analytics shape. Week arithmetic is integer (epoch-day div
+# 7), so the matrix is engine-exact.
+# --------------------------------------------------------------------
+
+Q61_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(MIN(ts)) / 86400000000) AS BIGINT) // 7 AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT e.user_id,
+         f.cohort_week,
+         (CAST(FLOOR(epoch_us(e.ts) / 86400000000) AS BIGINT) // 7) - f.cohort_week
+           AS weeks_since
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, weeks_since,
+       COUNT(DISTINCT user_id) AS active_users,
+       COUNT(*) AS n_events
+FROM activity
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q61_retention_cohorts", oracle=Q61_ORACLE)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    # integer floor-div: both operands non-negative epoch weeks
+    ev = spark.table("events").select(
+        "user_id",
+        F.expr(
+            "CAST(FLOOR(unix_micros(ts) / 86400000000) AS BIGINT) div 7"
+        ).alias("_week"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("_week").alias("cohort_week"))
+    activity = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_week",
+        (F.col("_week") - F.col("cohort_week")).alias("weeks_since"),
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

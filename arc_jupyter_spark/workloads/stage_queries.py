@@ -500,3 +500,67 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------
+# q62 — heterogeneous-format union: the same logical table lands in
+# parquet, CSV, and JSON (historical pipelines accumulate formats);
+# three extract stages read them back with explicit schemas and the
+# union must aggregate identically to the single-source query.
+# unionByName tolerates column-order drift between the formats.
+# --------------------------------------------------------------------
+
+Q62_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q62_multi_format_union", oracle=Q62_ORACLE)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    load_views(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="q62_formats_")
+    slim = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    third = F.col("o_orderkey") % 3
+    slim.where(third == 0).write.mode("overwrite").parquet(f"{base}/p")
+    slim.where(third == 1).select(  # column-order drift on purpose
+        "o_orderstatus", "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").option("header", "true").csv(f"{base}/c")
+    slim.where(third == 2).write.mode("overwrite").json(f"{base}/j")
+    ctx = ArcContext(spark)
+    ddl = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+    csv_ddl = "o_orderstatus STRING, o_orderkey BIGINT, o_custkey BIGINT"
+    run_pipeline(
+        parse_pipeline(
+            [
+                {"type": "ParquetExtract", "name": "q62p",
+                 "inputURI": f"{base}/p", "outputView": "q62_p"},
+                {"type": "DelimitedExtract", "name": "q62c",
+                 "inputURI": f"{base}/c", "outputView": "q62_c",
+                 "header": True, "schema": csv_ddl},
+                {"type": "JSONExtract", "name": "q62j",
+                 "inputURI": f"{base}/j", "outputView": "q62_j",
+                 "schema": ddl},
+            ]
+        ),
+        ctx,
+    )
+    unioned = (
+        spark.table("q62_p")
+        .unionByName(spark.table("q62_c"))
+        .unionByName(spark.table("q62_j"))
+    )
+    return (
+        unioned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
