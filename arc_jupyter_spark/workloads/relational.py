@@ -1785,3 +1785,60 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# --------------------------------------------------------------------
+# q63 — null-safe equality (`<=>` / IS NOT DISTINCT FROM): the join
+# semantics corner where plain `=` silently drops null keys. Null
+# keys are injected deterministically; the query counts pairs under
+# both operators so the oracle pins the difference exactly.
+# --------------------------------------------------------------------
+
+Q63_ORACLE = """
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey % 50 END AS k
+  FROM orders
+),
+pairs_safe AS (
+  SELECT COUNT(*) AS n FROM keyed a JOIN keyed b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
+  WHERE a.o_orderkey % 100 = 0
+),
+pairs_plain AS (
+  SELECT COUNT(*) AS n FROM keyed a JOIN keyed b
+  ON a.k = b.k AND a.o_orderkey < b.o_orderkey
+  WHERE a.o_orderkey % 100 = 0
+)
+SELECT (SELECT n FROM pairs_safe) AS n_null_safe,
+       (SELECT n FROM pairs_plain) AS n_plain,
+       (SELECT n FROM pairs_safe) - (SELECT n FROM pairs_plain) AS n_null_matches
+"""
+
+
+@query("q63_null_safe_join", oracle=Q63_ORACLE)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    keyed = spark.table("orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+    )
+    a = keyed.where(F.col("o_orderkey") % 100 == 0).alias("a")
+    b = keyed.alias("b")
+    safe = a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).agg(F.count(F.lit(1)).alias("n_null_safe"))
+    plain = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).agg(F.count(F.lit(1)).alias("n_plain"))
+    return safe.crossJoin(plain).select(
+        "n_null_safe",
+        "n_plain",
+        (F.col("n_null_safe") - F.col("n_plain")).alias("n_null_matches"),
+    )

@@ -257,12 +257,15 @@ def test_no_cartesian_in_any_batch_query(spark):
 
     Allowlisted BroadcastNestedLoopJoin uses — all broadcast a
     provably tiny side:
-    - q53_funnel / s06_semantic_dedup: crossJoin of 1-row scalar
-      aggregates (the one-lazy-plan contract pattern);
+    - q53_funnel / s06_semantic_dedup / q63_null_safe_join: crossJoin
+      of 1-row scalar aggregates (the one-lazy-plan contract pattern);
     - s03_batch_topk: the handful of query vectors broadcast against
       the corpus by design (every corpus row scores every query).
     """
-    ALLOWED_BNL = {"q53_funnel", "s06_semantic_dedup", "s03_batch_topk"}
+    ALLOWED_BNL = {
+        "q53_funnel", "s06_semantic_dedup", "s03_batch_topk",
+        "q63_null_safe_join",
+    }
     sf = "/root/testdata/sf0.001"
     offenders = []
     for name, fn in sorted(queries().items()):
