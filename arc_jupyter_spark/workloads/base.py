@@ -68,6 +68,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical values — a pure projection, pushdown-safe.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the ntz→ltz cast below and epoch arithmetic (unix_micros) are the
+    # one session-timezone-sensitive spot in the workloads; DuckDB
+    # treats naive timestamps as UTC, so pin the session to match on
+    # whatever session the driver brings
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType.typeName()
     if ts_type == "long":  # int64 nanos under nanosAsLong
