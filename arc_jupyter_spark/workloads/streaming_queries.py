@@ -454,3 +454,57 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# p03 — streaming ingest composition: events stream through
+# watermark-bounded dedup (first arrival per (user, type)) INTO the
+# checkpointed parquet sink, and the landed table is served
+# batch-side. The dedup emission is arrival-order dependent per row,
+# but the landed KEY SET is deterministic — the aggregate counts
+# keys, which is what the oracle states.
+# --------------------------------------------------------------------
+
+P03_ORACLE = """
+WITH k AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT event_type, COUNT(*) AS n_users
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("p03_ingest_pipeline", oracle=P03_ORACLE)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from arc_jupyter_spark.context import ArcContext
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+    from arc_jupyter_spark.streaming.stateful import dedup_within_watermark
+
+    ctx = ArcContext(spark)
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour"
+    ).select("user_id", "event_type")
+    ctx.register(deduped, "p03_deduped")
+    out = tempfile.mkdtemp(prefix="p03_ingest_")
+    with _stream_partitions(spark):
+        run_pipeline(
+            parse_pipeline(
+                [
+                    {
+                        "type": "ParquetLoad",
+                        "name": "p03 land",
+                        "inputView": "p03_deduped",
+                        "outputURI": out,
+                    }
+                ]
+            ),
+            ctx,
+        )
+    landed = spark.read.parquet(out).distinct()  # key set: dedup may
+    # legitimately re-emit a key across micro-batch boundaries
+    return (
+        landed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
