@@ -564,3 +564,71 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------
+# q64 — PipelineExecute + EqualityValidate driver-checked: a
+# sub-pipeline JSON (written to a temp URI, exactly how the reference
+# includes child pipelines) extracts nation and registers a view; the
+# outer pipeline includes it, rebuilds the same projection
+# independently, EqualityValidate asserts multiset equality, and the
+# query returns the validated aggregate.
+# --------------------------------------------------------------------
+
+Q64_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@query("q64_pipeline_execute", oracle=Q64_ORACLE)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    load_views(spark, sf_dir, "nation")
+    sub = [
+        {
+            "type": "ParquetExtract",
+            "name": "q64 sub extract",
+            "inputURI": f"{sf_dir}/nation.parquet",
+            "outputView": "q64_sub_nation",
+        },
+        {
+            "type": "SQLTransform",
+            "name": "q64 sub project",
+            "sql": "SELECT n_nationkey, n_regionkey FROM q64_sub_nation",
+            "outputView": "q64_included",
+        },
+    ]
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as fh:
+        json.dump(sub, fh)
+        sub_uri = fh.name
+    ctx = ArcContext(spark)
+    run_pipeline(
+        parse_pipeline(
+            [
+                {"type": "PipelineExecute", "name": "q64 include",
+                 "uri": sub_uri},
+                {"type": "SQLTransform", "name": "q64 rebuild",
+                 "sql": "SELECT n_nationkey, n_regionkey FROM nation",
+                 "outputView": "q64_rebuilt"},
+                {"type": "EqualityValidate", "name": "q64 equal",
+                 "leftView": "q64_included", "rightView": "q64_rebuilt"},
+            ]
+        ),
+        ctx,
+    )
+    return (
+        spark.table("q64_included")
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
