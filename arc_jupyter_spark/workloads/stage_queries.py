@@ -632,3 +632,107 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --------------------------------------------------------------------
+# q65 — HTTPTransform driver-checked with an injected transport (no
+# network in the gate): the Arrow-batched external-scoring path runs
+# for real — mapInPandas, one call per pandas batch — while the
+# injected endpoint computes a deterministic arithmetic response the
+# oracle restates in SQL.
+# --------------------------------------------------------------------
+
+Q65_ORACLE = """
+SELECT COUNT(*) AS n,
+       SUM(CAST(2 * n_nationkey + 1 AS BIGINT)) AS resp_sum
+FROM nation
+"""
+
+
+@query("q65_http_transform", oracle=Q65_ORACLE)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.transform import HTTPTransform
+
+    load_views(spark, sf_dir, "nation")
+    ctx = ArcContext(spark)
+    ctx.register(
+        spark.table("nation").select(
+            F.col("n_nationkey").cast("string").alias("value")
+        ),
+        "q65_in",
+    )
+
+    def fake_endpoint(payloads):
+        # deterministic stand-in for the scoring service: y = 2x + 1
+        return [str(2 * int(p) + 1) for p in payloads]
+
+    HTTPTransform(
+        name="q65",
+        input_view="q65_in",
+        output_view="q65_out",
+        uri="http://scoring.invalid/v1",
+        input_field="value",
+        batch_size=64,
+        post_fn=fake_endpoint,
+    ).execute(ctx)
+    return spark.table("q65_out").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("response").cast("bigint")).alias("resp_sum"),
+    )
+
+
+# --------------------------------------------------------------------
+# q66 — JDBC round trip driver-checked (embedded Derby, no external
+# DB): DDL + DML through JDBCExecute, read back through JDBCExtract
+# with predicate partitioning left to defaults, aggregate
+# hash-checked against the same rows stated in SQL.
+# --------------------------------------------------------------------
+
+Q66_ORACLE = """
+WITH src AS (
+  SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 10
+)
+SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+FROM src GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@query("q66_jdbc_roundtrip", oracle=Q66_ORACLE)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    load_views(spark, sf_dir, "nation")
+    ctx = ArcContext(spark)
+    rows = (
+        spark.table("nation")
+        .where(F.col("n_nationkey") < 10)
+        .select("n_nationkey", "n_regionkey")
+        .collect()
+    )  # 10 rows — the INSERT payload, stated verbatim in DML
+    values = ", ".join(f"({r[0]}, {r[1]})" for r in rows)
+    dbdir = tempfile.mkdtemp(prefix="q66_derby_")
+    url = f"jdbc:derby:{dbdir}/db;create=true"
+    run_pipeline(
+        parse_pipeline(
+            [
+                {"type": "JDBCExecute", "name": "q66 ddl", "jdbcUrl": url,
+                 "sql": "CREATE TABLE nk (n_nationkey INT, n_regionkey INT)"},
+                {"type": "JDBCExecute", "name": "q66 dml", "jdbcUrl": url,
+                 "sql": f"INSERT INTO nk VALUES {values}"},
+                {"type": "JDBCExtract", "name": "q66 read", "jdbcUrl": url,
+                 "tableName": "nk", "outputView": "q66_jdbc"},
+            ]
+        ),
+        ctx,
+    )
+    return (
+        spark.table("q66_jdbc")
+        .groupBy(F.col("N_REGIONKEY").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("N_NATIONKEY").cast("bigint")).alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
