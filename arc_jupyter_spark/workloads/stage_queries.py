@@ -736,3 +736,58 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --------------------------------------------------------------------
+# q67 — SimilarityJoinTransform driver-checked: the MinHashLSH fuzzy
+# join (tokenize → n-gram → HashingTF → approxSimilarityJoin, fixed
+# seed) runs left=customer-names vs right=identical copy. Identical
+# strings hash to identical signatures, so every row MUST match
+# itself in every band — a guaranteed-recall contract the oracle
+# states as a count plus TRUE.
+# --------------------------------------------------------------------
+
+Q67_ORACLE = """
+SELECT (SELECT COUNT(*) FROM customer WHERE c_custkey < 200) AS n_left,
+       TRUE AS all_self_matched
+"""
+
+
+@query("q67_similarity_join", oracle=Q67_ORACLE)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.transform import SimilarityJoinTransform
+
+    load_views(spark, sf_dir, "customer")
+    ctx = ArcContext(spark)
+    base = (
+        spark.table("customer")
+        .where(F.col("c_custkey") < 200)
+        .select("c_custkey", "c_name")
+    )
+    ctx.register(base, "q67_left")
+    ctx.register(
+        base.select(
+            F.col("c_custkey").alias("r_custkey"),
+            F.col("c_name").alias("r_name"),
+        ),
+        "q67_right",
+    )
+    SimilarityJoinTransform(
+        name="q67",
+        left_view="q67_left",
+        right_view="q67_right",
+        left_fields=("c_name",),
+        right_fields=("r_name",),
+        output_view="q67_pairs",
+        threshold=0.5,
+        seed=42,
+    ).execute(ctx)
+    pairs = spark.table("q67_pairs")
+    self_matches = pairs.where(
+        F.col("c_custkey") == F.col("r_custkey")
+    ).select("c_custkey").distinct()
+    return base.agg(F.count(F.lit(1)).alias("n_left")).crossJoin(
+        self_matches.agg(
+            (F.count(F.lit(1)) == base.count()).alias("all_self_matched")
+        )
+    )

@@ -264,7 +264,7 @@ def test_no_cartesian_in_any_batch_query(spark):
     """
     ALLOWED_BNL = {
         "q53_funnel", "s06_semantic_dedup", "s03_batch_topk",
-        "q63_null_safe_join",
+        "q63_null_safe_join", "q67_similarity_join",
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
