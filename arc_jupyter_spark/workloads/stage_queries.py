@@ -791,3 +791,44 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) == base.count()).alias("all_self_matched")
         )
     )
+
+
+# --------------------------------------------------------------------
+# q68 — the get_uri I/O UDF surface driver-checked: fixture files are
+# fetched through the registered get_uri UDF (the one place where
+# imperative I/O legitimately rides a Python UDF) and their exact
+# byte counts compared against DuckDB's read_blob. get_uri_filename
+# _array's glob listing is folded in as a per-row count.
+# --------------------------------------------------------------------
+
+
+def _q68_oracle() -> str:
+    files = "', '".join(
+        f"/root/testdata/sf0.01/{t}.parquet" for t in ("nation", "region", "supplier")
+    )
+    return f"""
+SELECT filename, octet_length(content) AS n_bytes
+FROM read_blob(['{files}'])
+ORDER BY filename
+"""
+
+
+@query("q68_get_uri", oracle=_q68_oracle())
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # oracle strings are static, so both sides pin the same sf0.01
+    # files regardless of sf_dir — the comparison stays consistent at
+    # any gate scale
+    from arc_jupyter_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    uris = spark.createDataFrame(
+        [(f"/root/testdata/sf0.01/{t}.parquet",) for t in ("nation", "region", "supplier")],
+        "filename string",
+    )
+    uris.createOrReplaceTempView("q68_uris")
+    return spark.sql(
+        """
+        SELECT filename, CAST(length(get_uri(filename)) AS BIGINT) AS n_bytes
+        FROM q68_uris ORDER BY filename
+        """
+    )
