@@ -832,3 +832,54 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q68_uris ORDER BY filename
         """
     )
+
+
+# --------------------------------------------------------------------
+# q69 — MLTransform driver-checked with a deterministic saved model:
+# a PipelineModel of one SQLTransformer (pure arithmetic scoring) is
+# saved to a URI and loaded/scored by the stage exactly as a trained
+# model would be — the load-and-score path is the stage's surface;
+# the arithmetic keeps the gate engine-exact.
+# --------------------------------------------------------------------
+
+Q69_ORACLE = """
+SELECT n_regionkey,
+       SUM(CAST(2 * n_nationkey + 7 AS BIGINT)) AS score_sum,
+       COUNT(*) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+@query("q69_ml_transform", oracle=Q69_ORACLE)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import SQLTransformer
+
+    from arc_jupyter_spark.operators.transform import MLTransform
+
+    load_views(spark, sf_dir, "nation")
+    scorer = SQLTransformer(
+        statement="SELECT *, 2 * n_nationkey + 7 AS score FROM __THIS__"
+    )
+    model = Pipeline(stages=[scorer]).fit(spark.table("nation").limit(1))
+    model_uri = tempfile.mkdtemp(prefix="q69_model_") + "/m"
+    model.write().overwrite().save(model_uri)
+    ctx = ArcContext(spark)
+    ctx.register(spark.table("nation"), "q69_in")
+    MLTransform(
+        name="q69",
+        input_view="q69_in",
+        output_view="q69_scored",
+        model_uri=model_uri,
+    ).execute(ctx)
+    return (
+        spark.table("q69_scored")
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum(F.col("score").cast("bigint")).alias("score_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
