@@ -518,6 +518,51 @@ def keep_one_per_component(
     ).drop("label")
 
 
+def keep_best_per_component(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    score_col: Column,
+) -> DataFrame:
+    """Drop all but the best-scoring row of each near-dup component.
+
+    Production pipelines keep the *highest-quality* member of a
+    duplicate cluster, not the lowest id — e.g. the longest or
+    best-scored crawl of a page. Winner = max ``score_col``; ties
+    break to the lowest ``id_col`` so selection is a total order
+    (engine-exact, oracle-checkable).
+
+    Scale shape: ``labels`` only contains nodes that appeared in
+    candidate pairs (tiny vs the corpus) — broadcast it; rows without
+    a label pass through untouched. The winner per component is an
+    aggregation over the *labeled subset only* (``max_by`` with
+    partial aggregation), then a second broadcast semi-join keeps
+    winners — the full corpus never shuffles.
+    """
+    keyed = df.withColumn("_score", score_col).join(
+        F.broadcast(labels).withColumnRenamed("node", id_col), id_col, "left"
+    )
+    # winner id per component: max (score, -id) — labeled rows only
+    winners = (
+        keyed.where(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col("_score"), (-F.col(id_col)).alias("_tie")),
+            ).alias("_winner")
+        )
+        .select(F.col("_winner").alias(id_col), F.lit(True).alias("_is_winner"))
+    )
+    # one corpus scan: flag winners via a second broadcast join, keep
+    # unlabeled rows and flagged winners
+    return (
+        keyed.join(F.broadcast(winners), id_col, "left")
+        .where(F.col("label").isNull() | F.col("_is_winner").isNotNull())
+        .drop("label", "_score", "_is_winner")
+    )
+
+
 # -- SimHash ----------------------------------------------------------
 
 def simhash64(text: Column, num_bits: int = 64) -> Column:

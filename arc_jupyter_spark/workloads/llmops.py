@@ -1960,3 +1960,188 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_results"),
         (F.count("in10") >= 6).alias("recall_at_10_ok"),
     )
+
+
+# --------------------------------------------------------------------
+# t17 — per-source document cap: the Common-Crawl-style "at most N
+# documents per domain, keep the best" rule. ROW_NUMBER over
+# (score DESC, doc_id) is a total order, so selection is engine-exact.
+# One window shuffle on source; a hot source costs one fat partition —
+# at 100 TB the two-stage variant (per-partition top-N pre-prune via
+# WindowGroupLimit, which Spark inserts automatically for rn <= N
+# predicates) bounds that.
+# --------------------------------------------------------------------
+
+_T17_CAP = 15
+
+T17_ORACLE = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       SUM(score) AS tok_kept,
+       SUM(doc_id) AS id_sum
+FROM ranked WHERE rn <= {_T17_CAP}
+GROUP BY source ORDER BY source
+"""
+
+
+@query("t17_source_cap", oracle=T17_ORACLE)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    scored = spark.table("documents").select(
+        "source",
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    kept = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _T17_CAP
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("score").alias("tok_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t18 — deterministic shard assignment: the pipeline's final global
+# re-layout into N loader-ready shards. md5-keyed (content hash, no
+# RNG), so the layout reproduces across runs/engines/cluster sizes;
+# the per-shard stats prove balance. The repartition(shard) is the one
+# unavoidable shuffle of any re-layout.
+# --------------------------------------------------------------------
+
+_T18_SHARDS = 16
+
+T18_ORACLE = f"""
+WITH sharded AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % {_T18_SHARDS} AS shard,
+         doc_id,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS score
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       SUM(score) AS tok_sum,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@query("t18_shard_assign", oracle=T18_ORACLE)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("score"),
+    )
+    sharded = sampling.shard_assign(
+        docs, key_col="doc_id", num_shards=_T18_SHARDS, repartition=True
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").alias("tok_sum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------
+# d09 — keep-BEST near-dedup: connected components over minhash
+# candidates, keeping the highest-quality member of each duplicate
+# cluster (max token count, doc_id tie-break) instead of the lowest
+# id. This is what production crawl dedup actually ships — the best
+# crawl of a page survives. Oracle: d06's recursive transitive
+# closure + per-component argmax.
+# --------------------------------------------------------------------
+
+D09_ORACLE = f"""
+WITH RECURSIVE {_d02_oracle()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+),
+scored AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{text.TOKEN_PATTERN}')) AS score
+  FROM documents
+),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY l.label ORDER BY s.score DESC, s.doc_id
+           ) AS rn
+    FROM labels l JOIN scored s ON s.doc_id = l.node
+  ) WHERE rn = 1
+)
+SELECT s.source,
+       COUNT(*) AS n_kept,
+       SUM(s.score) AS tok_kept,
+       SUM(s.doc_id) AS id_sum
+FROM scored s LEFT JOIN labels l ON s.doc_id = l.node
+WHERE l.label IS NULL OR s.doc_id IN (SELECT doc_id FROM winners)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@query("d09_keep_best_dedup", oracle=D09_ORACLE)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    labels = dedup.connected_components(cands)
+    kept = dedup.keep_best_per_component(
+        docs, labels, "doc_id",
+        score_col=text.token_count(F.col("text")).cast("bigint"),
+    )
+    return (
+        kept.select(
+            "source", "doc_id",
+            text.token_count(F.col("text")).cast("bigint").alias("score"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("score").alias("tok_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -178,3 +178,44 @@ def test_semantic_dedup_keeps_id_minimal_elements(spark):
         ).collect()
     )
     assert kept == [1, 3, 4]
+
+
+def test_keep_best_per_component(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        ["id", "score"],
+    )
+    # component {1,2,3}: best = max score 30, tie -> lowest id = 2.
+    # doc 4 labeled alone (self component) -> kept; doc 9 unlabeled.
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["node", "label"]
+    )
+    kept = sorted(
+        r["id"]
+        for r in dedup.keep_best_per_component(
+            docs, labels, "id", score_col=F.col("score")
+        ).collect()
+    )
+    assert kept == [2, 4, 9]
+
+
+def test_keep_best_matches_keep_one_on_uniform_scores(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i, 7) for i in range(10)], ["id", "score"])
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (5, 5), (6, 5)], ["node", "label"]
+    )
+    # uniform scores -> tie-break to min id == keep_one semantics
+    a = sorted(
+        r["id"]
+        for r in dedup.keep_best_per_component(
+            docs, labels, "id", score_col=F.col("score")
+        ).collect()
+    )
+    b = sorted(
+        r["id"] for r in dedup.keep_one_per_component(docs, labels, "id").collect()
+    )
+    assert a == b == [0, 2, 3, 4, 5, 7, 8, 9]

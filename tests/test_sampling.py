@@ -159,3 +159,24 @@ def test_pack_sequences_invariants_random(spark):
         if running > 0:
             # last used bin is exactly ceil(total/cap) - 1
             assert max(r["end_bin"] for r in rs) == (running - 1) // cap
+
+
+def test_shard_assign_deterministic_and_complete(spark):
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = sampling.shard_assign(df, "k", 8)
+    rows = {r["k"]: r["shard"] for r in out.collect()}
+    rows2 = {r["k"]: r["shard"] for r in out.collect()}
+    assert rows == rows2                      # reproducible
+    assert set(rows.values()) <= set(range(8))
+    assert len(rows) == 200                   # no row lost
+    # balance: no shard more than 3x the mean on 200 uniform keys
+    from collections import Counter
+    sizes = Counter(rows.values())
+    assert max(sizes.values()) <= 3 * (200 / 8)
+
+
+def test_shard_assign_repartition_plan(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out = sampling.shard_assign(df, "k", 4, repartition=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shard" in plan
