@@ -508,3 +508,72 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# st08 — stream-static enrichment join: the canonical streaming
+# dimension join. The static side (customer segments) is read as a
+# batch frame and BROADCAST into every micro-batch — no state store,
+# no watermark needed for the join itself (stream-static joins are
+# stateless); the downstream windowed aggregate carries the only
+# state. At scale the dimension refreshes by re-reading the table per
+# micro-batch (Spark re-plans static sides each batch), and the
+# broadcast keeps the event stream shuffle-free until the window agg.
+# --------------------------------------------------------------------
+
+ST08_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("st08_stream_enrich", oracle=ST08_ORACLE)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.workloads.base import load_views
+
+    load_views(spark, sf_dir, "customer")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # COUNT(DISTINCT) is unsupported in streaming aggs;
+            # approx_count_distinct is the streaming idiom but is not
+            # oracle-exact — collect the distinct-user set per group
+            # instead (bounded: users per segment-hour), sized exactly.
+            F.size(F.collect_set("user_id")).alias("n_users"),
+        )
+    )
+    name = f"st08_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .orderBy("window_start", "segment")
+    )
+    spark.catalog.dropTempView(name)
+    return out

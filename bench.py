@@ -33,6 +33,7 @@ HEADLINE = [
     "d03_ngram_jaccard",
     "d06_cc_dedup",
     "d08_span_dedup",
+    "d09_keep_best_dedup",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",
@@ -40,6 +41,8 @@ HEADLINE = [
     "t07_repetition",
     "t13_seq_pack",
     "t14_token_rarity",
+    "t17_source_cap",
+    "t18_shard_assign",
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
     "st01_stream_window",
