@@ -286,3 +286,27 @@ def test_q59_aggregation_reuses_distribute_by_partitioning(spark):
     plan = plan_of(spark, "q59_distribute_by")
     assert plan.count("Exchange hashpartitioning(l_suppkey") == 1
     assert "rangepartitioning" in plan
+
+
+def test_t17_cap_uses_window_group_limit(spark):
+    """The rn <= N filter must trigger Spark's WindowGroupLimit
+    (map-side per-partition top-N before the window shuffle), so a
+    hot source ships at most N rows per map partition, not all."""
+    plan = plan_of(spark, "t17_source_cap")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t18_shard_repartition_in_plan(spark):
+    """The shard re-layout is exactly one hash exchange on the shard
+    id — the unavoidable shuffle of a global re-layout, and no more."""
+    plan = plan_of(spark, "t18_shard_assign")
+    assert "Exchange hashpartitioning(shard" in plan
+
+
+def test_d09_keep_best_joins_are_broadcast(spark):
+    """Labels and winners are tiny vs the corpus: both joins must be
+    broadcast — the corpus never sort-merge-joins against itself."""
+    plan = plan_of(spark, "d09_keep_best_dedup")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
