@@ -563,6 +563,102 @@ def keep_best_per_component(
     )
 
 
+# -- Bloom-filter membership prefilter --------------------------------
+
+def bloom_positions(key: Column, num_hashes: int, num_bits: int) -> Column:
+    """Array of ``num_hashes`` bit positions for *key* in ``[0, num_bits)``.
+
+    md5-derived with a per-hash salt prefix, so the filter is
+    engine-portable: DuckDB reproduces the identical bit pattern with
+    ``('0x' || substr(md5(j || '|' || key), 1, 7))::BIGINT % num_bits``
+    — which makes even the false-positive SET exact and oracle-checkable,
+    not just bounded.
+    """
+    return F.array(
+        *[
+            base_hash28(F.concat(F.lit(f"{j}|"), key)) % F.lit(num_bits)
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key: Column,
+    num_hashes: int = 3,
+    num_bits: int = 16384,
+) -> DataFrame:
+    """Distributed Bloom-filter build → bitmap rows ``(word, bits)``.
+
+    The pre-dedup membership structure for "does this new item
+    possibly exist in the corpus" at 100 TB: each row contributes its
+    k bit positions map-side; ``bit_or`` partially aggregates per
+    32-bit word (commutative — bit order never matters), and the
+    result is ``num_bits/32`` rows TOTAL regardless of corpus size.
+    Words are 32-bit (stored in longs) so shifts stay in-range and
+    positive on every engine. Spark's own ``bloom_filter_agg`` is not
+    SQL-registered (and its murmur bits aren't portable); this one is
+    pure relational algebra.
+
+    Size for the target: FP rate ≈ (1 - e^(-kn/m))^k — at n items,
+    m = 16 n bits with k = 3 gives ≈ 0.6%. A saturated filter still
+    never false-negatives; it only flags more candidates for the
+    exact downstream check.
+    """
+    pos = df.select(
+        F.explode(bloom_positions(key, num_hashes, num_bits)).alias("_p")
+    )
+    return (
+        pos.select(
+            (F.col("_p") / F.lit(32)).cast("int").alias("word"),
+            _pow2(F.col("_p") % 32).alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+#: shiftleft() takes only literal shift amounts — index a 32-entry
+#: power-of-two array with the (column-valued) bit offset instead.
+def _pow2(bit: Column) -> Column:
+    table = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.element_at(table, bit.cast("int") + F.lit(1))
+
+
+def bloom_dense_words(bitmap: DataFrame, num_bits: int) -> list[int]:
+    """Collect the bitmap to a dense driver-side word list (zeros for
+    absent words). ``num_bits/32`` longs — a filter constant, like a
+    broadcast centroid table; at 100 TB this is kilobytes."""
+    words = [0] * ((num_bits + 31) // 32)
+    for r in bitmap.collect():
+        words[r["word"]] = r["bits"]
+    return words
+
+
+def bloom_might_contain(
+    key: Column,
+    words: list[int],
+    num_hashes: int = 3,
+    num_bits: int = 16384,
+) -> Column:
+    """Map-side membership test against a dense word list.
+
+    All k positions must be set. The word array ships as a literal
+    (broadcast with the plan); the probe is a flat projection — no
+    join, no shuffle, whole-stage codegen'd.
+    """
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    pos = bloom_positions(key, num_hashes, num_bits)
+    return F.forall(
+        pos,
+        lambda p: (
+            F.element_at(arr, (p / F.lit(32)).cast("int") + F.lit(1))
+            .bitwiseAND(_pow2(p % 32))
+            != F.lit(0)
+        ),
+    )
+
+
 # -- SimHash ----------------------------------------------------------
 
 def simhash64(text: Column, num_bits: int = 64) -> Column:
@@ -743,6 +839,64 @@ def duplicated_spans(
     )
     return per_doc.join(dup_stats, id_col).select(
         id_col, "n_grams", "n_dup_grams", "dup_tokens"
+    )
+
+
+def scrub_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 5,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """REMOVE duplicated spans from documents (the second half of Lee
+    et al. 2021 — :func:`duplicated_spans` detects, this scrubs).
+
+    A token is scrubbed iff it is covered by any word ``gram_len``-gram
+    occurring in ≥ ``min_docs`` distinct documents; the cleaned text is
+    the remaining tokens (lowercased, single-spaced) in order. Output =
+    input plus ``out_col``; docs with no duplicated grams pass through
+    verbatim (modulo tokenization normalization).
+
+    Scale shape: the dup-occurrence table (id, pos) aggregates to ONE
+    sorted start-array per affected document (partial ``collect_list``;
+    only positions shuffle), joins back to the corpus (only affected
+    docs carry an array), and the scrub itself is a map-side HOF filter
+    — O(tokens × dup-starts) per doc. For pathological docs where
+    dup-starts is huge, the start array is equivalently a merged
+    interval list (sorted); swapping the inner ``exists`` for a binary
+    search over merged intervals bounds the scan — at fixture scale the
+    direct form is already exact and fast.
+    """
+    grams = positional_shingles(_parallelize(df), id_col, text_col, gram_len)
+    dup_digests = (
+        grams.select("_digest", id_col)
+        .distinct()
+        .groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_digest")
+    )
+    starts = (
+        grams.join(dup_digests, "_digest", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_pos")).alias("_starts"))
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ss = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+
+    def keep(x: Column, i: Column) -> Column:
+        j = i + F.lit(1)  # starts are 1-based token positions
+        return ~F.exists(ss, lambda s: (s <= j) & (j < s + F.lit(gram_len)))
+
+    cleaned = F.concat_ws(" ", F.filter(toks, keep))
+    return (
+        df.join(starts, id_col, "left")
+        .withColumn(out_col, cleaned)
+        .drop("_starts")
     )
 
 

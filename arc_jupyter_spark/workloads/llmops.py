@@ -2145,3 +2145,212 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# d10 — Bloom-filter dedup prefilter: the constant-space membership
+# screen a 100 TB incremental ingest runs BEFORE any join. The filter
+# builds over the existing corpus's text digests (bit_or partial agg →
+# num_bits/32 words total), ships as a plan literal, and the probe is
+# a map-only projection. md5-derived bits make the filter — including
+# its exact false-positive set — reproducible in DuckDB, so the oracle
+# checks real numbers, not just bounds. No false negative is possible
+# by construction; the query proves it anyway.
+# --------------------------------------------------------------------
+
+_D10_BITS = 16384
+_D10_K = 3
+
+D10_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+pos AS (
+  SELECT (('0x' || substr(md5(j || '|' || h), 1, 7))::BIGINT % {_D10_BITS}) AS p
+  FROM corpus, UNNEST([0, 1, 2]) AS t(j)
+),
+bitmap AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS bits
+  FROM pos GROUP BY 1
+),
+new_docs AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+),
+probe AS (
+  SELECT doc_id, h,
+         (('0x' || substr(md5(j || '|' || h), 1, 7))::BIGINT % {_D10_BITS}) AS p
+  FROM new_docs, UNNEST([0, 1, 2]) AS t(j)
+),
+hits AS (
+  SELECT doc_id, h, COUNT(*) AS k_set
+  FROM probe JOIN bitmap ON p // 32 = word
+  WHERE ((bits >> (p % 32)) & 1) = 1
+  GROUP BY doc_id, h
+),
+flagged AS (SELECT doc_id, h FROM hits WHERE k_set = {_D10_K}),
+true_dup AS (
+  SELECT n.doc_id FROM new_docs n JOIN corpus c ON n.h = c.h
+)
+SELECT (SELECT COUNT(*) FROM new_docs) AS n_new,
+       (SELECT COUNT(*) FROM flagged) AS n_flagged,
+       (SELECT COUNT(*) FROM true_dup) AS n_true_dup,
+       (SELECT COUNT(*) FROM flagged f JOIN true_dup t ON f.doc_id = t.doc_id)
+         = (SELECT COUNT(*) FROM true_dup) AS no_false_negatives
+"""
+
+
+@query("d10_bloom_prefilter", oracle=D10_ORACLE)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    corpus = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.col("text")).alias("h")
+    ).distinct()
+    new_docs = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    bitmap = dedup.bloom_build(
+        corpus, F.col("h"), num_hashes=_D10_K, num_bits=_D10_BITS
+    )
+    words = dedup.bloom_dense_words(bitmap, _D10_BITS)
+    flagged = new_docs.where(
+        dedup.bloom_might_contain(
+            F.col("h"), words, num_hashes=_D10_K, num_bits=_D10_BITS
+        )
+    )
+    true_dup = new_docs.join(F.broadcast(corpus), "h", "semi")
+    missed = true_dup.join(flagged.select("doc_id"), "doc_id", "anti")
+    return (
+        new_docs.agg(F.count(F.lit(1)).alias("n_new"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(true_dup.agg(F.count(F.lit(1)).alias("n_true_dup")))
+        .crossJoin(
+            missed.agg((F.count(F.lit(1)) == 0).alias("no_false_negatives"))
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# t21 — cross-source near-dup overlap matrix: which sources copy from
+# which (mirror detection / licensing forensics). Reuses the minhash
+# candidate pairs; each pair maps to an unordered source pair. The
+# per-pair source lookup joins the SMALL candidate table against the
+# corpus id→source projection — ids and 8-byte digests shuffle, text
+# never does.
+# --------------------------------------------------------------------
+
+T21_ORACLE = f"""
+WITH {_d02_oracle()},
+m AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM cand
+  JOIN documents da ON cand.id_a = da.doc_id
+  JOIN documents db ON cand.id_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM m GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("t21_source_overlap", oracle=T21_ORACLE)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    src = docs.select("doc_id", "source")
+    m = (
+        cands.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "_sa"),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "_sb"),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------
+# t19 — duplicated-span REMOVAL (the scrub half of Lee et al. 2021;
+# d08 is the detection half): tokens covered by any cross-document
+# duplicated 5-gram are cut, and the per-source checksum of the
+# CLEANED TEXT itself (md5-derived hash sum) proves both engines
+# rebuilt identical strings — not just identical counts.
+# --------------------------------------------------------------------
+
+T19_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D08_GRAM - 1})) AS pos
+  FROM toks WHERE len(toks) >= {_D08_GRAM}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D08_GRAM - 1}], ' ') AS gram
+  FROM ex
+),
+dupg AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd >= 2
+),
+starts AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS ss
+  FROM g WHERE gram IN (SELECT gram FROM dupg)
+  GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, t.source,
+         -- array_to_string([]) is NULL in DuckDB; a fully-scrubbed
+         -- doc must hash as the empty string, like Spark's concat_ws
+         coalesce(array_to_string(
+           list_filter(t.toks, (x, i) ->
+             len(list_filter(coalesce(s.ss, []), p ->
+               p <= i AND i < p + {_D08_GRAM})) = 0), ' '), '') AS ctext
+  FROM toks t LEFT JOIN starts s ON t.doc_id = s.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(list_filter(regexp_split_to_array(ctext, ' '), x -> x <> '')))
+         AS kept_tokens,
+       SUM(('0x' || substr(md5(ctext), 1, 7))::BIGINT) AS text_checksum
+FROM cleaned GROUP BY source ORDER BY source
+"""
+
+
+@query("t19_span_scrub", oracle=T19_ORACLE)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    scrubbed = dedup.scrub_duplicated_spans(
+        spark.table("documents"), "doc_id", "text", gram_len=_D08_GRAM,
+        min_docs=2, out_col="ctext",
+    )
+    kept = F.size(
+        F.filter(F.split(F.col("ctext"), " "), lambda t: t != "")
+    ).cast("bigint")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("kept_tokens"),
+            F.sum(dedup.base_hash28(F.col("ctext"))).alias("text_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -219,3 +219,70 @@ def test_keep_best_matches_keep_one_on_uniform_scores(spark):
         r["id"] for r in dedup.keep_one_per_component(docs, labels, "id").collect()
     )
     assert a == b == [0, 2, 3, 4, 5, 7, 8, 9]
+
+
+def test_bloom_no_false_negatives_and_exact_bits(spark):
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"])
+    bitmap = dedup.bloom_build(items, F.col("k"), num_hashes=3, num_bits=1024)
+    words = dedup.bloom_dense_words(bitmap, 1024)
+    assert len(words) == 32
+    # every inserted key must test positive (no false negatives)
+    hits = items.where(
+        dedup.bloom_might_contain(F.col("k"), words, num_hashes=3, num_bits=1024)
+    ).count()
+    assert hits == 50
+    # bits are md5-derived: rebuilding gives identical words
+    words2 = dedup.bloom_dense_words(
+        dedup.bloom_build(items, F.col("k"), num_hashes=3, num_bits=1024), 1024
+    )
+    assert words == words2
+
+
+def test_bloom_rejects_most_absent_keys(spark):
+    from pyspark.sql import functions as F
+
+    items = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"])
+    words = dedup.bloom_dense_words(
+        dedup.bloom_build(items, F.col("k"), num_hashes=3, num_bits=4096), 4096
+    )
+    absent = spark.createDataFrame([(f"x{i}",) for i in range(200)], ["k"])
+    fp = absent.where(
+        dedup.bloom_might_contain(F.col("k"), words, num_hashes=3, num_bits=4096)
+    ).count()
+    # 150 bits set of 4096 -> FP rate ~ (150/4096)^3 ~ 5e-5; allow slack
+    assert fp <= 3
+
+
+def test_scrub_duplicated_spans_removes_shared_grams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon unique1 tail1 one two"),
+            (2, "alpha beta gamma delta epsilon unique2 tail2 three"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["clean"]
+        for r in dedup.scrub_duplicated_spans(
+            df, "id", "text", gram_len=5, min_docs=2, out_col="clean"
+        ).collect()
+    }
+    # the shared 5-gram covers tokens 1-5; the rest survives
+    assert out[1] == "unique1 tail1 one two"
+    assert out[2] == "unique2 tail2 three"
+
+
+def test_scrub_leaves_unique_docs_verbatim(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["clean"]
+        for r in dedup.scrub_duplicated_spans(
+            df, "id", "text", gram_len=5, min_docs=2, out_col="clean"
+        ).collect()
+    }
+    assert out[1] == "a b c d e f g"
+    assert out[2] == "h i j k l m n"

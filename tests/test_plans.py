@@ -265,6 +265,7 @@ def test_no_cartesian_in_any_batch_query(spark):
     ALLOWED_BNL = {
         "q53_funnel", "s06_semantic_dedup", "s03_batch_topk",
         "q63_null_safe_join", "q67_similarity_join",
+        "d10_bloom_prefilter",  # crossJoin of four 1-row aggregates
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -310,3 +311,20 @@ def test_d09_keep_best_joins_are_broadcast(spark):
     plan = plan_of(spark, "d09_keep_best_dedup")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_d10_probe_is_map_side(spark):
+    """The Bloom probe must be a flat filter on the new-docs scan —
+    no join for membership (the bitmap ships as a plan literal)."""
+    plan = plan_of(spark, "d10_bloom_prefilter")
+    assert "CartesianProduct" not in plan
+    # probe-side membership contributes no SortMergeJoin; the only
+    # joins are the tiny count-aggregate combination and exact-check
+    assert "SortMergeJoin" not in plan
+
+
+def test_t19_scrub_no_corpus_self_join(spark):
+    """Span scrub: corpus joins only the per-doc start arrays (same
+    key, one shuffle family); no corpus-vs-corpus pair blowup."""
+    plan = plan_of(spark, "t19_span_scrub")
+    assert "CartesianProduct" not in plan
