@@ -2354,3 +2354,83 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# m06 — cross-video duplicate-frame detection: frame sampling (the
+# 1→N Arrow mapInPandas) composed with digest dedup. Mirrored videos
+# share every frame digest; partial mirrors share some. Only 32-char
+# digests + ids shuffle — frames (at scale, real JPEG bytes) never
+# leave the map stage. Oracle regenerates the stub frames and the
+# same >= 2-distinct-video digest rule.
+# --------------------------------------------------------------------
+
+M06_ORACLE = """
+WITH vids AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'mirror', text
+  FROM documents WHERE doc_id % 7 = 0
+),
+d AS (
+  SELECT doc_id, source, text,
+         GREATEST(1, (strlen(text) // 10) % 8) AS n_frames
+  FROM vids
+),
+frames AS (
+  SELECT doc_id, source,
+         md5(text || unnest(generate_series(0, n_frames - 1))::VARCHAR)
+           AS frame_digest
+  FROM d
+),
+dup AS (
+  SELECT frame_digest FROM (
+    SELECT frame_digest, COUNT(DISTINCT doc_id) AS nd
+    FROM frames GROUP BY frame_digest
+  ) WHERE nd >= 2
+)
+SELECT f.source,
+       COUNT(*) AS n_dup_frames,
+       COUNT(DISTINCT f.doc_id) AS n_videos_with_dup
+FROM frames f JOIN dup USING (frame_digest)
+GROUP BY f.source ORDER BY f.source
+"""
+
+
+@query("m06_frame_dedup", oracle=M06_ORACLE)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    # simulate a partial mirror: every 7th video re-uploaded verbatim
+    vids = docs.select("doc_id", "source", "text").unionAll(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    payloads = vids.select(
+        "doc_id", "source", F.col("text").cast("binary").alias("value")
+    )
+    frames = multimodal.sample_frames_stub(
+        payloads, binary_col="value", every_n=10
+    ).select("doc_id", "source", "frame_digest")
+    dup = (
+        frames.select("frame_digest", "doc_id")
+        .distinct()
+        .groupBy("frame_digest")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("frame_digest")
+    )
+    return (
+        frames.join(dup, "frame_digest", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_frames"),
+            F.countDistinct("doc_id").alias("n_videos_with_dup"),
+        )
+        .orderBy("source")
+    )
