@@ -577,3 +577,89 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView(name)
     return out
+
+
+# --------------------------------------------------------------------
+# st09 — foreachBatch keyed upsert: the streaming CDC-compaction sink.
+# Each micro-batch reduces to its latest record per user (max_by on
+# (ts, event_id) — a total order) and lands as one delta file; the
+# serving read compacts deltas with the same max_by. This is the
+# exactly-once upsert pattern for stores without transactional merge:
+# batch-id-named output + idempotent reduce means replayed batches
+# overwrite to the same result. State stays in the store, not the
+# stream (contrast st02, where state lives in the state store).
+# --------------------------------------------------------------------
+
+ST09_ORACLE = """
+WITH r AS (
+  SELECT user_id, ts, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id AS last_event_id,
+       n_total
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@query("st09_stream_upsert", oracle=ST09_ORACLE)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="st09_state_")
+    stream = read_events_stream(spark, sf_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch reduce: latest record per user + batch row count;
+        # max(struct) orders on (ts, event_id) — a total order, so the
+        # reduce is replay-idempotent; deterministic file per batch id
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                ).alias("last"),
+                F.count(F.lit(1)).alias("n_total"),
+            )
+            .select("user_id", "last.*", "n_total")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start()
+        )
+        q.awaitTermination()
+
+    # serving-side compaction: the same (ts, event_id)-ordered reduce
+    # over the delta files
+    deltas = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    out = (
+        deltas.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+            ).alias("last"),
+            F.sum("n_total").alias("n_total"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_type"),
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("last.event_id").alias("last_event_id"),
+            "n_total",
+        )
+        .orderBy("user_id")
+    ).localCheckpoint()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
