@@ -924,3 +924,75 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_len: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup: chop each document into
+    non-overlapping ``passage_len``-token chunks, keep the globally
+    FIRST occurrence of each distinct chunk (order = (id, chunk idx)),
+    and report per-document retention:
+    ``(id, n_passages, n_kept, kept_tokens)``.
+
+    The chunk-granular cousin of document :func:`exact_dedup_by_digest`
+    and span :func:`duplicated_spans` — the unit C4/RefinedWeb-style
+    pipelines dedup at when whole-document hashing is too coarse and
+    suffix-array spans too expensive.
+
+    Scale shape: chunking is one map-side projection
+    (sequence + slice inside codegen, no Python); the keep-first
+    winner per digest is a single partial-aggregated ``min`` over
+    ``(id * 2^20 + idx)`` — 8-byte digests + one BIGINT shuffle, text
+    never does. Membership (did THIS occurrence win?) rejoins winners
+    on the digest: no row multiplication (one winner per digest), and
+    AQE may broadcast the winner table when small.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size("_toks") / F.lit(passage_len)).cast("int")
+    chunk = F.concat_ws(
+        " ", F.slice(F.col("_toks"), F.col("_idx") * passage_len + 1, passage_len)
+    )
+    occ = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_idx"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            F.col("_idx"),
+            F.conv(
+                F.substring(F.md5(chunk.cast("binary")), 1, 15), 16, 10
+            ).cast("bigint").alias("_digest"),
+            F.size(F.filter(F.split(chunk, " "), lambda t: t != ""))
+            .cast("bigint")
+            .alias("_chunk_toks"),
+        )
+    )
+    # keep-first: the smallest (id, idx) per digest, encoded as one
+    # BIGINT so the min partial-aggregates map-side (idx < 2^20 per doc
+    # — documents beyond ~20M tokens would need a wider encoding)
+    order_key = (F.col(id_col) * F.lit(1 << 20) + F.col("_idx")).alias("_ord")
+    winners = (
+        occ.select("_digest", order_key)
+        .groupBy("_digest")
+        .agg(F.min("_ord").alias("_win"))
+    )
+    kept_flag = (
+        F.col(id_col) * F.lit(1 << 20) + F.col("_idx") == F.col("_win")
+    ).cast("int")
+    return (
+        occ.join(winners, "_digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(kept_flag).cast("bigint").alias("n_kept"),
+            F.sum(F.col("_chunk_toks") * kept_flag).alias("kept_tokens"),
+        )
+    )

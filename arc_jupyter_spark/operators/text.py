@@ -236,3 +236,97 @@ def token_rarity(df, id_col: str, text_col: str, broadcast_model: bool = True):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def inverted_index(
+    df,
+    id_col: str,
+    text_col: str,
+    top_postings: int = 5,
+):
+    """Token -> (document frequency, capped posting list) — the index
+    build every retrieval / decontamination pipeline starts from.
+
+    Scale shape — ONE shuffle, bounded memory per token:
+    per-document distinct tokens are computed map-side
+    (``array_distinct`` before the explode, so a 1000x-repeated word
+    costs one row, not 1000), then a single window partitioned by
+    token yields both the document frequency (``count over``) and a
+    rank that caps the posting list BEFORE any list is materialized —
+    a stopword appearing in 10^9 documents contributes ``count`` and
+    ``top_postings`` rows downstream, never a 10^9-element
+    ``collect_list``. Postings are the ``top_postings`` smallest doc
+    ids (deterministic), assembled from at most ``top_postings`` rows
+    per token.
+    """
+    from pyspark.sql import Window
+
+    occ = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    w = Window.partitionBy("tok")
+    ranked = occ.select(
+        "tok",
+        "_id",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.row_number().over(w.orderBy("_id")).alias("_rn"),
+    ).where(F.col("_rn") <= top_postings)
+    return ranked.groupBy("tok", "df").agg(
+        F.array_sort(F.collect_list("_id")).alias("postings")
+    )
+
+
+def bigram_lift(
+    df,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    broadcast_model: bool = True,
+):
+    """Corpus-level bigram association strength (integer-exact lift):
+    collocation mining for tokenizer/vocab construction.
+
+    ``lift_ppm = n_ab * total_tokens * 10^6 div (n_a * n_b)`` — the
+    observed/expected co-occurrence ratio in parts-per-million, all
+    BIGINT so the score is bit-identical across engines and
+    partitionings. Overflow headroom: ``n_ab * total * 10^6 < 2^63``
+    holds while the corpus is under ~3e6 tokens with hot bigrams; for
+    larger corpora drop the ppm scale (the ranking is scale-invariant).
+
+    Scale shape: bigram counts and unigram counts are two map-side
+    partial aggregations; the unigram model (vocabulary-sized) is
+    broadcast twice into the bigram table — the corpus itself shuffles
+    only as (w1, w2) short-string pairs.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.where(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    occ = df.select(F.explode(toks).alias("_tok"))
+    uni = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = occ.count()
+    if broadcast_model:
+        uni = F.broadcast(uni)
+    return (
+        big.join(uni.select(F.col("_tok").alias("w1"), F.col("_n").alias("n_a")), "w1")
+        .join(uni.select(F.col("_tok").alias("w2"), F.col("_n").alias("n_b")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.expr(
+                f"n_ab * CAST({total} AS BIGINT) * 1000000 div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )

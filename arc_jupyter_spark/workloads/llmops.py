@@ -2434,3 +2434,200 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# t22 — inverted-index build (token -> df + capped posting list), the
+# starting artifact of retrieval / decontamination pipelines. One
+# window shuffle; posting lists are capped BEFORE materialization so a
+# stopword in 10^9 documents never builds a 10^9-element list.
+# --------------------------------------------------------------------
+
+T22_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS tok FROM documents
+),
+r AS (
+  SELECT tok, doc_id,
+         COUNT(*) OVER (PARTITION BY tok) AS df,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+  FROM occ
+)
+SELECT tok, df, list_sort(list(doc_id)) AS postings
+FROM r WHERE rn <= 5 GROUP BY tok, df ORDER BY tok
+"""
+
+
+@query("t22_inverted_index", oracle=T22_ORACLE)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    idx = text.inverted_index(
+        spark.table("documents"), "doc_id", "text", top_postings=5
+    )
+    return idx.orderBy("tok")
+
+
+# --------------------------------------------------------------------
+# t23 — bigram collocation lift (integer-exact observed/expected in
+# ppm): the corpus statistic tokenizer/vocab builders rank merge
+# candidates by. Bigram + unigram models are two partial-aggregated
+# counts; the vocabulary-sized unigram model broadcasts into the
+# bigram table.
+# --------------------------------------------------------------------
+
+T23_ORACLE = f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i
+  FROM toks WHERE len(toks) >= 2
+),
+big AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n_ab
+  FROM ex GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+uni AS (SELECT unnest(toks) AS tok FROM toks),
+u AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM uni)
+SELECT w1, w2, n_ab,
+       CAST(n_ab * (SELECT total FROM tot) * 1000000 // (a.n * b.n) AS BIGINT)
+         AS lift_ppm
+FROM big JOIN u a ON w1 = a.tok JOIN u b ON w2 = b.tok
+ORDER BY lift_ppm DESC, w1, w2 LIMIT 15
+"""
+
+
+@query("t23_bigram_lift", oracle=T23_ORACLE)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    lifted = text.bigram_lift(
+        spark.table("documents"), "doc_id", "text", min_count=2
+    )
+    return lifted.orderBy(F.desc("lift_ppm"), "w1", "w2").limit(15)
+
+
+# --------------------------------------------------------------------
+# d11 — passage-level exact dedup (non-overlapping 20-token chunks,
+# global keep-first): the C4/RefinedWeb dedup granularity between
+# whole-document hashing (d01) and span detection (d08). Only 8-byte
+# digests + one BIGINT order key shuffle.
+# --------------------------------------------------------------------
+
+_D11_LEN = 20
+
+D11_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks)/{_D11_LEN}.0) AS INT)-1))
+           AS idx
+  FROM toks WHERE len(toks) > 0
+),
+p AS (
+  SELECT doc_id, source, idx,
+         array_to_string(toks[idx*{_D11_LEN}+1:idx*{_D11_LEN}+{_D11_LEN}], ' ')
+           AS passage
+  FROM ch
+),
+o AS (
+  SELECT doc_id, source, idx,
+         ('0x' || substr(md5(passage), 1, 15))::BIGINT AS dg,
+         len(list_filter(regexp_split_to_array(passage, ' '), x -> x <> ''))
+           AS ctoks
+  FROM p
+),
+w AS (SELECT dg, MIN(doc_id * 1048576 + idx) AS win FROM o GROUP BY dg)
+SELECT source, COUNT(*) AS n_passages,
+       SUM(CASE WHEN doc_id*1048576+idx = win THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN doc_id*1048576+idx = win THEN ctoks ELSE 0 END)
+         AS kept_tokens
+FROM o JOIN w USING (dg) GROUP BY source ORDER BY source
+"""
+
+
+@query("d11_passage_dedup", oracle=D11_ORACLE)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    stats = dedup.passage_dedup(docs, "doc_id", "text", passage_len=_D11_LEN)
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_passages").alias("n_passages"),
+            F.sum("n_kept").alias("n_kept"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# m07 — scene-change detection over sampled video frames: per-frame
+# luma proxy (md5-derived, deterministic stub for a real decoder's
+# mean luminance) diffed against the previous frame per video; a jump
+# > 64 opens a new scene. The frame window repartitions by video id —
+# frames of one video meet on one executor, frame BYTES never shuffle
+# (only digests + ints do).
+# --------------------------------------------------------------------
+
+M07_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, text,
+         GREATEST(1, (strlen(text) // 10) % 8) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0, n_frames - 1)) AS frame_index,
+         md5(text || unnest(generate_series(0, n_frames - 1))::VARCHAR)
+           AS frame_digest
+  FROM d
+),
+luma AS (
+  SELECT doc_id, source, frame_index,
+         ('0x' || substr(md5(frame_digest), 1, 7))::BIGINT % 256 AS luma
+  FROM frames
+),
+sc AS (
+  SELECT doc_id, source, luma,
+         LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame_index) AS prev
+  FROM luma
+)
+SELECT source, COUNT(DISTINCT doc_id) AS n_videos, COUNT(*) AS n_frames,
+       SUM(CASE WHEN prev IS NULL OR abs(luma - prev) > 64 THEN 1 ELSE 0 END)
+         AS n_scenes
+FROM sc GROUP BY source ORDER BY source
+"""
+
+
+@query("m07_scene_change", oracle=M07_ORACLE)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    payloads = spark.table("documents").select(
+        "doc_id", "source", F.col("text").cast("binary").alias("value")
+    )
+    frames = multimodal.sample_frames_stub(
+        payloads, binary_col="value", every_n=10
+    ).select("doc_id", "source", "frame_index", "frame_digest")
+    luma = frames.withColumn(
+        "luma", dedup.base_hash28(F.col("frame_digest")) % 256
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_index")
+    prev = F.lag("luma").over(w)
+    is_cut = F.when(
+        prev.isNull() | (F.abs(F.col("luma") - prev) > 64), 1
+    ).otherwise(0)
+    return (
+        luma.withColumn("_cut", is_cut)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_videos"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("_cut").alias("n_scenes"),
+        )
+        .orderBy("source")
+    )

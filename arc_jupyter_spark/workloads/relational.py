@@ -1842,3 +1842,132 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_plain",
         (F.col("n_null_safe") - F.col("n_plain")).alias("n_null_matches"),
     )
+
+
+# --------------------------------------------------------------------
+# q70 — recursive CTE (Spark 4.x WITH RECURSIVE): order-chain lengths.
+# An edge links an order to the customer's next order when it lands
+# within 7 days; chains are walked recursively from their head (an
+# order that is no edge's target) and the histogram of maximal chain
+# lengths is returned. The recursion advances strictly forward in
+# order-date, so it terminates; each iteration is a broadcast-able
+# join of the frontier (shrinking) against the edge table.
+# --------------------------------------------------------------------
+
+Q70_ORACLE = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey, o_orderdate,
+         LEAD(o_orderkey) OVER w AS next_key,
+         LEAD(o_orderdate) OVER w AS next_date
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+edges AS (
+  SELECT o_orderkey AS src, next_key AS dst FROM nxt
+  WHERE next_key IS NOT NULL AND next_date <= o_orderdate + INTERVAL 7 DAY
+),
+starts AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey NOT IN (SELECT dst FROM edges)
+),
+chain(start_key, cur_key, len) AS (
+  SELECT o_orderkey, o_orderkey, 1 FROM starts
+  UNION ALL
+  SELECT c.start_key, e.dst, c.len + 1
+  FROM chain c JOIN edges e ON c.cur_key = e.src
+)
+SELECT len AS chain_len, COUNT(*) AS n_chains
+FROM (SELECT start_key, MAX(len) AS len FROM chain GROUP BY start_key)
+GROUP BY len ORDER BY len
+"""
+
+
+@query("q70_recursive_chains", oracle=Q70_ORACLE)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = spark.table("orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+    edges = nxt.where(
+        F.col("next_key").isNotNull()
+        & (F.col("next_date") <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
+    ).select(F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst"))
+    edges.createOrReplaceTempView("q70_edges")
+    starts = spark.table("orders").join(
+        edges.select(F.col("dst").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey")
+    starts.createOrReplaceTempView("q70_starts")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(start_key, cur_key, len) AS (
+          SELECT o_orderkey, o_orderkey, 1 FROM q70_starts
+          UNION ALL
+          SELECT c.start_key, e.dst, c.len + 1
+          FROM chain c JOIN q70_edges e ON c.cur_key = e.src
+        )
+        SELECT len AS chain_len, COUNT(*) AS n_chains
+        FROM (SELECT start_key, MAX(len) AS len FROM chain GROUP BY start_key)
+        GROUP BY len ORDER BY len
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# q71 — cumulative DISTINCT users per (event_type, day). Windowed
+# COUNT(DISTINCT) does not exist as a Spark window function and a
+# collect_set-over-window holds every user id in per-row state; the
+# scale-safe decomposition is first-seen day per (event_type, user) +
+# a running SUM over the per-day new-user counts — set state never
+# materializes. The oracle uses DuckDB's native windowed DISTINCT
+# aggregate, so the two formulations check each other.
+# --------------------------------------------------------------------
+
+Q71_ORACLE = """
+WITH dd AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+),
+c AS (
+  SELECT event_type, day,
+         COUNT(DISTINCT user_id) OVER
+           (PARTITION BY event_type ORDER BY day) AS cum_users
+  FROM dd
+)
+SELECT DISTINCT event_type, day, cum_users FROM c ORDER BY event_type, day
+"""
+
+
+@query("q71_window_distinct", oracle=Q71_ORACLE)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    dd = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    firsts = dd.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    new_users = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    days = dd.select("event_type", "day").distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        days.join(new_users, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce(F.col("new_users"), F.lit(0)))
+            .over(w)
+            .alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
