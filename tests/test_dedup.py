@@ -286,3 +286,31 @@ def test_scrub_leaves_unique_docs_verbatim(spark):
     }
     assert out[1] == "a b c d e f g"
     assert out[2] == "h i j k l m n"
+
+
+def test_passage_dedup_keep_first(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+
+    # passage_len=2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [c d]
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.passage_dedup(df, "doc_id", "text", passage_len=2).collect()
+    }
+    assert rows[1]["n_passages"] == 2 and rows[1]["n_kept"] == 2
+    # doc2 loses its [a b] to doc1, keeps [x y]
+    assert rows[2]["n_passages"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["kept_tokens"] == 2
+    # doc3's [c d] already seen in doc1
+    assert rows[3]["n_kept"] == 0
+
+
+def test_passage_dedup_ragged_tail(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+
+    # 5 tokens at len 2 -> chunks [a b][c d][e]; all unique
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r = dd.passage_dedup(df, "doc_id", "text", passage_len=2).first()
+    assert r["n_passages"] == 3 and r["n_kept"] == 3 and r["kept_tokens"] == 5

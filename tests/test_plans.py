@@ -328,3 +328,43 @@ def test_t19_scrub_no_corpus_self_join(spark):
     key, one shuffle family); no corpus-vs-corpus pair blowup."""
     plan = plan_of(spark, "t19_span_scrub")
     assert "CartesianProduct" not in plan
+
+
+def test_t22_posting_cap_single_shuffle(spark):
+    """Inverted index: ONE exchange (the token window); the posting
+    collect_list runs on at most top_postings rows per token, after
+    the rank cap, and the (tok, df) groupBy reuses the window's
+    partitioning-by-token (no second exchange)."""
+    plan = plan_of(spark, "t22_inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_t23_unigram_model_broadcasts(spark):
+    plan = plan_of(spark, "t23_bigram_lift")
+    # the vocabulary-sized unigram model broadcasts into the bigram
+    # table twice (w1, w2) — the corpus-sized side never re-shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_d11_winner_min_partial_aggregates(spark):
+    plan = plan_of(spark, "d11_passage_dedup")
+    assert "partial_min" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+    # text never shuffles: no passage strings on the exchange — the
+    # order key and digest are the only wide-ish columns
+    assert "collect_list" not in plan
+
+
+def test_m07_frames_arrow_then_one_window(spark):
+    plan = plan_of(spark, "m07_scene_change")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q71_no_set_state_in_windows(spark):
+    """Cumulative distinct must decompose to first-seen + running sum —
+    a collect_set window would hold every user id in per-row state."""
+    plan = plan_of(spark, "q71_window_distinct")
+    assert "collect_set" not in plan
+    assert "collect_list" not in plan

@@ -107,3 +107,39 @@ def test_token_rarity_shuffle_join_matches_broadcast(spark):
     a = sorted(map(tuple, token_rarity(df, "id", "text", broadcast_model=True).collect()))
     b = sorted(map(tuple, token_rarity(df, "id", "text", broadcast_model=False).collect()))
     assert a == b
+
+
+def test_inverted_index_caps_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "a"), (4, "a d"), (5, "a e"),
+         (6, "a f"), (7, "a g")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["tok"]: r
+        for r in text.inverted_index(df, "doc_id", "text", top_postings=5).collect()
+    }
+    # 'a' appears in all 7 docs (once per doc despite repeat in doc 1)
+    assert rows["a"]["df"] == 7
+    # posting list capped at 5 smallest ids, sorted
+    assert rows["a"]["postings"] == [1, 2, 3, 4, 5]
+    assert rows["c"]["df"] == 1 and rows["c"]["postings"] == [2]
+
+
+def test_bigram_lift_exact(spark):
+    # corpus: "x y" twice, vocabulary x,y,z; total tokens = 6
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y"), (3, "z")], ["doc_id", "text"]
+    )
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in text.bigram_lift(df, "doc_id", "text", min_count=2).collect()
+    }
+    r = out[("x", "y")]
+    # n_ab=2, total=6, n_x=2, n_y=2 -> 2*6*1e6 // 4 = 3_000_000
+    assert r["n_ab"] == 2 and r["lift_ppm"] == 3_000_000
+
+
+def test_bigram_lift_skips_short_docs(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert text.bigram_lift(df, "doc_id", "text", min_count=1).count() == 0
