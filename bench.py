@@ -34,6 +34,7 @@ HEADLINE = [
     "d06_cc_dedup",
     "d08_span_dedup",
     "d09_keep_best_dedup",
+    "d11_passage_dedup",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",
@@ -43,6 +44,8 @@ HEADLINE = [
     "t14_token_rarity",
     "t17_source_cap",
     "t18_shard_assign",
+    "t22_inverted_index",
+    "m07_scene_change",
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
     "st01_stream_window",
