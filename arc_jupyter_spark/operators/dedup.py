@@ -996,3 +996,59 @@ def passage_dedup(
             F.sum(F.col("_chunk_toks") * kept_flag).alias("kept_tokens"),
         )
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    band_width: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: distinct values of ``col``
+    whose Levenshtein distance is <= ``max_dist``, as
+    ``(name_a, name_b, dist)`` with ``name_a < name_b``.
+
+    Blocking is LOSSLESS: two strings within edit distance k differ in
+    length by at most k, so banding on ``length div band_width`` (with
+    ``band_width > max_dist`` and joining each band to itself and its
+    successor) covers every qualifying pair exactly once — no
+    first-letter/prefix heuristic that would silently drop
+    cross-prefix matches ("cold anvil" ~ "old anvil"). Within-band
+    work is quadratic in the band's distinct-value count; for corpora
+    where one length dominates, compose with a caller-side block
+    column (the ``embedding_dup_pairs`` pattern) on top.
+
+    The JVM levenshtein evaluates only inside a band; the distinct
+    value table (vocabulary-sized, not corpus-sized) is all that
+    shuffles.
+    """
+    if band_width <= max_dist:
+        raise ValueError("band_width must exceed max_dist for lossless banding")
+    names = (
+        df.select(F.col(col).alias("_name"))
+        .where(F.col("_name").isNotNull())
+        .distinct()
+        .select("_name", (F.length("_name").cast("long") / band_width).cast("long").alias("_band"))
+    )
+    a = names.select(F.col("_name").alias("name_a"), F.col("_band").alias("_ba"))
+    b = names.select(F.col("_name").alias("name_b"), F.col("_band").alias("_bb"))
+    same = a.join(b, F.col("_ba") == F.col("_bb"))
+    nxt = a.join(b, F.col("_ba") + 1 == F.col("_bb"))
+    cand = same.unionAll(nxt).where(
+        (F.col("name_a") != F.col("name_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+    )
+    # the successor-band join emits only the (lower-band, higher-band)
+    # orientation and the same-band join emits both; canonicalize with
+    # least/greatest BEFORE any lexicographic filter (filtering the
+    # raw orientation first would drop cross-band pairs whose longer
+    # name sorts smaller), then dedupe the doubled same-band pairs:
+    oriented = cand.select(
+        F.least("name_a", "name_b").alias("name_a"),
+        F.greatest("name_a", "name_b").alias("name_b"),
+    ).distinct()
+    return oriented.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

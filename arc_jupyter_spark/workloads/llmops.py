@@ -2631,3 +2631,31 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# t24 — fuzzy entity matching (edit distance <= 2 between distinct
+# part names) under LOSSLESS length-band blocking: bands of
+# width 3 joined to self and successor cover every |len diff| <= 2
+# pair; no prefix heuristic (which would drop "cold anvil" ~
+# "old anvil"). The oracle brute-forces all pairs — at oracle scale
+# that is fine, and it proves the banded plan loses nothing.
+# --------------------------------------------------------------------
+
+T24_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+@query("t24_fuzzy_match", oracle=T24_ORACLE)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "part")
+    pairs = dedup.fuzzy_pairs(
+        spark.table("part"), "p_name", max_dist=2, band_width=3
+    )
+    return pairs.orderBy("name_a", "name_b")

@@ -1971,3 +1971,144 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------
+# q72 — SCD2 (slowly-changing-dimension type 2) interval build: each
+# run of equal event_type per user compacts to one validity interval
+# [valid_from, valid_to); the latest version stays open (NULL
+# valid_to). Two windows over the same (user_id, time) partitioning —
+# one shuffle, change-point detection + interval close both ride it.
+# --------------------------------------------------------------------
+
+Q72_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id FROM seq
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+v AS (
+  SELECT user_id, event_type, valid_from,
+         LEAD(valid_from) OVER
+           (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id, COUNT(*) AS n_versions,
+       SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+       CAST(SUM(epoch_ms(valid_to) - epoch_ms(valid_from)) AS BIGINT)
+         AS total_ms
+FROM v GROUP BY user_id ORDER BY user_id LIMIT 25
+"""
+
+
+@query("q72_scd2_intervals", oracle=Q72_ORACLE)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    v = changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
+            F.sum(
+                F.unix_millis("valid_to") - F.unix_millis("valid_from")
+            ).alias("total_ms"),
+        )
+        .orderBy("user_id")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------
+# q73 — calendar gap-fill + forward fill: per-user day spine
+# (sequence(), generated map-side — no calendar table shuffle), left
+# join of per-day last observations, LAST_VALUE IGNORE NULLS to carry
+# the previous reading across gaps. The daily compaction is a
+# max_by on an encoded (epoch-ms, event_id) BIGINT so the "last"
+# pick is partial-aggregable and engine-exact.
+# --------------------------------------------------------------------
+
+Q73_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         epoch_ms(ts) * 1000000 + event_id AS ord
+  FROM events WHERE user_id % 100 = 0
+),
+daily AS (
+  SELECT user_id, day, arg_max(value, ord) AS day_value
+  FROM e GROUP BY user_id, day
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+j AS (
+  SELECT s.user_id, s.day, d.day_value FROM spine s
+  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day,
+       last_value(day_value IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY day) AS filled,
+       CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS was_gap
+FROM j ORDER BY user_id, day
+"""
+
+
+@query("q73_gap_fill", oracle=Q73_ORACLE)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    e = (
+        spark.table("events")
+        .where(F.col("user_id") % 100 == 0)
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            (F.unix_millis("ts") * 1000000 + F.col("event_id")).alias("ord"),
+        )
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.expr("max_by(value, ord)").alias("day_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("was_gap"),
+    ).orderBy("user_id", "day")

@@ -314,3 +314,38 @@ def test_passage_dedup_ragged_tail(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     r = dd.passage_dedup(df, "doc_id", "text", passage_len=2).first()
     assert r["n_passages"] == 3 and r["n_kept"] == 3 and r["kept_tokens"] == 5
+
+
+def test_fuzzy_pairs_lossless_across_bands(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+
+    # "ab"(len 2, band 0) vs "abc"(len 3, band 1): crosses bands, and
+    # the longer name sorts LARGER; "zc"(2) vs "bzc"(3): longer sorts
+    # SMALLER than "zc" — the orientation trap. Both must surface.
+    df = spark.createDataFrame(
+        [("ab",), ("abc",), ("zc",), ("bzc",), ("unrelated-long",)], ["n"]
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in dd.fuzzy_pairs(df, "n", max_dist=2, band_width=3).collect()
+    }
+    assert got[("ab", "abc")] == 1
+    assert got[("bzc", "zc")] == 1
+    assert all(a < b for a, b in got)
+
+
+def test_fuzzy_pairs_no_dupes_no_selfpairs(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([("aa",), ("aa",), ("ab",)], ["n"])
+    rows = dd.fuzzy_pairs(df, "n", max_dist=2, band_width=3).collect()
+    assert len(rows) == 1 and rows[0]["name_a"] == "aa" and rows[0]["name_b"] == "ab"
+
+
+def test_fuzzy_pairs_band_width_guard(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+    import pytest as _pt
+
+    df = spark.createDataFrame([("x",)], ["n"])
+    with _pt.raises(ValueError):
+        dd.fuzzy_pairs(df, "n", max_dist=3, band_width=3)

@@ -368,3 +368,29 @@ def test_q71_no_set_state_in_windows(spark):
     plan = plan_of(spark, "q71_window_distinct")
     assert "collect_set" not in plan
     assert "collect_list" not in plan
+
+
+def test_q72_two_windows_share_one_shuffle(spark):
+    """SCD2: both windows partition by user_id — the second must reuse
+    the first's exchange (one hashpartitioning by user only)."""
+    plan = plan_of(spark, "q72_scd2_intervals")
+    assert "CartesianProduct" not in plan
+    # lag + lead windows, one user_id exchange feeding both
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_q73_spine_is_generated_not_joined(spark):
+    """Gap fill: the day spine comes from sequence()+explode map-side
+    — no calendar-table scan, no cartesian."""
+    plan = plan_of(spark, "q73_gap_fill")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t24_banded_join_not_cartesian(spark):
+    plan = plan_of(spark, "t24_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # levenshtein must evaluate AFTER the band equi-join, not as a
+    # join condition of a nested loop
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
