@@ -5,10 +5,12 @@ multimodal)."""
 from arc_jupyter_spark.operators import (  # noqa: F401
     dedup,
     execute,
+    layout,
     load,
     metadata,
     multimodal,
     similarity,
+    sketch,
     text,
     transform,
     typing,

@@ -1,0 +1,85 @@
+"""Mergeable sketch operators built as plain DataFrames.
+
+Count-min here; Bloom filters live in ``dedup`` (bloom_build /
+bloom_might_contain), HLL distinct counts ride Spark's built-in
+``approx_count_distinct``. The hash family is the portable md5 base
+hash (``('0x'||substr(md5(s),1,15))::BIGINT`` in DuckDB terms), so
+sketch contents are bit-identical across engines and partitionings —
+a sketch is just a tiny (depth x width) table, and merging two
+sketches is a union + groupBy-sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _bucket(key: Column, d: Column, width: int) -> Column:
+    """Hash row ``d``'s bucket for ``key``: md5 over the seed-prefixed
+    key, first 15 hex chars as BIGINT, mod width — one md5 per
+    (key, row), portable across engines."""
+    seeded = F.concat(d.cast("string"), F.lit("|"), key)
+    h = F.conv(F.substring(F.md5(seeded.cast("binary")), 1, 15), 16, 10).cast("bigint")
+    return h % width
+
+
+def _fan_out_depth(depth: int) -> Column:
+    return F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies as a
+    ``(d, bucket, cnt)`` DataFrame (at most depth x width rows).
+
+    Scale shape: frequencies aggregate FIRST (one partial-aggregated
+    groupBy producing a vocabulary-sized table), and only that small
+    table fans out x depth — the corpus is never multiplied. The
+    sketch itself is tiny and mergeable: union two sketches and
+    groupBy-sum to combine streams/partitions/days.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    freq = (
+        df.select(F.col(key_col).alias("_key"), w.alias("_w"))
+        .groupBy("_key")
+        .agg(F.sum("_w").alias("_n"))
+    )
+    rows = freq.select("_key", "_n", _fan_out_depth(depth)).select(
+        "d",
+        _bucket(F.col("_key"), F.col("d"), width).alias("bucket"),
+        "_n",
+    )
+    return rows.groupBy("d", "bucket").agg(F.sum("_n").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimate each probe key's frequency from a count-min sketch:
+    min over the depth rows of the bucket counts. The sketch
+    (depth x width rows) broadcasts; probes shuffle only for the
+    final per-key min. Missing buckets count 0.
+
+    The classic guarantee holds: ``estimate >= true`` always, and the
+    overcount is bounded by colliding mass — engine-exact here
+    because the hash family is portable md5 arithmetic, not
+    implementation-defined murmur.
+    """
+    hashed = probes.select(F.col(key_col), _fan_out_depth(depth)).select(
+        key_col,
+        "d",
+        _bucket(F.col(key_col), F.col("d"), width).alias("bucket"),
+    )
+    joined = hashed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
+    )

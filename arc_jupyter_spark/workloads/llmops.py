@@ -2659,3 +2659,62 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("part"), "p_name", max_dist=2, band_width=3
     )
     return pairs.orderBy("name_a", "name_b")
+
+
+# --------------------------------------------------------------------
+# t25 — count-min sketch build + probe, engine-exact: token
+# frequencies compressed into a (4 x 1024) mergeable table, every
+# vocabulary token probed back, overcount = estimate - exact (>= 0
+# always; the sketch bound, checked bit-for-bit because the hash
+# family is portable md5 arithmetic).
+# --------------------------------------------------------------------
+
+_T25_DEPTH, _T25_WIDTH = 4, 1024
+
+T25_ORACLE = f"""
+WITH occ AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, COUNT(*) AS exact_n FROM occ GROUP BY tok),
+hashed AS (
+  SELECT tok, exact_n, d,
+         ('0x' || substr(md5(d::VARCHAR || '|' || tok), 1, 15))::BIGINT
+           % {_T25_WIDTH} AS bucket
+  FROM tc, unnest(generate_series(0, {_T25_DEPTH - 1})) AS t(d)
+),
+cms AS (SELECT d, bucket, SUM(exact_n) AS cnt FROM hashed GROUP BY d, bucket),
+est AS (
+  SELECT h.tok, h.exact_n, MIN(c.cnt) AS estimate
+  FROM hashed h JOIN cms c ON h.d = c.d AND h.bucket = c.bucket
+  GROUP BY h.tok, h.exact_n
+)
+SELECT tok, exact_n, CAST(estimate AS BIGINT) AS estimate,
+       CAST(estimate - exact_n AS BIGINT) AS overcount
+FROM est ORDER BY exact_n DESC, tok LIMIT 20
+"""
+
+
+@query("t25_count_min", oracle=T25_ORACLE)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import sketch
+
+    load_views(spark, sf_dir, "documents")
+    occ = spark.table("documents").select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    cms = sketch.count_min_build(
+        occ, "tok", depth=_T25_DEPTH, width=_T25_WIDTH
+    )
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = sketch.count_min_estimate(
+        cms, exact.select("tok"), "tok", depth=_T25_DEPTH, width=_T25_WIDTH
+    )
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "exact_n",
+            F.col("estimate").cast("bigint").alias("estimate"),
+            (F.col("estimate") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(20)
+    )

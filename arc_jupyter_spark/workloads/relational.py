@@ -2112,3 +2112,54 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("filled"),
         F.when(F.col("day_value").isNull(), 1).otherwise(0).alias("was_gap"),
     ).orderBy("user_id", "day")
+
+
+# --------------------------------------------------------------------
+# q74 — Z-order layout keys: Morton-interleave two 8-bit dimensions
+# of orders and show the per-bucket envelope. Every bucket (a
+# contiguous Z-curve segment = one written file under
+# repartition_zordered) covers a 64x64 tile of the 256x256 key space
+# — BOTH dimensions stay narrow, which is what zone-map pruning on
+# either column needs. A plain (x, y) sort would leave max_y - min_y
+# at 255 for every file.
+# --------------------------------------------------------------------
+
+
+def _q74_oracle() -> str:
+    from arc_jupyter_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(["xd", "yd"], bits=8)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey % 256 AS xd, o_orderkey % 256 AS yd FROM orders
+),
+zz AS (SELECT o_orderkey, xd, yd, {z} AS zval FROM d)
+SELECT zval // 4096 AS bucket, COUNT(*) AS n,
+       MIN(xd) AS min_x, MAX(xd) AS max_x,
+       MIN(yd) AS min_y, MAX(yd) AS max_y
+FROM zz GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q74_zorder_layout", oracle=_q74_oracle())
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.layout import zorder_key
+
+    load_views(spark, sf_dir, "orders")
+    d = spark.table("orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("xd"),
+        (F.col("o_orderkey") % 256).alias("yd"),
+    )
+    zz = d.withColumn("zval", zorder_key([F.col("xd"), F.col("yd")], bits=8))
+    return (
+        zz.groupBy((F.col("zval") / 4096).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xd").alias("min_x"),
+            F.max("xd").alias("max_x"),
+            F.min("yd").alias("min_y"),
+            F.max("yd").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )

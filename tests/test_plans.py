@@ -394,3 +394,19 @@ def test_t24_banded_join_not_cartesian(spark):
     # levenshtein must evaluate AFTER the band equi-join, not as a
     # join condition of a nested loop
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_t25_sketch_probe_broadcasts(spark):
+    """Count-min probe: the (depth x width) sketch must broadcast —
+    never a corpus-sized shuffle on the probe side."""
+    plan = plan_of(spark, "t25_count_min")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q74_zorder_key_is_codegen_arithmetic(spark):
+    """The Morton key must be plain shifts/adds inside codegen — no
+    Python evaluation anywhere in the plan."""
+    plan = plan_of(spark, "q74_zorder_layout")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
