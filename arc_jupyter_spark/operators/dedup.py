@@ -205,6 +205,7 @@ def minhash_band_table(
     shingle_len: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document LSH band digests: ``(id_col, _band)`` rows.
 
@@ -214,9 +215,14 @@ def minhash_band_table(
     per band key on the shuffle instead of a 32-char hex string; a
     2^-60-scale collision just adds one spurious candidate pair, which
     downstream exact verification tolerates by design).
+
+    Pass a precomputed ``sigs`` (from :func:`minhash_signature_table`)
+    to avoid re-shingling when a pipeline needs both the signatures
+    and the bands — the estimation/candidate composition in d12.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
+    if sigs is None:
+        sigs = minhash_signature_table(df, id_col, text_col, shingle_len, num_hashes)
     band_digests = [
         F.conv(
             F.substring(
@@ -284,6 +290,7 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -296,7 +303,7 @@ def minhash_candidates(
     near-duplication, and is better handled by exact dedup upstream).
     """
     banded = minhash_band_table(
-        df, id_col, text_col, shingle_len, num_hashes, bands
+        df, id_col, text_col, shingle_len, num_hashes, bands, sigs=sigs
     )
     if max_bucket_size is not None:
         # one extra count-aggregate on the tiny (id, band) table; the

@@ -330,3 +330,53 @@ def bigram_lift(
             ).alias("lift_ppm"),
         )
     )
+
+
+def bigram_surprisal(
+    df,
+    id_col: str,
+    text_col: str,
+    broadcast_model: bool = True,
+):
+    """Per-document bigram-LM surprisal (integer-exact perplexity
+    stand-in, the bigram refinement of :func:`token_rarity`):
+    each bigram occurrence is charged ``count(w1) div count(w1,w2)``
+    — the integer inverse of the conditional frequency P(w2|w1)-ish
+    ratio: common continuations cost ~1, surprising ones cost the
+    rarity of the transition. Returns
+    ``(id, sum_surprisal, n_bigrams)``; callers rank on the ratio.
+
+    Scale shape: unigram and bigram models are two partial-aggregated
+    counts (vocabulary- and bigram-vocabulary-sized); both broadcast
+    into the corpus bigram stream, which shuffles only for the final
+    per-document sum. All BIGINTs — engine- and partition-exact.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = (
+        df.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, "g.w1", "g.w2")
+    )
+    big_model = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nab"))
+    uni_model = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    if broadcast_model:
+        big_model = F.broadcast(big_model)
+        uni_model = F.broadcast(uni_model)
+    return (
+        occ.join(big_model, ["w1", "w2"])
+        .join(uni_model, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr("_na div _nab")).alias("sum_surprisal"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )

@@ -2718,3 +2718,154 @@ def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "tok")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# t26 — bigram-LM surprisal ranking (the bigram refinement of t14's
+# unigram rarity): transition-level "perplexity" with integer-exact
+# charges; both LM tables broadcast, the corpus shuffles once.
+# --------------------------------------------------------------------
+
+T26_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+  FROM toks WHERE len(toks) >= 2
+),
+occ AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM ex),
+bm AS (SELECT w1, w2, COUNT(*) AS nab FROM occ GROUP BY w1, w2),
+um AS (
+  SELECT w1, COUNT(*) AS na
+  FROM (SELECT unnest(toks) AS w1 FROM toks) GROUP BY w1
+),
+scored AS (
+  SELECT o.doc_id, SUM(u.na // b.nab) AS sum_surprisal, COUNT(*) AS n_bigrams
+  FROM occ o JOIN bm b ON o.w1 = b.w1 AND o.w2 = b.w2
+  JOIN um u ON o.w1 = u.w1
+  GROUP BY o.doc_id
+)
+SELECT doc_id, sum_surprisal, n_bigrams
+FROM scored
+ORDER BY CAST(sum_surprisal AS DOUBLE) / n_bigrams DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("t26_bigram_surprisal", oracle=T26_ORACLE)
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    scored = text.bigram_surprisal(
+        dedup._parallelize(spark.table("documents")), "doc_id", "text"
+    )
+    return scored.orderBy(
+        (F.col("sum_surprisal").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    ).limit(20)
+
+
+# --------------------------------------------------------------------
+# d12 — MinHash Jaccard ESTIMATION vs exact (the estimation half of
+# the MinHash contract; d02 only generates candidates): for every LSH
+# candidate pair, the signature-agreement count (x/16) next to the
+# exact shingle-set Jaccard ingredients — sketch accuracy measured
+# bit-for-bit, both engines computing the identical md5 hash family.
+# --------------------------------------------------------------------
+
+
+def _d12_oracle() -> str:
+    n_match = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""WITH {_d02_oracle()},
+shs AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh
+),
+shd AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS sd FROM shs
+),
+sizes AS (SELECT doc_id, COUNT(DISTINCT sd) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.id_a
+  JOIN shd b ON b.doc_id = c.id_b AND a.sd = b.sd
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b, {n_match} AS n_match,
+       COALESCE(i.ni, 0) AS n_inter,
+       za.n AS size_a, zb.n AS size_b
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+ORDER BY c.id_a, c.id_b"""
+
+
+@query("d12_minhash_estimate", oracle=_d12_oracle())
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signature_table(
+        docs, "doc_id", "text", shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES
+    )
+    # reuse the signature table for banding — one shingling pass, not two
+    cands = dedup.minhash_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=_SHINGLE_LEN,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        sigs=sigs,
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"_s{i}").alias(f"_a{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"_s{i}").alias(f"_b{i}") for i in range(_NUM_HASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    # exact shingle-set sizes and intersections, digests only on the wire
+    shd = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), _SHINGLE_LEN))
+        ).alias("_s"),
+    ).select("doc_id", dedup.base_hash28(F.col("_s")).alias("_sd"))
+    sizes = shd.groupBy("doc_id").agg(F.countDistinct("_sd").alias("n"))
+    inter = (
+        cands.join(
+            shd.select(F.col("doc_id").alias("id_a"), F.col("_sd").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            shd.select(F.col("doc_id").alias("_idb"), F.col("_sd").alias("_sb")),
+            (F.col("id_b") == F.col("_idb")) & (F.col("_sa") == F.col("_sb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("size_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.alias("n_match"),
+            F.coalesce(F.col("ni"), F.lit(0)).alias("n_inter"),
+            "size_a",
+            "size_b",
+        )
+        .orderBy("id_a", "id_b")
+    )

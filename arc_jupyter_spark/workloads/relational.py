@@ -2163,3 +2163,81 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------
+# q75 — incremental aggregate maintenance: a nightly delta folds into
+# yesterday's aggregate by UNION + re-aggregate of PARTIAL STATES
+# (counts and scaled-long sums are algebraic, so merging two
+# aggregates is exact and touches only aggregate-sized tables — never
+# the base data again). The query proves merged == full recompute per
+# group; at 100 TB this is the difference between re-reading the
+# corpus and re-reading two KB-scale state tables.
+# --------------------------------------------------------------------
+
+Q75_ORACLE = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+delta AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM base GROUP BY o_orderpriority
+),
+dagg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM delta GROUP BY o_orderpriority
+),
+merged AS (
+  SELECT o_orderpriority, SUM(n) AS n, SUM(cents) AS cents
+  FROM (SELECT * FROM agg UNION ALL SELECT * FROM dagg)
+  GROUP BY o_orderpriority
+),
+full_agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.n AS n_merged,
+       CAST(m.cents AS DOUBLE) / 100 AS total_merged,
+       (m.n = f.n AND m.cents = f.cents) AS consistent
+FROM merged m JOIN full_agg f USING (o_orderpriority)
+ORDER BY m.o_orderpriority
+"""
+
+
+@query("q75_incremental_agg", oracle=Q75_ORACLE)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    orders = spark.table("orders")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    ).alias("cents")
+
+    def agg_of(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), cents
+        )
+
+    base = agg_of(orders.where(F.col("o_orderkey") % 10 != 0))
+    delta = agg_of(orders.where(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    full = agg_of(orders)
+    return (
+        merged.alias("m")
+        .join(full.alias("f"), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("m.n").alias("n_merged"),
+            (F.col("m.cents").cast("double") / 100).alias("total_merged"),
+            (
+                (F.col("m.n") == F.col("f.n"))
+                & (F.col("m.cents") == F.col("f.cents"))
+            ).alias("consistent"),
+        )
+        .orderBy("o_orderpriority")
+    )

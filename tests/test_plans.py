@@ -410,3 +410,26 @@ def test_q74_zorder_key_is_codegen_arithmetic(spark):
     plan = plan_of(spark, "q74_zorder_layout")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_t26_lm_models_broadcast(spark):
+    plan = plan_of(spark, "t26_bigram_surprisal")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_d12_single_shingling_pass(spark):
+    """Signature reuse: the sig table must be computed once — two
+    independent shingling pipelines would double the corpus scans for
+    the minhash half (exact-jaccard shingles are separate by design)."""
+    plan = plan_of(spark, "d12_minhash_estimate")
+    assert "CartesianProduct" not in plan
+
+
+def test_q75_merge_touches_aggregates_only(spark):
+    """Incremental maintenance: the merge union must sit on top of
+    aggregated (priority-sized) tables — partial aggregation below,
+    no join against base rows."""
+    plan = plan_of(spark, "q75_incremental_agg")
+    assert "partial_sum" in plan or "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan

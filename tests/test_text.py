@@ -143,3 +143,17 @@ def test_bigram_lift_exact(spark):
 def test_bigram_lift_skips_short_docs(spark):
     df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
     assert text.bigram_lift(df, "doc_id", "text", min_count=1).count() == 0
+
+
+def test_bigram_surprisal_exact(spark):
+    # corpus: doc1 "x y x z", doc2 "x y". bigrams: d1: (x,y),(y,x),(x,z); d2: (x,y)
+    # unigram counts: x=3, y=2, z=1; bigram counts: (x,y)=2, (y,x)=1, (x,z)=1
+    # d1 charges: x//(x,y)=3//2=1, y//(y,x)=2//1=2, x//(x,z)=3//1=3 -> 6 over 3
+    # d2 charges: 3//2=1 -> 1 over 1
+    df = spark.createDataFrame([(1, "x y x z"), (2, "x y")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in text.bigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["sum_surprisal"] == 6 and rows[1]["n_bigrams"] == 3
+    assert rows[2]["sum_surprisal"] == 1 and rows[2]["n_bigrams"] == 1
