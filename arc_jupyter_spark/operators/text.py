@@ -380,3 +380,28 @@ def bigram_surprisal(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+# PII shapes that behave identically in Java regex (Spark) and RE2
+# (DuckDB) — ASCII classes only, no backreferences or lookarounds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """How many matches of one PII shape the text contains."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def pii_scrub(text: Column, token: str = "[PII]") -> Column:
+    """Replace every known PII shape with ``token`` — map-side
+    ``regexp_replace`` chain, codegen'd, no UDF. Order matters only
+    for overlapping shapes (emails before ipv4 keeps domain digits
+    from half-matching); the chain applies all patterns."""
+    out = text
+    for kind in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out

@@ -2869,3 +2869,91 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------
+# t27 — PII scan + scrub: deterministic emails/phones/IPs are
+# injected into a slice of the corpus (the fixtures carry none), the
+# scanner counts each shape, the scrubber replaces them, and the
+# scrubbed-text checksum proves both engines rebuilt identical
+# strings. Pure regexp projections — map-side, no UDF; the Java and
+# RE2 pattern subset is deliberately shared.
+# --------------------------------------------------------------------
+
+T27_ORACLE = r"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1' ELSE '' END
+           AS text
+  FROM documents
+),
+scanned AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phone,
+         len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+             '\b[0-9]{3}-[0-9]{4}\b', '[PII]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g') AS clean
+  FROM injected
+)
+SELECT source,
+       SUM(n_email) AS n_email, SUM(n_phone) AS n_phone, SUM(n_ipv4) AS n_ipv4,
+       SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       SUM(('0x' || substr(md5(clean), 1, 7))::BIGINT) AS clean_checksum
+FROM scanned GROUP BY source ORDER BY source
+"""
+
+
+@query("t27_pii_scrub", oracle=T27_ORACLE)
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    injected = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = injected.select(
+        "source",
+        text.pii_count(F.col("text"), "email").alias("n_email"),
+        text.pii_count(F.col("text"), "phone").alias("n_phone"),
+        text.pii_count(F.col("text"), "ipv4").alias("n_ipv4"),
+        text.pii_scrub(F.col("text")).alias("clean"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_phone").cast("bigint").alias("n_phone"),
+            F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.sum(
+                F.when(
+                    F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0, 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_docs_with_pii"),
+            F.sum(dedup.base_hash28(F.col("clean"))).alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -663,3 +663,99 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------
+# st10 — streaming sketch maintenance: each micro-batch builds a
+# count-min sketch of its user_id traffic and lands it as one tiny
+# (d, bucket, cnt) delta; serving merges deltas by groupBy-sum. The
+# sketch is ALGEBRAIC, so merged-over-batches == built-over-all
+# bit-for-bit regardless of how the stream was chopped — which is
+# exactly what the oracle checks (DuckDB builds the sketch over the
+# full table with the same md5 hash family). The streamed corpus is
+# never re-read at serve time; only KB-scale sketches are.
+# --------------------------------------------------------------------
+
+_ST10_DEPTH, _ST10_WIDTH = 4, 256
+
+ST10_ORACLE = f"""
+WITH keys AS (SELECT user_id::VARCHAR AS k FROM events),
+tc AS (SELECT k, COUNT(*) AS exact_n FROM keys GROUP BY k),
+hashed AS (
+  SELECT k, exact_n, d,
+         ('0x' || substr(md5(d::VARCHAR || '|' || k), 1, 15))::BIGINT
+           % {_ST10_WIDTH} AS bucket
+  FROM tc, unnest(generate_series(0, {_ST10_DEPTH - 1})) AS t(d)
+),
+cms AS (SELECT d, bucket, SUM(exact_n) AS cnt FROM hashed GROUP BY d, bucket),
+est AS (
+  SELECT h.k, h.exact_n, MIN(c.cnt) AS estimate
+  FROM hashed h JOIN cms c ON h.d = c.d AND h.bucket = c.bucket
+  GROUP BY h.k, h.exact_n
+)
+SELECT CAST(k AS BIGINT) AS user_id, exact_n,
+       CAST(estimate AS BIGINT) AS estimate,
+       CAST(estimate - exact_n AS BIGINT) AS overcount
+FROM est ORDER BY exact_n DESC, user_id LIMIT 20
+"""
+
+
+@query("st10_stream_sketch", oracle=ST10_ORACLE)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from arc_jupyter_spark.operators import sketch
+
+    out_dir = tempfile.mkdtemp(prefix="st10_sketch_")
+    stream = read_events_stream(spark, sf_dir)
+
+    def land_sketch(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(F.col("user_id").cast("string").alias("k"))
+        (
+            sketch.count_min_build(
+                keyed, "k", depth=_ST10_DEPTH, width=_ST10_WIDTH
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(land_sketch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_chk")
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = (
+        spark.read.option("basePath", out_dir)
+        .parquet(f"{out_dir}/batch=*")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from arc_jupyter_spark.workloads.base import read_events
+
+    exact = (
+        read_events(spark, sf_dir)
+        .select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = sketch.count_min_estimate(
+        merged, exact.select("k"), "k", depth=_ST10_DEPTH, width=_ST10_WIDTH
+    )
+    out = (
+        exact.join(est, "k")
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            F.col("estimate").cast("bigint").alias("estimate"),
+            (F.col("estimate") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    ).localCheckpoint()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out

@@ -433,3 +433,12 @@ def test_q75_merge_touches_aggregates_only(spark):
     plan = plan_of(spark, "q75_incremental_agg")
     assert "partial_sum" in plan or "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t27_pii_is_map_side_regex(spark):
+    """PII scan/scrub: one scan, regex projections, partial agg — no
+    join, no Python."""
+    plan = plan_of(spark, "t27_pii_scrub")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan

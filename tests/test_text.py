@@ -157,3 +157,27 @@ def test_bigram_surprisal_exact(spark):
     }
     assert rows[1]["sum_surprisal"] == 6 and rows[1]["n_bigrams"] == 3
     assert rows[2]["sum_surprisal"] == 1 and rows[2]["n_bigrams"] == 1
+
+
+def test_pii_scan_and_scrub(spark):
+    s = "mail a.b@test.org or call 555-1234 from 192.168.0.1 ok"
+    row = (
+        spark.createDataFrame([(s,)], ["t"])
+        .select(
+            text.pii_count(F.col("t"), "email").alias("e"),
+            text.pii_count(F.col("t"), "phone").alias("p"),
+            text.pii_count(F.col("t"), "ipv4").alias("i"),
+            text.pii_scrub(F.col("t")).alias("c"),
+        )
+        .first()
+    )
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["c"] == "mail [PII] or call [PII] from [PII] ok"
+
+
+def test_pii_scrub_clean_text_unchanged(spark):
+    s = "no secrets here just words"
+    row = spark.createDataFrame([(s,)], ["t"]).select(
+        text.pii_scrub(F.col("t")).alias("c")
+    ).first()
+    assert row["c"] == s
