@@ -2241,3 +2241,114 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------
+# q76 — parquet AGGREGATE pushdown (DataSource V2): COUNT/MIN/MAX
+# answered from parquet footer statistics — zero row groups
+# decompressed. At 100 TB this is the difference between a metadata
+# read and a full scan for the most common profiling queries. The
+# plan is asserted in-query (PushedAggregation on the BatchScan);
+# the oracle recomputes the same aggregates by scanning.
+# --------------------------------------------------------------------
+
+Q76_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(MIN(l_shipdate) AS TIMESTAMP) AS min_ship,
+       CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_ship,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+       TRUE AS agg_pushed
+FROM lineitem
+"""
+
+
+@query("q76_agg_pushdown", oracle=Q76_ORACLE)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").cast("timestamp").alias("min_ship"),
+            F.max("l_shipdate").cast("timestamp").alias("max_ship"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        pushed = "PushedAggregation" in plan
+        out = [rows[0] + (pushed,)]
+        schema = agg.schema.add("agg_pushed", "boolean", False)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+    return spark.createDataFrame(out, schema)
+
+
+# --------------------------------------------------------------------
+# q77 — dynamic partition pruning: the fact table is laid out
+# partitioned by month (the write a 100 TB pipeline does once); a
+# selective dim filter prunes fact PARTITIONS at runtime through the
+# broadcast exchange — unread months are never listed, let alone
+# scanned. Plan asserted in-query (dynamicpruningexpression inside
+# the scan's PartitionFilters); oracle joins the same two inputs.
+# --------------------------------------------------------------------
+
+Q77_ORACLE = """
+WITH fact AS (
+  SELECT o_orderkey, o_totalprice, MONTH(o_orderdate) AS mo FROM orders
+),
+dim AS (
+  SELECT * FROM (VALUES (1, 'm1'), (2, 'm2'), (3, 'm3'), (4, 'm4'),
+                        (5, 'm5'), (6, 'm6'), (7, 'm7'), (8, 'm8'),
+                        (9, 'm9'), (10, 'm10'), (11, 'm11'), (12, 'm12'))
+         AS t(mo, name)
+  WHERE name IN ('m1', 'm2')
+)
+SELECT d.name, COUNT(*) AS n,
+       SUM(CAST(FLOOR(f.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+       TRUE AS dpp_used
+FROM fact f JOIN dim d USING (mo)
+GROUP BY d.name ORDER BY d.name
+"""
+
+
+@query("q77_dynamic_partition_pruning", oracle=Q77_ORACLE)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    load_views(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="q77_part_")
+    (
+        spark.table("orders")
+        .withColumn("mo", F.month("o_orderdate"))
+        .write.partitionBy("mo")
+        .mode("overwrite")
+        .parquet(base)
+    )
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [(m, f"m{m}") for m in range(1, 13)], ["mo", "name"]
+    ).where(F.col("name").isin("m1", "m2"))
+    agg = (
+        fact.join(dim, "mo")
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("name")
+    )
+    rows = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruningexpression" in plan
+    shutil.rmtree(base, ignore_errors=True)
+    out = [tuple(r) + (dpp,) for r in rows]
+    schema = agg.schema.add("dpp_used", "boolean", False)
+    return spark.createDataFrame(out, schema)
