@@ -157,3 +157,65 @@ def test_stream_sessions_match_batch_sessionization(spark):
     """).collect()
     assert [(r["user_id"], r["session_start"], r["n_events"]) for r in got] == \
            [(r["user_id"], r["session_start"], r["n_events"]) for r in batch]
+
+
+def test_windowed_agg_spans_multiple_microbatches(spark, tmp_path):
+    """True multi-batch streaming: the source is split into 4 files and
+    maxFilesPerTrigger=1 forces 4 micro-batches, so window state MUST
+    carry across batches (a single-batch availableNow run would hide a
+    broken state store). The multi-batch result must equal the batch
+    aggregation bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.workloads.base import read_events
+
+    src = str(tmp_path / "events_split")
+    events = read_events(spark, "/root/testdata/sf0.001")
+    events.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+            ).alias("v_e6"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mb_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["v_e6"])
+        for r in spark.table("mb_windows").collect()
+    }
+    spark.catalog.dropTempView("mb_windows")
+    expected = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["v_e6"])
+        for r in (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+                ).alias("v_e6"),
+            )
+            .collect()
+        )
+    }
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    assert got == expected
