@@ -63,3 +63,41 @@ def test_bucket_by_requires_table_name(ctx):
                         output_uri="/tmp/x", bucket_by=("a",))
     with pytest.raises(ValueError, match="tableName"):
         stage.execute(ctx)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew evidence: a join keyed 80% onto one value must come out of
+    AQE with skew=true on the sort-merge join — the runtime re-plan a
+    100 TB pipeline leans on when salting wasn't pre-applied. Thresholds
+    are scoped down so the fixture-sized shuffle trips the detector."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

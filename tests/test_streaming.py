@@ -219,3 +219,44 @@ def test_windowed_agg_spans_multiple_microbatches(spark, tmp_path):
     }
     assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
     assert got == expected
+
+
+def test_stream_dedup_state_spans_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across REAL micro-batch boundaries:
+    duplicates land in different files (batches), so dedup state must
+    survive batch transitions. Result must equal batch-side distinct."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.workloads.base import read_events
+
+    src = str(tmp_path / "dup_split")
+    events = read_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id"
+    )
+    # write the SAME rows twice into separate files -> cross-batch dups
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("mb_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = spark.table("mb_dedup").count()
+    spark.catalog.dropTempView("mb_dedup")
+    assert n_batches >= 2
+    assert got == events.count()
