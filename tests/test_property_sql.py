@@ -76,3 +76,87 @@ def test_random_predicate_count_agrees(spark, duck, expr, threshold):
     )
     sql = f"SELECT COUNT(*) AS n FROM lineitem WHERE {expr} > {threshold}"
     assert spark.sql(sql).first()["n"] == duck.execute(sql).fetchone()[0]
+
+
+STR_FUNCS = [
+    "UPPER({c})",
+    "LOWER({c})",
+    "SUBSTR({c}, 2, 5)",
+    "TRIM({c})",
+    "REPLACE({c}, '1', 'x')",
+    "CONCAT({c}, '_', {c})",
+    "REVERSE({c})",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    f1=st.sampled_from(STR_FUNCS),
+    f2=st.sampled_from(STR_FUNCS),
+    col=st.sampled_from(["c_name", "c_mktsegment"]),
+)
+def test_random_string_expression_agrees(spark, duck, f1, f2, col):
+    """Composed string functions must agree exactly (MIN/MAX/LENGTH-sum
+    are order-independent and string-exact — no float tolerance)."""
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW customer AS SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    expr = f2.format(c=f1.format(c=col))
+    sql = (
+        f"SELECT MIN({expr}) AS mn, MAX({expr}) AS mx,"
+        f" SUM(LENGTH({expr})) AS ln, COUNT(DISTINCT {expr}) AS nd FROM customer"
+    )
+    srow = spark.sql(sql).first()
+    drow = duck.execute(sql).fetchone()
+    assert (srow["mn"], srow["mx"], srow["ln"], srow["nd"]) == (
+        drow[0],
+        drow[1],
+        drow[2],
+        drow[3],
+    )
+
+
+WIN_FUNCS = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "NTILE(4)",
+    "LAG(o_orderkey, 1, -1)",
+    "LEAD(o_orderkey, 1, -1)",
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fn=st.sampled_from(WIN_FUNCS), mod=st.integers(5, 50))
+def test_random_window_function_agrees(spark, duck, fn, mod):
+    """Window functions over a deterministic total order: the md5-free
+    integer checksum of (value * key) must match exactly."""
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    sql = f"""
+    SELECT SUM(CAST(w AS BIGINT) * (o_orderkey % 97)) AS chk, COUNT(*) AS n
+    FROM (
+      SELECT o_orderkey,
+             {fn} OVER (PARTITION BY o_custkey % {mod}
+                        ORDER BY o_orderdate, o_orderkey) AS w
+      FROM orders
+    )
+    """
+    srow = spark.sql(sql).first()
+    drow = duck.execute(sql).fetchone()
+    assert (srow["chk"], srow["n"]) == (drow[0], drow[1])
