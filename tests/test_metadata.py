@@ -96,3 +96,31 @@ def test_printmetadata_roundtrips_into_typing(spark):
     assert got["dt"] == "date" and got["b"] == "boolean"
     row = out.first()
     assert row["_errors"] == [] and row["i"] == 1 and row["b"] is True
+
+
+def test_metadata_survives_sqltransform_and_rename(ctx):
+    """SURVEY §7 'genuinely hard' item 1: per-field metadata must ride
+    through SQLTransform projections — including aliased columns
+    (Spark's Alias carries child metadata unless overridden)."""
+    from arc_jupyter_spark.plans.pipeline import parse_pipeline, run_pipeline
+
+    spark = ctx.spark
+    df = spark.createDataFrame([(1, "a")], ["id", "name"]).withMetadata(
+        "id", {"primaryKey": True, "nullable": False}
+    )
+    df.createOrReplaceTempView("meta_src")
+    run_pipeline(
+        parse_pipeline(
+            [
+                {
+                    "type": "SQLTransform",
+                    "name": "t",
+                    "sql": "SELECT id AS id2, UPPER(name) AS name FROM meta_src",
+                    "outputView": "meta_out",
+                }
+            ]
+        ),
+        ctx,
+    )
+    md = spark.table("meta_out").schema["id2"].metadata
+    assert md["primaryKey"] is True and md["nullable"] is False
