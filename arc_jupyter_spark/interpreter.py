@@ -435,12 +435,19 @@ class Interpreter:
         (reference: ArcInterpreter.scala:398-457). Config is HOCON —
         the reference's actual cell language (unquoted keys, comments,
         optional commas, triple-quoted SQL, ``${ENV}`` substitution);
-        strict JSON is accepted as a subset. ``${param}`` injection
-        applies before parsing."""
+        strict JSON is accepted as a subset. Config-level ``${NAME}``
+        resolves at HOCON parse time (process env overlaid with %env
+        vars and secrets) so adjacency concatenation like
+        ``${BASE}"/file.csv"`` joins correctly — textual
+        pre-substitution would weld the quotes into the value;
+        ``${param}`` inside SQL strings resolves at stage runtime."""
+        import os
+
         from arc_jupyter_spark.plugins import LIFECYCLE_PLUGINS
 
-        text = inject_parameters(body, self.ctx.merged_params())
-        stages = parse_pipeline(text)
+        env = dict(os.environ)
+        env.update(self.ctx.merged_params())
+        stages = parse_pipeline(body, env=env)
         plugins = [LIFECYCLE_PLUGINS[n] for n in self.lifecycle]
 
         def before_stage(stage):

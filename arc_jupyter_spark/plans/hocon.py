@@ -244,8 +244,16 @@ class _Parser:
         self.i = end + 1
         optional = body.startswith("?")
         name = body[1:].strip() if optional else body
+        # Arc notebook extension on top of HOCON: ${name=default}
+        # falls back to the inline default when the name is unbound
+        # (Common.scala:151-160 applies the same form to SQL text)
+        default = None
+        if "=" in name:
+            name, default = (s.strip() for s in name.split("=", 1))
         if name in self.env:
             return _coerce(str(self.env[name]))
+        if default is not None:
+            return _coerce(default)
         if optional:
             return _MISSING
         raise self._err(f"unresolved substitution ${{{name}}}")

@@ -111,7 +111,10 @@ def stage_from_config(config: dict[str, Any]) -> PipelineStage:
     return cls(**kwargs)
 
 
-def parse_pipeline(config: str | dict[str, Any] | list[dict[str, Any]]) -> list[PipelineStage]:
+def parse_pipeline(
+    config: str | dict[str, Any] | list[dict[str, Any]],
+    env: dict[str, str] | None = None,
+) -> list[PipelineStage]:
     """Parse a pipeline config (HOCON or JSON text, dict with
     'stages', or list).
 
@@ -119,7 +122,12 @@ def parse_pipeline(config: str | dict[str, Any] | list[dict[str, Any]]) -> list[
     parses cells with ConfigFactory), so Arc notebook cells with
     unquoted keys, comments, optional commas, triple-quoted SQL and
     ``${ENV}`` substitution all parse here. Strict JSON is a subset;
-    it is tried first as the fast path.
+    it is tried first as the fast path. ``env`` resolves config-level
+    ``${NAME}`` substitutions AT PARSE TIME (so adjacency
+    concatenation like ``${BASE}"/file.csv"`` joins correctly —
+    textual pre-substitution would weld the quotes into the value);
+    ``${param}`` inside quoted SQL strings is deliberately untouched
+    here and resolves at stage runtime.
     """
     if isinstance(config, str):
         try:
@@ -127,7 +135,7 @@ def parse_pipeline(config: str | dict[str, Any] | list[dict[str, Any]]) -> list[
         except json.JSONDecodeError:
             from arc_jupyter_spark.plans.hocon import parse_hocon
 
-            config = parse_hocon(config)
+            config = parse_hocon(config, env=env)
     if isinstance(config, dict):
         config = config.get("stages", [config])
     return [stage_from_config(c) for c in config]
