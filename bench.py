@@ -28,6 +28,7 @@ HEADLINE = [
     "q43_session_window",
     "q44_lateral_topk",
     "q54_volume_shipping",
+    "q70_recursive_chains",
     "d01_exact_dedup",
     "d02_minhash_lsh",
     "d03_ngram_jaccard",
@@ -45,6 +46,8 @@ HEADLINE = [
     "t17_source_cap",
     "t18_shard_assign",
     "t22_inverted_index",
+    "t25_count_min",
+    "t27_pii_scrub",
     "m07_scene_change",
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
