@@ -1892,14 +1892,20 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_key"),
         F.lead("o_orderdate").over(w).alias("next_date"),
     )
+    # localCheckpoint the edge/start tables: the recursion re-evaluates
+    # its non-recursive relations EVERY iteration, so without the
+    # materialization each loop step re-runs the lead() window over
+    # the full orders scan (measured: 1.7x slower at sf0.1)
     edges = nxt.where(
         F.col("next_key").isNotNull()
         & (F.col("next_date") <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
-    ).select(F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst"))
+    ).select(
+        F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst")
+    ).localCheckpoint()
     edges.createOrReplaceTempView("q70_edges")
     starts = spark.table("orders").join(
         edges.select(F.col("dst").alias("o_orderkey")), "o_orderkey", "left_anti"
-    ).select("o_orderkey")
+    ).select("o_orderkey").localCheckpoint()
     starts.createOrReplaceTempView("q70_starts")
     return spark.sql(
         """
