@@ -2957,3 +2957,121 @@ def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# p04 — privacy pipeline composed as ONE lazy plan: inject the t27
+# PII fixtures -> scrub -> exact dedup on the SCRUBBED digest (two
+# docs that differed only in PII collapse after scrubbing — dedup
+# must run post-scrub, the ordering bugs real pipelines hit) ->
+# length gate -> deterministic md5 shard layout. Per-shard stats +
+# scrubbed-text checksum; one document-scale shuffle (the dedup
+# min), everything before it map-side.
+# --------------------------------------------------------------------
+
+_P04_SHARDS = 8
+_P04_MIN_TOKENS = 20
+
+P04_ORACLE = rf"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+           AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, source,
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}', '[PII]', 'g'),
+           '\b[0-9]{{3}}-[0-9]{{4}}\b', '[PII]', 'g') AS clean
+  FROM injected
+),
+keep AS (
+  SELECT doc_id, source, clean,
+         ROW_NUMBER() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+  FROM scrubbed
+),
+gated AS (
+  SELECT doc_id, source, clean,
+         len(list_filter(regexp_split_to_array(lower(clean), '\s+'), x -> x <> ''))
+           AS n_toks
+  FROM keep WHERE rn = 1
+),
+final AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % {_P04_SHARDS} AS shard,
+         doc_id, n_toks, clean
+  FROM gated WHERE n_toks >= {_P04_MIN_TOKENS}
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_toks) AS tok_sum,
+       SUM(('0x' || substr(md5(clean), 1, 7))::BIGINT) AS clean_checksum
+FROM final GROUP BY shard ORDER BY shard
+"""
+
+
+@query("p04_privacy_pipeline", oracle=P04_ORACLE)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    injected = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = injected.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), text.PII_PATTERNS["email"], "[PII]"
+            ),
+            text.PII_PATTERNS["phone"],
+            "[PII]",
+        ).alias("clean"),
+    )
+    kept = dedup.exact_dedup_by_digest(
+        scrubbed.withColumnRenamed("clean", "text"), "text", "doc_id"
+    ).withColumnRenamed("text", "clean")
+    gated = kept.select(
+        "doc_id",
+        "clean",
+        F.size(
+            F.filter(F.split(F.lower(F.col("clean")), r"\s+"), lambda t: t != "")
+        ).cast("bigint").alias("n_toks"),
+    ).where(F.col("n_toks") >= _P04_MIN_TOKENS)
+    final = gated.select(
+        (dedup.base_hash28(F.col("doc_id").cast("string")) % _P04_SHARDS).alias(
+            "shard"
+        ),
+        "n_toks",
+        "clean",
+    )
+    return (
+        final.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tok_sum"),
+            F.sum(dedup.base_hash28(F.col("clean"))).alias("clean_checksum"),
+        )
+        .orderBy("shard")
+    )

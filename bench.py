@@ -51,6 +51,7 @@ HEADLINE = [
     "m07_scene_change",
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
+    "p04_privacy_pipeline",
     "st01_stream_window",
 ]
 

@@ -442,3 +442,13 @@ def test_t27_pii_is_map_side_regex(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_p04_single_document_scale_shuffle(spark):
+    """Privacy pipeline: inject + scrub + gate are map-side; the only
+    document-scale exchange is the dedup min (plus the final
+    shard-sized agg)."""
+    plan = plan_of(spark, "p04_privacy_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial" in plan  # map-side combine on the dedup/agg
