@@ -261,6 +261,19 @@ class Interpreter:
     def magic_printschema(self, args: dict[str, str], body: str) -> CellResult:
         return CellResult(text=self.ctx.table(body.strip()).schema.treeString())
 
+    def magic_plan(self, args: dict[str, str], body: str) -> CellResult:
+        """Physical plan + scale-advisor findings for a view (an
+        engine-native addition: the 100 TB checklist this repo's plan
+        gates enforce, surfaced to the notebook before a job ships)."""
+        from arc_jupyter_spark.plans.advisor import analyze
+
+        view = body.strip() or next(iter(args), "")
+        df = self.ctx.table(view)
+        findings = analyze(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        text = "\n".join(str(f) for f in findings) + "\n\n" + plan
+        return CellResult(text=text, data=[f.__dict__ for f in findings])
+
     def magic_metadatafilter(self, args: dict[str, str], body: str) -> CellResult:
         stages = parse_pipeline([{
             "type": "MetadataFilterTransform",
@@ -570,6 +583,7 @@ def completions(ctx: ArcContext) -> list[dict[str, str]]:
         completer("%printmetadata", "execute", "%printmetadata\nview", "shell"),
         completer("%schema", "execute", "%schema\nview", "shell"),
         completer("%printschema", "execute", "%printschema\nview", "shell"),
+        completer("%plan", "execute", "%plan\nview", "shell"),
         completer("%list", "execute", "%list\nfile:///path", "shell"),
         completer("%secret", "arc", "%secret\nMY_SECRET", "shell"),
         completer("%version", "arc", "%version", "shell"),
