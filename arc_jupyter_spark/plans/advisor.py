@@ -88,19 +88,24 @@ def analyze(df: DataFrame) -> list[Finding]:
                 "DISTRIBUTE BY) or a lost co-partitioning",
             )
         )
-    scans = [
-        seg for seg in plan.split("Scan parquet")[1:]
-    ]
-    for seg in scans:
-        head = seg[:400]
-        if "PushedFilters: []" in head and "Filter" in plan and "PartitionFilters: []" in head:
+    # precise pushdown check: a scan that carries post-scan DataFilters
+    # but pushed nothing into the reader is losing the format-level
+    # skip; a filter-free full scan (dedup/text sweeps) is NOT flagged
+    for seg in plan.split("Scan parquet")[1:]:
+        head = seg[:500]
+        if (
+            "DataFilters: [" in head
+            and "DataFilters: []" not in head
+            and "PushedFilters: []" in head
+            and "PartitionFilters: []" in head
+        ):
             out.append(
                 Finding(
                     "info",
                     "no-pushdown",
-                    "a parquet scan has no pushed or partition filters "
-                    "while the plan filters rows — verify the predicate "
-                    "is pushable (no casts/UDFs over the scan column)",
+                    "a parquet scan evaluates data filters without pushing "
+                    "any into the reader — verify the predicate is pushable "
+                    "(no casts/UDFs over the scan column)",
                 )
             )
             break

@@ -82,3 +82,11 @@ def test_example_5_streaming_toggle(interp):
     assert interp.ctx.conf.streaming is True
     interp.execute("%conf streaming=false")
     assert interp.ctx.conf.streaming is False
+
+
+def test_example_6_plan_advisor(interp, spark):
+    spark.range(10).createOrReplaceTempView("revenue_by_flag")
+    cell = _strip(_blocks()[6])
+    assert cell.startswith("%plan")
+    res = interp.execute(cell)
+    assert "clean" in res.text or "no-pushdown" in res.text
