@@ -3075,3 +3075,127 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------
+# t28 — dataset card: the release-summary table every corpus ships
+# with (counts, token totals, length quantiles, language mix, exact
+# dup rate) computed in ONE pass + one tiny distinct-digest agg.
+# Quantiles are exact integers (percentile_disc-style pick via
+# sort-free min/max + grouped counts are avoided — the per-language
+# row keeps it aggregation-shaped).
+# --------------------------------------------------------------------
+
+T28_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         len({_DUCK_TOKS}) AS n_toks,
+         md5(text) AS dg
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       MIN(n_toks) AS min_tokens,
+       MAX(n_toks) AS max_tokens,
+       COUNT(DISTINCT dg) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT dg) AS n_exact_dups
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+@query("t28_dataset_card", oracle=T28_ORACLE)
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    d = spark.table("documents").select(
+        "lang",
+        F.size(text.tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+        F.md5(F.col("text").cast("binary")).alias("dg"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("n_toks").alias("min_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+            F.countDistinct("dg").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("dg")).alias("n_exact_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
+# d13 — crawl snapshot diff: the incremental-ingest primitive. A
+# second snapshot is derived deterministically (every 4th doc edited,
+# every 9th dropped, mirrored adds), then one full-outer join on the
+# id with digest compare classifies added / deleted / changed /
+# unchanged. Only (id, 16-byte digest) pairs shuffle — snapshot TEXT
+# never does; at 100 TB both sides are digest manifests.
+# --------------------------------------------------------------------
+
+D13_ORACLE = """
+WITH a AS (SELECT doc_id, md5(text) AS dg FROM documents),
+b_src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' edited' ELSE text END AS text
+  FROM documents WHERE doc_id % 9 <> 0
+),
+b AS (
+  SELECT doc_id, md5(text) AS dg FROM b_src
+  UNION ALL
+  SELECT doc_id + 5000000, md5(text || ' new') AS dg
+  FROM documents WHERE doc_id % 13 = 0
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'deleted'
+              WHEN a.dg <> b.dg THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+@query("d13_snapshot_diff", oracle=D13_ORACLE)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    a = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+    b_src = docs.where(F.col("doc_id") % 9 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    b = b_src.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("dg")
+    ).unionAll(
+        docs.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.md5(F.concat(F.col("text"), F.lit(" new")).cast("binary")).alias("dg"),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "deleted")
+        .when(F.col("a.dg") != F.col("b.dg"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )

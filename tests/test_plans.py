@@ -452,3 +452,17 @@ def test_p04_single_document_scale_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial" in plan  # map-side combine on the dedup/agg
+
+
+def test_d13_diff_shuffles_digests_only(spark):
+    """Snapshot diff: the full-outer join keys on (id) with 32-char
+    digests as payload — no text column may reach the join."""
+    plan = plan_of(spark, "d13_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_t28_card_is_one_aggregation_pass(spark):
+    plan = plan_of(spark, "t28_dataset_card")
+    assert "partial" in plan
+    assert "Join" not in plan
