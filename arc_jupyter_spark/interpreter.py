@@ -265,14 +265,14 @@ class Interpreter:
         """Physical plan + scale-advisor findings for a view (an
         engine-native addition: the 100 TB checklist this repo's plan
         gates enforce, surfaced to the notebook before a job ships)."""
-        from arc_jupyter_spark.plans.advisor import analyze
+        from arc_jupyter_spark.plans.advisor import analyze, report
 
-        view = body.strip() or next(iter(args), "")
+        view = body.strip()
+        if not view:
+            raise ValueError("%plan expects a view name on the next line")
         df = self.ctx.table(view)
         findings = analyze(df)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        text = "\n".join(str(f) for f in findings) + "\n\n" + plan
-        return CellResult(text=text, data=[f.__dict__ for f in findings])
+        return CellResult(text=report(df), data=[f.__dict__ for f in findings])
 
     def magic_metadatafilter(self, args: dict[str, str], body: str) -> CellResult:
         stages = parse_pipeline([{

@@ -975,11 +975,11 @@ def passage_dedup(
 
     Scale shape: chunking is one map-side projection
     (sequence + slice inside codegen, no Python); the keep-first
-    winner per digest is a single partial-aggregated ``min`` over
-    ``(id * 2^20 + idx)`` — 8-byte digests + one BIGINT shuffle, text
-    never does. Membership (did THIS occurrence win?) rejoins winners
-    on the digest: no row multiplication (one winner per digest), and
-    AQE may broadcast the winner table when small.
+    winner per digest is a single partial-aggregated struct ``min``
+    over ``(id, idx)`` — 8-byte digests + one small struct shuffle,
+    text never does. Membership (did THIS occurrence win?) rejoins
+    winners on the digest: no row multiplication (one winner per
+    digest), and AQE may broadcast the winner table when small.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size("_toks") / F.lit(passage_len)).cast("int")
@@ -1005,17 +1005,18 @@ def passage_dedup(
             .alias("_chunk_toks"),
         )
     )
-    # keep-first: the smallest (id, idx) per digest, encoded as one
-    # BIGINT so the min partial-aggregates map-side (idx < 2^20 per doc
-    # — documents beyond ~20M tokens would need a wider encoding)
-    order_key = (F.col(id_col) * F.lit(1 << 20) + F.col("_idx")).alias("_ord")
+    # keep-first: the smallest (id, idx) struct per digest — struct
+    # min partial-aggregates map-side and orders lexicographically,
+    # so it is exact for ANY id type/magnitude (an arithmetic
+    # id*2^20+idx encoding would silently wrap for 64-bit hash ids)
+    order_key = F.struct(F.col(id_col), F.col("_idx")).alias("_ord")
     winners = (
         occ.select("_digest", order_key)
         .groupBy("_digest")
         .agg(F.min("_ord").alias("_win"))
     )
     kept_flag = (
-        F.col(id_col) * F.lit(1 << 20) + F.col("_idx") == F.col("_win")
+        F.struct(F.col(id_col), F.col("_idx")) == F.col("_win")
     ).cast("int")
     return (
         occ.join(winners, "_digest")

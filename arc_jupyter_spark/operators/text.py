@@ -315,19 +315,22 @@ def bigram_lift(
     )
     occ = df.select(F.explode(toks).alias("_tok"))
     uni = occ.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
-    total = occ.count()
+    # total tokens = SUM over the unigram model — a lazy 1-row
+    # aggregate broadcast into the plan, NOT an eager occ.count()
+    # (which would run a full corpus-tokenize job at construction
+    # time and then re-tokenize again at execution)
+    tot = uni.agg(F.sum("_n").alias("_total"))
     if broadcast_model:
         uni = F.broadcast(uni)
     return (
         big.join(uni.select(F.col("_tok").alias("w1"), F.col("_n").alias("n_a")), "w1")
         .join(uni.select(F.col("_tok").alias("w2"), F.col("_n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(tot))
         .select(
             "w1",
             "w2",
             "n_ab",
-            F.expr(
-                f"n_ab * CAST({total} AS BIGINT) * 1000000 div (n_a * n_b)"
-            ).alias("lift_ppm"),
+            F.expr("n_ab * _total * 1000000 div (n_a * n_b)").alias("lift_ppm"),
         )
     )
 
@@ -385,7 +388,9 @@ def bigram_surprisal(
 # PII shapes that behave identically in Java regex (Spark) and RE2
 # (DuckDB) — ASCII classes only, no backreferences or lookarounds.
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    # (?i) — PII is case-blind ("John.Doe@Example.COM" is as real as
+    # its lowercase form); the inline flag works in both Java and RE2
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "phone": r"\b[0-9]{3}-[0-9]{4}\b",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }

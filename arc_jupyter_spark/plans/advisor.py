@@ -76,7 +76,14 @@ def analyze(df: DataFrame) -> list[Finding]:
                 "logic Spark can't express; keep it off the hot path",
             )
         )
-    n_exchange = plan.count("Exchange ")
+    # count real shuffles only: broadcast exchanges move no shuffle
+    # data ("Exchange " is a substring of "BroadcastExchange", so a
+    # plain substring count would misreport healthy broadcast plans)
+    n_exchange = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
     reused = plan.count("ReusedExchange")
     if n_exchange - reused > 4:
         out.append(
@@ -135,6 +142,7 @@ def analyze(df: DataFrame) -> list[Finding]:
 
 
 def report(df: DataFrame) -> str:
-    """Human-readable advisor report + the formatted plan."""
+    """Human-readable advisor report + the formatted plan (the single
+    rendering ``%plan`` uses)."""
     lines = [str(f) for f in analyze(df)]
-    return "\n".join(lines)
+    return "\n".join(lines) + "\n\n" + _plan_string(df)

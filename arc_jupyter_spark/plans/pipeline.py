@@ -128,6 +128,12 @@ def parse_pipeline(
     textual pre-substitution would weld the quotes into the value);
     ``${param}`` inside quoted SQL strings is deliberately untouched
     here and resolves at stage runtime.
+
+    After parsing, ``${param}`` / ``${param=default}`` placeholders
+    INSIDE string values (quoted strings — which HOCON substitution
+    deliberately leaves verbatim, e.g. ``outputView = "${JOB}_out"``)
+    are resolved against the same ``env``; unresolved names are left
+    intact for the stage-runtime substitution pass (SQL text).
     """
     if isinstance(config, str):
         try:
@@ -136,9 +142,22 @@ def parse_pipeline(
             from arc_jupyter_spark.plans.hocon import parse_hocon
 
             config = parse_hocon(config, env=env)
+    if env:
+        config = _inject_tree(config, env)
     if isinstance(config, dict):
         config = config.get("stages", [config])
     return [stage_from_config(c) for c in config]
+
+
+def _inject_tree(node: Any, params: dict[str, str]) -> Any:
+    """Recursively resolve ``${param}`` placeholders in string values."""
+    if isinstance(node, str):
+        return inject_parameters(node, params)
+    if isinstance(node, dict):
+        return {k: _inject_tree(v, params) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_inject_tree(v, params) for v in node]
+    return node
 
 
 def run_pipeline(

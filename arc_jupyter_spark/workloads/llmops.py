@@ -2895,12 +2895,12 @@ WITH injected AS (
 ),
 scanned AS (
   SELECT doc_id, source,
-         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
          len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{4}\b')) AS n_phone,
          len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
          regexp_replace(
            regexp_replace(
-             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+             regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '[PII]', 'g'),
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII]', 'g') AS clean
   FROM injected
@@ -2986,7 +2986,7 @@ WITH injected AS (
 scrubbed AS (
   SELECT doc_id, source,
          regexp_replace(
-           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}', '[PII]', 'g'),
+           regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{{2,}}', '[PII]', 'g'),
            '\b[0-9]{{3}}-[0-9]{{4}}\b', '[PII]', 'g') AS clean
   FROM injected
 ),

@@ -2329,32 +2329,34 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_views(spark, sf_dir, "orders")
     base = tempfile.mkdtemp(prefix="q77_part_")
-    (
-        spark.table("orders")
-        .withColumn("mo", F.month("o_orderdate"))
-        .write.partitionBy("mo")
-        .mode("overwrite")
-        .parquet(base)
-    )
-    fact = spark.read.parquet(base)
-    dim = spark.createDataFrame(
-        [(m, f"m{m}") for m in range(1, 13)], ["mo", "name"]
-    ).where(F.col("name").isin("m1", "m2"))
-    agg = (
-        fact.join(dim, "mo")
-        .groupBy("name")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-            ).alias("cents"),
+    try:
+        (
+            spark.table("orders")
+            .withColumn("mo", F.month("o_orderdate"))
+            .write.partitionBy("mo")
+            .mode("overwrite")
+            .parquet(base)
         )
-        .orderBy("name")
-    )
-    rows = agg.collect()
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    dpp = "dynamicpruningexpression" in plan
-    shutil.rmtree(base, ignore_errors=True)
-    out = [tuple(r) + (dpp,) for r in rows]
-    schema = agg.schema.add("dpp_used", "boolean", False)
+        fact = spark.read.parquet(base)
+        dim = spark.createDataFrame(
+            [(m, f"m{m}") for m in range(1, 13)], ["mo", "name"]
+        ).where(F.col("name").isin("m1", "m2"))
+        agg = (
+            fact.join(dim, "mo")
+            .groupBy("name")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("cents"),
+            )
+            .orderBy("name")
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruningexpression" in plan
+        out = [tuple(r) + (dpp,) for r in rows]
+        schema = agg.schema.add("dpp_used", "boolean", False)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, schema)

@@ -349,3 +349,19 @@ def test_fuzzy_pairs_band_width_guard(spark):
     df = spark.createDataFrame([("x",)], ["n"])
     with _pt.raises(ValueError):
         dd.fuzzy_pairs(df, "n", max_dist=3, band_width=3)
+
+
+def test_passage_dedup_huge_ids_keep_first(spark):
+    from arc_jupyter_spark.operators import dedup as dd
+
+    # 64-bit-hash-scale ids: the struct order key must still keep the
+    # SMALLEST (id, idx) — an id*2^20 arithmetic encoding would wrap
+    big1, big2 = (1 << 61) + 5, (1 << 61) + 7
+    df = spark.createDataFrame(
+        [(big1, "a b"), (big2, "a b")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.passage_dedup(df, "doc_id", "text", passage_len=2).collect()
+    }
+    assert rows[big1]["n_kept"] == 1 and rows[big2]["n_kept"] == 0

@@ -266,6 +266,7 @@ def test_no_cartesian_in_any_batch_query(spark):
         "q53_funnel", "s06_semantic_dedup", "s03_batch_topk",
         "q63_null_safe_join", "q67_similarity_join",
         "d10_bloom_prefilter",  # crossJoin of four 1-row aggregates
+        "t23_bigram_lift",  # crossJoin of the 1-row total-tokens aggregate
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

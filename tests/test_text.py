@@ -181,3 +181,12 @@ def test_pii_scrub_clean_text_unchanged(spark):
         text.pii_scrub(F.col("t")).alias("c")
     ).first()
     assert row["c"] == s
+
+
+def test_pii_scrub_case_insensitive(spark):
+    s = "Contact John.Doe@Example.COM today"
+    row = spark.createDataFrame([(s,)], ["t"]).select(
+        text.pii_scrub(F.col("t")).alias("c"),
+        text.pii_count(F.col("t"), "email").alias("n"),
+    ).first()
+    assert row["n"] == 1 and row["c"] == "Contact [PII] today"
