@@ -1,0 +1,97 @@
+"""Link-graph analytics for corpus curation.
+
+Web-crawl curation ranks pages by link structure (the CommonCrawl /
+C4-style "keep well-linked pages" signal) before any text-quality
+gate runs. PageRank is the canonical primitive; at 100 TB the edge
+list is the big table and every iteration is one shuffle on ``dst``
+(the contribution aggregation) — rank state is two BIGINTs per node,
+never the page payload.
+
+Engine-exact by construction: ranks are scaled BIGINTs and every
+iteration step is integer arithmetic (``DIV``-style truncating
+division, BIGINT sums — exact and order-free), so the result cannot
+depend on partitioning, summation order, or libm differences. The
+DuckDB oracle unrolls the same iterations with ``//``; for positive
+operands both engines truncate identically.
+
+Reference parity: the reference has no graph operator; this extends
+the LLM-pipeline surface per the build brief (corpus-forensics
+family). Dedup's connected components (`dedup.py`) shares the
+iterate-with-checkpoint pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Fixed-point scale for ranks: rank 1.0 == 10^9.
+RANK_SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = RANK_SCALE,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank → ``[node, rank_e9]``.
+
+    Per iteration: ``r' = base + damping * SUM(r_u DIV deg_u)`` where
+    ``base = ((den-num) * scale DIV den) DIV n`` and the damping
+    multiply is ``(num * s) DIV den`` — all BIGINT, all exact.
+    Dangling-node mass is dropped (standard "leak" variant); both the
+    operator and any oracle compute the same closed form, so parity
+    holds by construction.
+
+    Scale shape: edges are deduplicated once (one shuffle), degrees
+    and the node set are derived from that same shuffled frame, and
+    each iteration is ONE shuffle (``groupBy(dst)`` partial-agg sum of
+    BIGINT contributions) plus a broadcast-size join with the degree
+    table when degrees are small, or a co-partitioned join when not —
+    Spark's AQE picks per stats. Rank state per node is 8 bytes.
+    ``localCheckpoint`` every few rounds truncates lineage so the plan
+    stays constant-size at high iteration counts (use ``checkpoint``
+    on a real cluster for fault tolerance).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
+    r0 = scale // n_nodes
+
+    ranks = nodes.withColumn("rank_e9", F.lit(r0).cast("bigint"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node, "inner")
+            .join(deg, "src", "inner")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e9 DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_num} * COALESCE(s, 0)) DIV {damping_den}")
+                ).cast("bigint").alias("rank_e9"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -112,3 +112,48 @@ def salted_join(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return fact_s.join(dim_s, [on, salt_col], how).drop(salt_col)
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Batch MERGE (SCD1 upsert): apply a change set to a base table.
+
+    Semantics of the classic ``MERGE INTO``:
+
+    - change op ``delete_op`` → matching base row removed;
+    - any other change op → change row replaces the base row
+      (update when matched, insert when not);
+    - base rows with no matching change pass through unchanged.
+
+    ``changes`` must carry the base schema plus ``op_col`` and at most
+    one row per key (the caller compacts a CDC stream first — e.g.
+    ``exact_dedup`` keep-latest on the key). Composed as ONE left
+    anti/semi-free full outer join on the key: at scale this is a
+    single co-partitioned shuffle join of base × changes, and AQE
+    handles the usual case of a small change set by broadcasting it.
+    No window, no driver state; the output never materializes deleted
+    rows. Mirrors DeltaLake's ``MERGE`` result (the reference gates
+    Delta writes behind its DeltaLakeLoad stage; this provides the
+    merge semantics engine-side).
+    """
+    cols = base.columns
+    ch = changes.select(*cols, F.col(op_col).alias("__merge_op"))
+    # collision-proof dataset aliases (a user column named "b"/"c"
+    # would otherwise shadow short aliases during resolution)
+    bt, ct = "__merge_base", "__merge_change"
+    joined = base.alias(bt).join(ch.alias(ct), key_cols, "full_outer")
+    op = F.col(f"{ct}.__merge_op")
+    picked = [
+        F.when(op.isNotNull(), F.col(f"{ct}.{c}"))
+        .otherwise(F.col(f"{bt}.{c}"))
+        .alias(c)
+        if c not in key_cols
+        else F.coalesce(F.col(f"{bt}.{c}"), F.col(f"{ct}.{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.where(op.isNull() | (op != delete_op)).select(*picked)

@@ -120,6 +120,49 @@ def mixture_allocation(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    priority_scale: int = 10**6,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup): keep the ``k`` rows with the
+    smallest ``u / w`` where ``u`` is a content hash and ``w`` the row
+    weight — heavier rows are proportionally likelier to be kept, and
+    the choice is reproducible across runs, engines and layouts.
+
+    The priority is pure integer arithmetic
+    (``(u * scale) DIV w`` with ``u = base_hash28(key)``), so the
+    selection is engine-exact — no ``pow``/``ln`` transform whose libm
+    rounding could flip a boundary row between Spark and an oracle.
+    ``u`` is 28 bits and ``scale`` 10^6, so the multiply peaks at
+    ~2.7e14 — far inside BIGINT.
+
+    Scale shape: the priority is a map-side projection; ``k`` smallest
+    is ``ORDER BY ... LIMIT k`` which Spark executes as
+    TakeOrderedAndProject (per-partition top-k heaps, then a k-row
+    merge on the driver — no global sort, no full shuffle). Weights of
+    zero or less are kept out of the sample deterministically by
+    mapping them to the maximum priority.
+    """
+    u = base_hash28(F.col(key_col).cast("string"))
+    w = F.col(weight_col).cast("bigint")
+    prio = F.when(
+        w > 0, F.expr(f"({priority_scale} * _u) DIV _w")
+    ).otherwise(F.lit((2**63) - 1))
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_w", w)
+        .withColumn(priority_col, prio.cast("bigint"))
+        .drop("_u", "_w")
+        .orderBy(priority_col, key_col)
+        .limit(k)
+    )
+
+
 def budget_select(
     df: DataFrame,
     partition_col: str,

@@ -470,3 +470,63 @@ def pq_search(
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_int8(vec: Column, levels: int = 127) -> Column:
+    """Symmetric per-vector int8 scalar quantization of a float vector.
+
+    ``q_i = FLOOR(x_i * levels / max|x| + 0.5)`` — the standard
+    absmax int8 recipe (what a 100 TB embedding store actually ships:
+    4x smaller than float32, integer SIMD dot products downstream).
+    Engine-exact: the two float ops (multiply, divide) are IEEE
+    correctly-rounded in every engine, ``FLOOR`` is exact, and the
+    output is integers — so an oracle running the same formula matches
+    bit-for-bit, no libm dependence. All-zero vectors quantize to all
+    zeros (the absmax is clamped away from 0).
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    absmax = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-300)
+    )
+    return F.transform(
+        v, lambda x: F.floor(x * F.lit(float(levels)) / absmax + F.lit(0.5)).cast("int")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (BIGINT fold — order-free)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product → ``[id, qdot]``.
+
+    The memory-bound ANN configuration: corpus vectors live quantized
+    (4x less scan I/O), scoring is an integer fold the JVM vectorizes,
+    and the query is quantized once driver-side with the same absmax
+    recipe. Plan shape matches ``cosine_topk``: map + per-partition
+    top-k heaps (TakeOrderedAndProject), zero shuffle of the corpus.
+    Integer scores make the ranking engine-exact — ties broken on id.
+    """
+    import math
+
+    absmax = max(max(abs(float(x)) for x in query_vec), 1e-300)
+    # round-half-up via floor(x+0.5), mirroring quantize_int8 exactly
+    q = [int(math.floor(float(x) * levels / absmax + 0.5)) for x in query_vec]
+    qlit = F.array(*[F.lit(v) for v in q])
+    scored = df.select(
+        F.col(id_col),
+        int_dot(quantize_int8(F.col(vec_col), levels), qlit).alias("qdot"),
+    )
+    return scored.orderBy(F.desc("qdot"), F.col(id_col)).limit(k)

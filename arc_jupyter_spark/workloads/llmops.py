@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arc_jupyter_spark.operators import decontaminate, dedup, sampling, similarity, text
+from arc_jupyter_spark.operators import (
+    decontaminate,
+    dedup,
+    graph,
+    sampling,
+    similarity,
+    text,
+)
 from arc_jupyter_spark.workloads.base import exact_sum, load_views, query
 
 # shared DuckDB fragments -------------------------------------------------
@@ -3198,4 +3205,205 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
         .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------
+# g01 — link-graph PageRank over the customer↔supplier trade graph
+# (integer fixed-point, 3 iterations; operators/graph.py). The crawl
+# curation primitive: rank pages by link structure before text gates.
+# Oracle: the same three iterations unrolled as CTEs — every step is
+# BIGINT arithmetic, so the match is bit-exact by construction.
+# --------------------------------------------------------------------
+
+G01_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1000000000 // n AS r FROM nodes, nn),
+s1 AS (SELECT e.dst AS node, SUM(r0.r // deg.deg) AS s
+       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node, (150000000 // n) + (85 * COALESCE(s1.s, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN s1 ON nodes.node = s1.node),
+s2 AS (SELECT e.dst AS node, SUM(r1.r // deg.deg) AS s
+       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node, (150000000 // n) + (85 * COALESCE(s2.s, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN s2 ON nodes.node = s2.node),
+s3 AS (SELECT e.dst AS node, SUM(r2.r // deg.deg) AS s
+       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node, (150000000 // n) + (85 * COALESCE(s3.s, 0)) // 100 AS r
+       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON nodes.node = s3.node)
+SELECT node, CAST(r AS BIGINT) AS rank_e9
+FROM r3 ORDER BY r DESC, node LIMIT 20
+"""
+
+
+@query("g01_pagerank", oracle=G01_ORACLE)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    ranks = graph.pagerank(edges, iterations=3)
+    return (
+        ranks.orderBy(F.desc("rank_e9"), "node")
+        .limit(20)
+        .select("node", "rank_e9")
+    )
+
+
+# --------------------------------------------------------------------
+# p05 — leakage-safe train/val/test split: near-dup clusters (minhash
+# → connected components) are assigned to a split AS A UNIT, so no
+# near-duplicate pair straddles train and eval — the split every
+# pretraining pipeline should use instead of per-document hashing.
+# Split is content-hash keyed off the cluster representative
+# (md5-derived, engine-portable); 80/10/10 via bucket thresholds.
+# --------------------------------------------------------------------
+
+_P05_TRAIN = 3277   # floor(0.8 * 4096)
+_P05_VAL = 3687     # floor(0.9 * 4096)
+
+P05_ORACLE = f"""
+WITH RECURSIVE {_d02_oracle()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS rep
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+),
+bucketed AS (
+  SELECT doc_id, rep,
+         ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 7))::BIGINT % 4096 AS b
+  FROM rep
+)
+SELECT CASE WHEN b < {_P05_TRAIN} THEN 'train'
+            WHEN b < {_P05_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep) AS n_clusters
+FROM bucketed GROUP BY 1 ORDER BY split
+"""
+
+
+@query("p05_split_leakage_safe", oracle=P05_ORACLE)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    labels = dedup.connected_components(cands)
+    rep = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("rep"))
+    )
+    b = sampling.sample_bucket(F.col("rep"))
+    split = (
+        F.when(b < _P05_TRAIN, "train")
+        .when(b < _P05_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        rep.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------
+# t29 — deterministic weighted sampling (priority sampling): keep the
+# 50 documents with smallest hash/weight priority; weight = n_chars,
+# so selection probability grows with document length, yet the sample
+# is exactly reproducible (integer priorities, no RNG, no libm).
+# --------------------------------------------------------------------
+
+T29_ORACLE = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN
+           (1000000 * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT)) // n_chars
+         ELSE 9223372036854775807 END AS priority
+  FROM documents
+)
+SELECT doc_id, n_chars, priority FROM p ORDER BY priority, doc_id LIMIT 50
+"""
+
+
+@query("t29_weighted_sample", oracle=T29_ORACLE)
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    picked = sampling.priority_sample(
+        spark.table("documents"), key_col="doc_id", weight_col="n_chars", k=50
+    )
+    return picked.select("doc_id", "n_chars", "priority")
+
+
+# --------------------------------------------------------------------
+# s08 — int8-quantized top-k retrieval: corpus and query vectors are
+# absmax-quantized to int8 (4x scan I/O reduction — what an actual
+# 100 TB embedding store serves), scored with an exact integer dot
+# product. Integer scores → engine-exact ranking; the oracle applies
+# the identical quantization formula (IEEE mult/div + FLOOR, no libm).
+# --------------------------------------------------------------------
+
+S08_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-300) AS am
+  FROM e
+),
+qv AS (SELECT v, am FROM m WHERE vec_id = 0),
+qq AS (
+  SELECT list_transform(v, x -> FLOOR(x * 127 / am + 0.5)) AS q FROM qv
+),
+cq AS (
+  SELECT vec_id, list_transform(v, x -> FLOOR(x * 127 / am + 0.5)) AS c FROM m
+)
+SELECT vec_id,
+       CAST(list_dot_product(c, q) AS BIGINT) AS qdot
+FROM cq, qq
+ORDER BY qdot DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("s08_quantized_topk", oracle=S08_ORACLE)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.quantized_topk(
+        emb, qvec, k=10, id_col="vec_id", vec_col="embedding"
     )

@@ -2360,3 +2360,71 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, schema)
+
+
+# --------------------------------------------------------------------
+# q78 — batch MERGE / SCD1 upsert (operators/joins.py merge_upsert):
+# a change set of updates (op U), deletes (D) and inserts (I) applied
+# to a base table in one full-outer join. Change set is deterministic
+# slices of orders: base = keys % 5 <> 4; updates bump price on
+# % 10 = 0, deletes remove % 10 = 5, inserts add the % 5 = 4 keys.
+# Output aggregates the merged table per status (scaled-long sums).
+# --------------------------------------------------------------------
+
+Q78_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 4
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice, 'U' AS op
+  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+  FROM orders WHERE o_orderkey % 5 <> 4 AND o_orderkey % 10 = 5
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'I' AS op
+  FROM orders WHERE o_orderkey % 5 = 4
+),
+merged AS (
+  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+         CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+         c.op AS op
+  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       ROUND((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100), 2) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q78_merge_upsert", oracle=Q78_SQL)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.joins import merge_upsert
+
+    load_views(spark, sf_dir, "orders")
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 5 != 4)
+    updates = base.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    ).withColumn("op", F.lit("U"))
+    deletes = base.where(F.col("o_orderkey") % 10 == 5).withColumn("op", F.lit("D"))
+    inserts = orders.where(F.col("o_orderkey") % 5 == 4).withColumn("op", F.lit("I"))
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(base, changes, key_cols=["o_orderkey"], op_col="op")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum(F.col("o_totalprice"), 2), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

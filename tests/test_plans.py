@@ -467,3 +467,38 @@ def test_t28_card_is_one_aggregation_pass(spark):
     plan = plan_of(spark, "t28_dataset_card")
     assert "partial" in plan
     assert "Join" not in plan
+
+
+def test_t29_priority_sample_is_takeordered(spark):
+    plan = plan_of(spark, "t29_weighted_sample")
+    # k-smallest must be per-partition heaps + driver merge, not a
+    # global sort: TakeOrderedAndProject, no Sort+Exchange pair
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_s08_quantized_topk_no_corpus_shuffle(spark):
+    plan = plan_of(spark, "s08_quantized_topk")
+    assert "TakeOrderedAndProject" in plan
+    # scoring is a map over the scan — no exchange of the corpus
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+
+
+def test_g01_pagerank_partial_aggregates_no_cartesian(spark):
+    plan = plan_of(spark, "g01_pagerank")
+    assert "CartesianProduct" not in plan
+    # contribution sums must map-side combine (BIGINT partial_sum)
+    assert "partial_sum" in plan
+
+
+def test_q78_merge_single_join_no_cartesian(spark):
+    plan = plan_of(spark, "q78_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one full-outer join of base x changes — not a cascade
+    assert plan.count("FullOuter") == 1
+
+
+def test_p05_split_no_cartesian(spark):
+    plan = plan_of(spark, "p05_split_leakage_safe")
+    assert "CartesianProduct" not in plan
