@@ -52,6 +52,11 @@ HEADLINE = [
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
     "p04_privacy_pipeline",
+    "p05_split_leakage_safe",
+    "g01_pagerank",
+    "q78_merge_upsert",
+    "t29_weighted_sample",
+    "s08_quantized_topk",
     "st01_stream_window",
 ]
 
