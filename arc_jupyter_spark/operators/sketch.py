@@ -83,3 +83,48 @@ def count_min_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate")
     )
+
+
+def hll_shard_estimate(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int = 8,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sharded HLL distinct-count with algebraic merge → one row
+    ``[n_exact, n_merged_estimate, n_full_estimate]``.
+
+    The 100 TB COUNT(DISTINCT) primitive: each shard (in production,
+    each partition/file/day) aggregates its keys into a fixed-size
+    HLL sketch (Spark's DataSketches-backed ``hll_sketch_agg``);
+    sketches — not keys — shuffle to a union, so the network cost is
+    ``num_shards × 2^lg_k`` bytes instead of the key set. The HLL
+    registers are per-key maxima (order-free), but Spark's
+    DataSketches implementation also carries an insert-order-dependent
+    HIP accumulator that a merge discards — so two sketch paths over
+    the same key set can differ by a fraction of a percent depending
+    on partition layout (measured: 996 vs 988 on 997 keys). Contracts
+    over this operator must therefore be tolerance-based, never
+    equality-based.
+
+    ``n_exact`` is computed alongside for the oracle; at real scale
+    you would drop it (it is the expensive thing HLL replaces).
+    """
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards))
+    )
+    shard_sketches = sharded.groupBy("_shard").agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("_sk")
+    )
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("n_merged_estimate")
+    )
+    full = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key_col), F.lit(lg_k))
+        ).alias("n_full_estimate"),
+        F.countDistinct(F.col(key_col)).alias("n_exact"),
+    )
+    return full.crossJoin(merged).select(
+        "n_exact", "n_merged_estimate", "n_full_estimate"
+    )

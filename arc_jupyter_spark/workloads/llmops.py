@@ -3407,3 +3407,43 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         emb, qvec, k=10, id_col="vec_id", vec_col="embedding"
     )
+
+
+# --------------------------------------------------------------------
+# t30 — sharded HLL distinct count with algebraic merge: sketches
+# shuffle, raw keys don't (the scale path for COUNT DISTINCT). HLL
+# registers are per-key maxima, so for a fixed input set the estimate
+# is deterministic and shard-merge == whole-corpus sketch; the oracle
+# checks the exact count plus both contracts (the q47/s02 tolerance-
+# contract pattern — sketch internals aren't SQL-portable, the
+# invariants are).
+# --------------------------------------------------------------------
+
+T30_ORACLE = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merge_within_2pct,
+       TRUE AS within_5pct
+FROM events
+"""
+
+
+@query("t30_hll_shards", oracle=T30_ORACLE)
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.sketch import hll_shard_estimate
+
+    load_views(spark, sf_dir, "events")
+    est = hll_shard_estimate(spark.table("events"), "user_id", num_shards=8)
+    # both contracts are tolerances: DataSketches HLL's HIP
+    # accumulator makes estimates shift a hair with partition layout,
+    # so equality would be driver-vs-local flaky (round-1 lesson)
+    return est.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_merged_estimate") - F.col("n_full_estimate"))
+            <= F.col("n_exact") * 0.02
+        ).alias("merge_within_2pct"),
+        (
+            (F.col("n_merged_estimate") >= F.col("n_exact") * 0.95)
+            & (F.col("n_merged_estimate") <= F.col("n_exact") * 1.05)
+        ).alias("within_5pct"),
+    )

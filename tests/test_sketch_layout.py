@@ -103,3 +103,29 @@ def test_repartition_zordered_tiles_both_dims(spark, tmp_path):
     assert len(per_file) >= 8
     for r in per_file:
         assert r["xr"] <= 31 and r["yr"] <= 31, per_file
+
+
+def test_hll_shard_merge_close_to_full_and_exact(spark):
+    from arc_jupyter_spark.operators.sketch import hll_shard_estimate
+
+    df = spark.createDataFrame([(i % 137,) for i in range(3000)], ["k"])
+    row = hll_shard_estimate(df, "k", num_shards=4).first()
+    assert row["n_exact"] == 137
+    assert abs(row["n_merged_estimate"] - row["n_full_estimate"]) <= 137 * 0.02
+    assert abs(row["n_merged_estimate"] - 137) <= 137 * 0.05
+
+
+def test_hll_shard_estimate_stable_across_partitionings(spark):
+    # NOT exact equality: DataSketches HLL merges drop the
+    # order-dependent HIP accumulator, so layout shifts the estimate
+    # by a fraction of a percent; the contract is a tolerance.
+    from arc_jupyter_spark.operators.sketch import hll_shard_estimate
+
+    rows = [(i * 31 % 997,) for i in range(5000)]
+    a = hll_shard_estimate(
+        spark.createDataFrame(rows, ["k"]).repartition(1), "k"
+    ).first()
+    b = hll_shard_estimate(
+        spark.createDataFrame(rows, ["k"]).repartition(17), "k"
+    ).first()
+    assert abs(a["n_merged_estimate"] - b["n_merged_estimate"]) <= 997 * 0.02
