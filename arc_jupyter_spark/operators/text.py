@@ -410,3 +410,41 @@ def pii_scrub(text: Column, token: str = "[PII]") -> Column:
     for kind in ("email", "phone", "ipv4"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], token)
     return out
+
+
+def url_host(url: Column) -> Column:
+    """Extract the lowercase host from a URL column (pure regexp —
+    engine-portable, no parse_url UDF path)."""
+    return F.lower(F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1))
+
+
+def domain_block_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    keep: bool = False,
+    host_col: str = "_host",
+) -> DataFrame:
+    """Filter rows whose URL host is on (or under) a blocked domain.
+
+    The crawl-curation gate every web pipeline runs first: drop pages
+    from a blocklist of registrable domains, where a block on
+    ``example.com`` also covers ``sub.example.com`` (suffix match on
+    a label boundary). ``keep=True`` inverts it into an allowlist.
+
+    Scale shape: the blocklist is a literal predicate compiled into
+    the scan filter — a map-side projection + filter, no join, no
+    shuffle; real-world blocklists (thousands of entries) should
+    instead broadcast-join on the registrable-domain suffix, but the
+    literal form keeps small lists inside whole-stage codegen. The
+    host extraction and suffix checks are plain string ops, identical
+    in any engine.
+    """
+    host = url_host(F.col(url_col))
+    hit = F.lit(False)
+    for d in blocked_domains:
+        dl = d.lower()
+        hit = hit | (host == dl) | host.endswith("." + dl)
+    out = df.withColumn(host_col, host)
+    out = out.where(hit if keep else ~hit)
+    return out.drop(host_col)

@@ -3447,3 +3447,61 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_merged_estimate") <= F.col("n_exact") * 1.05)
         ).alias("within_5pct"),
     )
+
+
+# --------------------------------------------------------------------
+# t31 — domain blocklist gate: synthesize a deterministic URL per
+# document (host derives from source + doc_id), drop documents whose
+# host is on or under a blocked registrable domain (suffix match at a
+# label boundary — blocking example.com also blocks sub.example.com).
+# Pure string predicates, map-side, engine-exact.
+# --------------------------------------------------------------------
+
+_T31_BLOCKED = ("spam-mill.com", "content-farm.net")
+
+_T31_URL = (
+    "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'a' || CAST(doc_id % 3 AS VARCHAR) || '.spam-mill.com' "
+    "WHEN doc_id % 7 = 1 THEN 'spam-mill.com' "
+    "WHEN doc_id % 7 = 2 THEN 'content-farm.net' "
+    "WHEN doc_id % 7 = 3 THEN 'notspam-mill.com' "
+    "ELSE source || '.example.org' END || '/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+T31_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source, {_T31_URL} AS url FROM documents
+),
+h AS (
+  SELECT doc_id, source, url,
+         lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+  FROM u
+),
+kept AS (
+  SELECT * FROM h
+  WHERE NOT (host = 'spam-mill.com' OR host LIKE '%.spam-mill.com'
+             OR host = 'content-farm.net' OR host LIKE '%.content-farm.net')
+)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, SUM(doc_id) AS id_sum
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@query("t31_domain_blocklist", oracle=T31_ORACLE)
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    # Spark and DuckDB share the URL-synthesis SQL fragment verbatim
+    # (both dialects parse it identically)
+    spark_url = _T31_URL.replace("VARCHAR", "STRING")
+    docs = spark.table("documents").selectExpr(
+        "doc_id", "source", f"{spark_url} AS url"
+    )
+    kept = text.domain_block_filter(docs, "url", list(_T31_BLOCKED))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -190,3 +190,22 @@ def test_pii_scrub_case_insensitive(spark):
         text.pii_count(F.col("t"), "email").alias("n"),
     ).first()
     assert row["n"] == 1 and row["c"] == "Contact [PII] today"
+
+
+def test_domain_block_filter_suffix_semantics(spark):
+    from arc_jupyter_spark.operators.text import domain_block_filter
+
+    rows = [
+        (1, "https://spam-mill.com/x"),
+        (2, "https://a.spam-mill.com/x"),
+        (3, "https://notspam-mill.com/x"),     # not a label-boundary match
+        (4, "https://ok.example.org/x"),
+        (5, "http://SPAM-MILL.com/y"),          # case-insensitive host
+    ]
+    df = spark.createDataFrame(rows, ["id", "url"])
+    kept = sorted(r["id"] for r in
+                  domain_block_filter(df, "url", ["spam-mill.com"]).collect())
+    assert kept == [3, 4]
+    blocked = sorted(r["id"] for r in
+                     domain_block_filter(df, "url", ["spam-mill.com"], keep=True).collect())
+    assert blocked == [1, 2, 5]
