@@ -60,6 +60,10 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the (edge, out-degree) pairing is loop-invariant — join it once
+    # and checkpoint, so each iteration is ranks-join + one shuffle,
+    # not a re-run of the degree aggregation and its join
+    ed = e.join(deg, "src", "inner").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -73,8 +77,7 @@ def pagerank(
     ranks = nodes.withColumn("rank_e9", F.lit(r0).cast("bigint"))
     for i in range(iterations):
         contrib = (
-            e.join(ranks, e.src == ranks.node, "inner")
-            .join(deg, "src", "inner")
+            ed.join(ranks, ed.src == ranks.node, "inner")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_e9 DIV deg").alias("c"),

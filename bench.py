@@ -56,6 +56,8 @@ HEADLINE = [
     "g01_pagerank",
     "q78_merge_upsert",
     "t29_weighted_sample",
+    "t30_hll_shards",
+    "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",
 ]
