@@ -71,6 +71,10 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (a filtered-out partition at scale): empty
+        # result with the contract schema, not a divide-by-zero
+        return nodes.withColumn("rank_e9", F.lit(0).cast("bigint"))
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
     r0 = scale // n_nodes
 

@@ -71,3 +71,74 @@ def test_connected_components_empty(spark):
         )
     )
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_merge_upsert_empty_changes(spark):
+    from arc_jupyter_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    empty_changes = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ])
+    )
+    out = merge_upsert(base, empty_changes, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a")]
+
+
+def test_merge_upsert_empty_base(spark):
+    from arc_jupyter_spark.operators.joins import merge_upsert
+
+    empty_base = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ])
+    )
+    changes = spark.createDataFrame([(1, "a", "I"), (2, "b", "D")],
+                                    ["k", "v", "op"])
+    out = merge_upsert(empty_base, changes, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, "a")]
+
+
+def test_pagerank_empty_edges(spark):
+    from arc_jupyter_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ])
+    )
+    # zero nodes: result is empty, not a divide-by-zero
+    out = pagerank(empty.where(F.lit(False)), iterations=1)
+    assert out.columns == ["node", "rank_e9"]
+
+
+def test_priority_sample_empty(spark):
+    from arc_jupyter_spark.operators.sampling import priority_sample
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("w", T.LongType()),
+        ])
+    )
+    assert priority_sample(empty, "id", "w", k=5).count() == 0
+
+
+def test_domain_block_filter_empty(spark):
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("url", T.StringType())])
+    )
+    assert text.domain_block_filter(empty, "url", ["x.com"]).count() == 0
+
+
+def test_hll_shard_estimate_empty(spark):
+    out = sketch.hll_shard_estimate(
+        spark.createDataFrame([], T.StructType([T.StructField("k", T.LongType())])),
+        "k",
+    ).first()
+    assert out["n_exact"] == 0

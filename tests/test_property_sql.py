@@ -160,3 +160,46 @@ def test_random_window_function_agrees(spark, duck, fn, mod):
     srow = spark.sql(sql).first()
     drow = duck.execute(sql).fetchone()
     assert (srow["chk"], srow["n"]) == (drow[0], drow[1])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10**6),
+    k=st.integers(1, 40),
+    wmod=st.integers(1, 500),
+)
+def test_priority_sample_agrees_with_duckdb(spark, seed, k, wmod):
+    # priority sampling is integer arithmetic end to end, so the
+    # selected id set must match DuckDB exactly for ANY weights
+    # (including zero weights, which are excluded on both sides)
+    from arc_jupyter_spark.operators.sampling import priority_sample
+
+    rows = [(i + seed, (i * 7 + seed) % wmod) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sorted(
+        r["id"]
+        for r in priority_sample(df, key_col="id", weight_col="w", k=k).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT id FROM (
+              SELECT id,
+                     CASE WHEN w > 0 THEN
+                       (1000000 * (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7))::BIGINT)) // w
+                     ELSE 9223372036854775807 END AS priority
+              FROM t
+            ) ORDER BY priority, id LIMIT ?
+            """,
+            [k],
+        ).fetchall()
+    )
+    assert got == want
