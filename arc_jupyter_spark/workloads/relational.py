@@ -2428,3 +2428,29 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------
+# q79 — time-interval RANGE window frame: per-user trailing-hour
+# running totals (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+# ROW over an event-time ORDER BY). Distinct from q41's numeric RANGE
+# frame; the sliding-aggregate shape behind rate limiting and rolling
+# feature windows. Window sums use scaled longs (exact, order-free;
+# RANGE peers are all included so ties cannot flip the frame).
+# --------------------------------------------------------------------
+
+Q79_SQL = """
+SELECT user_id, ts,
+       COUNT(*) OVER w AS n_trailing_hour,
+       SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) OVER w AS tot_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts
+"""
+
+
+@query("q79_interval_range_frame", oracle=Q79_SQL)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    return spark.sql(Q79_SQL)
