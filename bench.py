@@ -55,6 +55,7 @@ HEADLINE = [
     "p05_split_leakage_safe",
     "g01_pagerank",
     "q78_merge_upsert",
+    "q79_interval_range_frame",
     "t29_weighted_sample",
     "t30_hll_shards",
     "t31_domain_blocklist",
