@@ -267,6 +267,7 @@ def test_no_cartesian_in_any_batch_query(spark):
         "q63_null_safe_join", "q67_similarity_join",
         "d10_bloom_prefilter",  # crossJoin of four 1-row aggregates
         "t23_bigram_lift",  # crossJoin of the 1-row total-tokens aggregate
+        "t30_hll_shards",  # crossJoin of two 1-row sketch-estimate aggregates
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
