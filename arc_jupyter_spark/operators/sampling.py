@@ -150,14 +150,17 @@ def priority_sample(
     """
     u = base_hash28(F.col(key_col).cast("string"))
     w = F.col(weight_col).cast("bigint")
+    # collision-proof temp names (a user column named _u/_w must not
+    # be clobbered and dropped)
+    uc, wc = "__ps_u", "__ps_w"
     prio = F.when(
-        w > 0, F.expr(f"({priority_scale} * _u) DIV _w")
+        F.col(wc) > 0, F.expr(f"({priority_scale} * {uc}) DIV {wc}")
     ).otherwise(F.lit((2**63) - 1))
     return (
-        df.withColumn("_u", u)
-        .withColumn("_w", w)
+        df.withColumn(uc, u)
+        .withColumn(wc, w)
         .withColumn(priority_col, prio.cast("bigint"))
-        .drop("_u", "_w")
+        .drop(uc, wc)
         .orderBy(priority_col, key_col)
         .limit(k)
     )

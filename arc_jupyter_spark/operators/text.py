@@ -423,7 +423,6 @@ def domain_block_filter(
     url_col: str,
     blocked_domains: list[str],
     keep: bool = False,
-    host_col: str = "_host",
 ) -> DataFrame:
     """Filter rows whose URL host is on (or under) a blocked domain.
 
@@ -445,6 +444,6 @@ def domain_block_filter(
     for d in blocked_domains:
         dl = d.lower()
         hit = hit | (host == dl) | host.endswith("." + dl)
-    out = df.withColumn(host_col, host)
-    out = out.where(hit if keep else ~hit)
-    return out.drop(host_col)
+    # filter directly on the expression — no temp column to collide
+    # with user schemas, and the predicate stays one codegen'd stage
+    return df.where(hit if keep else ~hit)
