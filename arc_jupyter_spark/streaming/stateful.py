@@ -112,3 +112,92 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def running_extremes_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    output_mode: str = "Update",
+) -> DataFrame:
+    """Per-key running (count, max) via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state API (typed state variables, timers,
+    TTL) that supersedes ``applyInPandasWithState`` for new operators.
+
+    ENVIRONMENT: the transformWithState Python runner imports
+    ``google.protobuf``; in environments without it (this container)
+    the streaming query crashes at initialization — call
+    :func:`tws_available` first. ``running_counts`` (the
+    applyInPandasWithState twin, st02) is the no-protobuf fallback.
+
+    State is one ValueState of ``(n BIGINT, vmax_e6 BIGINT)`` per key;
+    values are quantized to integer micro-units on ingest so count and
+    max are exact and independent of batch/row order (same recipe as
+    :func:`running_counts`). Each batch emits the updated cumulative
+    row per key touched; over one ``availableNow`` batch the emission
+    equals the batch ``GROUP BY`` — the oracle contract.
+
+    Scale: state is hash-partitioned by key across the state store
+    (RocksDB-backed on a real cluster), 16 bytes per key; timers/TTL
+    are available on the same handle for eviction policies.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_field = stream.schema[key_col]
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value_e6", T.LongType()),
+        ]
+    )
+    scale = 1_000_000
+
+    class RunningExtremes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, vmax_e6 BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            prev = self._agg.get() if self._agg.exists() else None
+            n, vmax = (prev[0], prev[1]) if prev else (0, None)
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf[value_col].to_numpy(dtype="float64")
+                if len(vals):
+                    batch_max = int(
+                        np.floor(vals * scale + 0.5).astype("int64").max()
+                    )
+                    vmax = batch_max if vmax is None else max(vmax, batch_max)
+            self._agg.update((n, vmax if vmax is not None else -(2**62)))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "max_value_e6": [vmax]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=RunningExtremes(),
+            outputStructType=out_schema,
+            outputMode=output_mode,
+            timeMode="None",
+        )
+    )
+
+
+def tws_available() -> bool:
+    """True when the transformWithState Python runner can start
+    (its driver worker imports google.protobuf at handshake)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -260,3 +260,41 @@ def test_stream_dedup_state_spans_microbatches(spark, tmp_path):
     spark.catalog.dropTempView("mb_dedup")
     assert n_batches >= 2
     assert got == events.count()
+
+
+def test_running_extremes_tws_gated(spark, tmp_path):
+    """transformWithStateInPandas operator — runs only where the
+    runner's google.protobuf dependency exists (not this container);
+    the construction path (plan build) must work everywhere."""
+    import pytest
+
+    from arc_jupyter_spark.streaming.stateful import (
+        running_extremes_tws,
+        tws_available,
+    )
+    from arc_jupyter_spark.workloads.base import read_events_stream
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "value")
+    agg = running_extremes_tws(stream, key_col="user_id", value_col="value")
+    assert agg.schema.fieldNames() == ["user_id", "n_events", "max_value_e6"]
+    if not tws_available():
+        pytest.skip("google.protobuf missing: transformWithState runner cannot start")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["n_events"] for r in spark.table("tws_test").collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
