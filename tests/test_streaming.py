@@ -298,3 +298,53 @@ def test_running_extremes_tws_gated(spark, tmp_path):
         for r in stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_file_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Stop a checkpointed file-stream query, land more files, restart
+    with the same checkpoint: already-processed files must NOT be
+    reprocessed and new files must not be missed — the exactly-once
+    resume contract a 100 TB land-then-serve pipeline leans on."""
+    import pyspark.sql.functions as F
+
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ck = tmp_path / "ck"
+    src.mkdir()
+
+    def land(df, name):
+        # land a single flat parquet FILE (file streams don't recurse
+        # into the directory a DataFrame write creates)
+        tmp = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    land(spark.range(0, 100).withColumn("batch", F.lit("a")), "a")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 100
+
+    land(spark.range(100, 150).withColumn("batch", F.lit("b")), "b")
+    run_once()
+    out = spark.read.parquet(str(sink))
+    # 150 distinct ids and 150 rows: file a was not replayed, file b
+    # was not missed
+    assert out.count() == 150
+    assert out.select("id").distinct().count() == 150
