@@ -9,9 +9,11 @@ from arc_jupyter_spark.operators import (  # noqa: F401
     load,
     metadata,
     multimodal,
+    quality,
     similarity,
     sketch,
     text,
     transform,
     typing,
+    urls,
 )

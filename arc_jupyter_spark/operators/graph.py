@@ -102,3 +102,81 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count → one row
+    ``[n_nodes, n_edges, n_triangles]``.
+
+    Classic degree-oriented algorithm (Suri & Vassilvitskii's
+    MapReduce formulation, public): canonicalize the edge set to
+    undirected distinct pairs, orient every edge from the
+    lower-(degree, id) endpoint to the higher, build wedges only at
+    each edge's *lower-degree* endpoint, and close them with one join
+    back to the oriented edge set.
+
+    Why this survives 100×: a hub of degree d would generate d² wedges
+    under naive pairing; orientation bounds per-node wedge work by the
+    node's *oriented* out-degree (≤ √(2m) for any graph), so the wedge
+    table is O(m^1.5) worst case and far smaller on real graphs. All
+    joins are equi-joins on node ids; the degree table is tiny
+    (2 BIGINTs per node) and broadcasts.
+
+    Everything is integer counting — engine-exact. DuckDB mirror: a
+    3-way self-join on the canonical a<b edge table.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: (u -> v) iff (deg_u, u) < (deg_v, v) — a total order, so
+    # each undirected edge appears exactly once in `oriented`
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges at the low end: pairs (v, w) of out-neighbours of u
+    o1 = oriented.select(F.col("u"), F.col("v"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = o1.join(o2, "u").where(F.col("v") < F.col("w"))
+    # close the wedge with an inner join: `closing` rows are distinct
+    # canonical pairs (oriented came from the distinct undirected edge
+    # set), so each wedge row matches at most once — the join count IS
+    # the triangle count, with per-u wedge multiplicity preserved
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    n_tri = (
+        wedges.select(
+            F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y")
+        )
+        .join(closing, ["x", "y"])
+        .count()
+    )
+    n_nodes = deg.count()
+    n_edges = e.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )

@@ -447,3 +447,88 @@ def domain_block_filter(
     # filter directly on the expression — no temp column to collide
     # with user schemas, and the predicate stays one codegen'd stage
     return df.where(hit if keep else ~hit)
+
+
+# -------------------------------------------------------------------
+# HTML cleaning (crawl extraction): strip markup, decode entities,
+# and measure link density — the trafilatura/jusText-style gate that
+# precedes every text-quality filter on raw crawl data. Pure
+# regexp_replace chains: map-side, codegen'd, engine-portable.
+# -------------------------------------------------------------------
+
+_HTML_ENTITY_MAP = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: earlier decodes must not re-expose &amp;
+)
+
+
+def html_text(html: Column) -> Column:
+    """Visible text of an HTML fragment.
+
+    1. drop <script>/<style> blocks wholesale ((?s) dotall, non-greedy)
+    2. drop every remaining tag
+    3. decode the common entities (&amp; decoded last so
+       ``&amp;lt;`` becomes ``&lt;`` the literal, not ``<``)
+    4. collapse whitespace runs, trim
+    """
+    out = F.regexp_replace(html, r"(?is)<(script|style)\b.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITY_MAP:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def anchor_char_count(html: Column) -> Column:
+    """Total visible characters inside <a> elements (link density
+    numerator — boilerplate/nav-heavy pages score high)."""
+    anchors = F.regexp_extract_all(
+        html, F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
+    )
+    return F.aggregate(
+        F.transform(anchors, lambda a: F.length(html_text(a))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+# -------------------------------------------------------------------
+# Code-vs-prose detection: integer-weighted syntax signals. A corpus
+# router needs this to send code to a code pipeline (different dedup
+# granularity, different quality rules). Integer score => engine-exact.
+# -------------------------------------------------------------------
+
+_CODE_KEYWORD_RE = (
+    r"\b(def|return|import|class|function|var|const|let|void|int|"
+    r"public|static|if|else|for|while|struct|fn|impl|lambda)\b"
+)
+#: single-char class ONLY: multi-char alternatives (`->`, `//`) would
+#: make match counts depend on the regex engine's alternation
+#: semantics (leftmost-first vs leftmost-longest); a char class scans
+#: one char at a time and counts identically everywhere.
+_CODE_SYMBOL_RE = r"[{}();=\[\]#]"
+
+
+def code_score(text: Column) -> Column:
+    """Integer code-likelihood score: 3*keywords + 1*code symbols.
+
+    Counts come from ``regexp_extract_all`` (JVM-side); the weights
+    are integers so the score is bit-exact in any engine.
+    """
+    kw = F.size(F.regexp_extract_all(text, F.lit(_CODE_KEYWORD_RE), 0))
+    sym = F.size(F.regexp_extract_all(text, F.lit(_CODE_SYMBOL_RE), 0))
+    return (kw * 3 + sym).cast("bigint")
+
+
+def is_code(text: Column, per_kchar: int = 60) -> Column:
+    """True when the code score per 1000 chars clears *per_kchar*.
+
+    The threshold comparison is integer cross-multiplication
+    (score*1000 >= per_kchar*len) — no float division anywhere.
+    """
+    n = F.length(text)
+    return (n > 0) & (code_score(text) * 1000 >= F.lit(per_kchar) * n)

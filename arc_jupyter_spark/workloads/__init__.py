@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from arc_jupyter_spark.workloads import (  # noqa: F401
+    curation,
     llmops,
     relational,
     stage_queries,

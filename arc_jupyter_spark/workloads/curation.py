@@ -1,0 +1,471 @@
+"""Round-3 curation + analytics workloads.
+
+Crawl-curation operators (URL dedup, HTML cleaning, code routing,
+link-graph triangles, data-quality expectations) and additional exact
+relational surface (bitwise aggregates, exact grouped median, ordered
+list-agg, rank-family windows).
+
+Oracle strategy: where the operator's logic is regex-heavy (URL
+canonicalization, HTML stripping) the test data is SYNTHESIZED with
+known structure, so the DuckDB oracle reconstructs the expected output
+from the construction arithmetic — it binds the operator's exact
+output strings without having to port Java-regex semantics to RE2.
+Where the logic is engine-portable (single-char regex classes, ``\\b``
+keywords, integer window math) the oracle mirrors it directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from arc_jupyter_spark.operators import graph, quality, text, urls
+from arc_jupyter_spark.workloads.base import load_views, query
+
+# --------------------------------------------------------------------
+# d14 — canonical-URL dedup. URLs are synthesized with six messy
+# variants per residue class: three of them (mixed-case host, default
+# port, tracking params, unstable param order, fragment, trailing
+# slash) canonicalize to the SAME url per doc_id group → collapse to
+# one kept row; the rest stay unique. The oracle derives the group key
+# and the expected canonical string from the construction, so the
+# kept-set AND the canonical text (via its length sum) are both bound.
+# --------------------------------------------------------------------
+
+_D14_URL = """CASE doc_id % 6
+  WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/' || CAST(doc_id {IDIV} 6 AS {STR}) || '/?utm_source=feed&b=2&a=1'
+  WHEN 1 THEN 'https://www.example.com/docs/' || CAST(doc_id {IDIV} 6 AS {STR}) || '?a=1&b=2&utm_campaign=x'
+  WHEN 2 THEN 'https://www.example.com/docs/' || CAST(doc_id {IDIV} 6 AS {STR}) || '/?b=2&a=1#sec-3'
+  WHEN 3 THEN 'http://Mirror.example.ORG:80/p/' || CAST(doc_id AS {STR})
+  WHEN 4 THEN 'http://mirror.example.org/p/' || CAST(doc_id AS {STR}) || '?gclid=zzz'
+  ELSE 'https://' || source || '.example.org/item/' || CAST(doc_id AS {STR}) || '?id=' || CAST(doc_id AS {STR})
+END"""
+
+D14_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 <= 2 THEN 'd' || CAST(doc_id // 6 AS VARCHAR)
+              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS grp,
+         CASE WHEN doc_id % 6 <= 2
+              THEN 'https://www.example.com/docs/' || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+              WHEN doc_id % 6 <= 4
+              THEN 'http://mirror.example.org/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://' || source || '.example.org/item/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+         END AS canon
+  FROM documents
+),
+kept AS (
+  SELECT u.* FROM u
+  JOIN (SELECT grp, MIN(doc_id) AS doc_id FROM u GROUP BY grp) w
+  USING (grp, doc_id)
+)
+SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum,
+       SUM(length(canon)) AS canon_len_sum
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@query("d14_url_dedup", oracle=D14_ORACLE)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    url_expr = _D14_URL.format(IDIV="DIV", STR="STRING")
+    docs = spark.table("documents").selectExpr(
+        "doc_id", "source", f"{url_expr} AS url"
+    )
+    kept = urls.url_dedup(docs, "url", "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("canon_url")).alias("canon_len_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t32 — HTML cleaning + link density. Documents are wrapped in a
+# deterministic HTML shell (head/title, style, script, nav links,
+# entities); the operator must drop script/style wholesale, strip
+# tags, decode entities, and collapse whitespace. The oracle builds
+# the expected visible text directly from the construction.
+# --------------------------------------------------------------------
+
+_T32_HTML = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS {STR}) || '</title>"
+    "<style>p{{color:red}}</style><script>var x = 1 &amp;&amp; 2;</script>"
+    "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About &amp; more</a></nav>"
+    "<p>' || text || '</p><div>&quot;q&quot; &lt;t&gt; &#39;s&#39;&nbsp;end</div></body></html>'"
+)
+
+#: visible chars inside the two nav anchors: "Home" + "About & more"
+_T32_ANCHOR_CHARS = 16
+
+T32_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' Home About & more ' || text
+           || ' "q" <t> ''s'' end' AS clean
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(length(clean)) AS clean_len_sum,
+       SUM({_T32_ANCHOR_CHARS}) AS anchor_sum,
+       SUM(CASE WHEN {_T32_ANCHOR_CHARS} * 1000 >= 80 * length(clean) THEN 1 ELSE 0 END) AS n_link_heavy
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query("t32_html_clean", oracle=T32_ORACLE)
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    html_expr = _T32_HTML.format(STR="STRING")
+    docs = spark.table("documents").selectExpr(
+        "doc_id", "source", f"{html_expr} AS html"
+    )
+    cleaned = docs.select(
+        "doc_id",
+        "source",
+        text.html_text(F.col("html")).alias("clean"),
+        text.anchor_char_count(F.col("html")).alias("anchor_chars"),
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("clean")).alias("clean_len_sum"),
+            F.sum("anchor_chars").cast("bigint").alias("anchor_sum"),
+            F.sum(
+                F.when(
+                    F.col("anchor_chars") * 1000 >= F.length("clean") * 80, 1
+                ).otherwise(0)
+            ).alias("n_link_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t33 — code-vs-prose routing. Every 5th document is replaced by a
+# synthesized code fragment; the integer-weighted score (single-char
+# symbol class + \b keywords — both regex features behave identically
+# in Java and RE2) routes it. The oracle mirrors the same regexes.
+# --------------------------------------------------------------------
+
+_T33_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'def load_' || CAST(doc_id AS {STR}) || '(x): import os; return {{ \"n\": ' "
+    "|| CAST(doc_id % 7 AS {STR}) || ' }};' "
+    "ELSE text END"
+)
+
+_T33_KW = text._CODE_KEYWORD_RE
+_T33_SYM = text._CODE_SYMBOL_RE
+
+T33_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN
+           'def load_' || CAST(doc_id AS VARCHAR) || '(x): import os; return {{ "n": '
+             || CAST(doc_id % 7 AS VARCHAR) || ' }};'
+         ELSE text END AS body
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, length(body) AS n,
+         3 * len(regexp_extract_all(body, '{_T33_KW}'))
+           + len(regexp_extract_all(body, '{_T33_SYM}')) AS score
+  FROM c
+)
+SELECT source,
+       SUM(CASE WHEN n > 0 AND score * 1000 >= 60 * n THEN 1 ELSE 0 END) AS n_code,
+       SUM(CASE WHEN n > 0 AND score * 1000 >= 60 * n THEN 0 ELSE 1 END) AS n_prose,
+       SUM(score) AS score_sum
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+@query("t33_code_detect", oracle=T33_ORACLE)
+def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    body_expr = _T33_TEXT.format(STR="STRING")
+    docs = spark.table("documents").selectExpr(
+        "doc_id", "source", f"{body_expr} AS body"
+    )
+    scored = docs.select(
+        "source",
+        text.code_score(F.col("body")).alias("score"),
+        text.is_code(F.col("body"), per_kchar=60).alias("is_code"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0)).alias("n_code"),
+            F.sum(F.when(F.col("is_code"), 0).otherwise(1)).alias("n_prose"),
+            F.sum("score").alias("score_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# g02 — exact triangle count over the supplier co-occurrence graph
+# (suppliers sharing an order are linked). Degree-oriented wedge
+# algorithm in Spark; brute 3-way self-join oracle in DuckDB.
+# --------------------------------------------------------------------
+
+G02_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT x AS n FROM pairs UNION SELECT y FROM pairs)) AS n_nodes,
+  (SELECT COUNT(*) FROM pairs) AS n_edges,
+  (SELECT COUNT(*) FROM pairs e1
+     JOIN pairs e2 ON e2.x = e1.x AND e2.y > e1.y
+     JOIN pairs e3 ON e3.x = e1.y AND e3.y = e2.y) AS n_triangles
+"""
+
+
+@query("g02_triangle_count", oracle=G02_ORACLE)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return graph.triangle_count(edges)
+
+
+# --------------------------------------------------------------------
+# q80 — data-quality expectation report over orders: one aggregate
+# pass for the row rules + a broadcast anti-join for the referential
+# rule. Integer counts, engine-exact.
+# --------------------------------------------------------------------
+
+Q80_ORACLE = """
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS rule_name, 'o_custkey' AS col_name,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'o_orderkey',
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey), COUNT(*),
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_range', 'o_totalprice',
+         SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                    OR o_totalprice > 400000 THEN 1 ELSE 0 END),
+         COUNT(*),
+         SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                    OR o_totalprice > 400000 THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'priority_format', 'o_orderpriority',
+         SUM(CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+                  THEN 1 ELSE 0 END),
+         COUNT(*),
+         SUM(CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z ]+)$')
+                  THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'status_in_set', 'o_orderstatus',
+         SUM(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END),
+         COUNT(*),
+         SUM(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_ref', 'o_custkey',
+         (SELECT COUNT(*) FROM orders o
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         COUNT(*),
+         (SELECT COUNT(*) FROM orders o
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+  FROM orders
+) ORDER BY rule_name
+"""
+
+
+@query("q80_dq_report", oracle=Q80_ORACLE)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "customer")
+    orders = spark.table("orders")
+    rules = [
+        {"name": "custkey_not_null", "kind": "not_null", "column": "o_custkey"},
+        {"name": "orderkey_unique", "kind": "unique", "column": "o_orderkey"},
+        {
+            "name": "totalprice_range",
+            "kind": "range",
+            "column": "o_totalprice",
+            "lo": 0,
+            "hi": 400000,
+        },
+        {
+            "name": "priority_format",
+            "kind": "regex",
+            "column": "o_orderpriority",
+            "pattern": "[1-3]-[A-Z ]+",
+        },
+        {
+            "name": "status_in_set",
+            "kind": "in_set",
+            "column": "o_orderstatus",
+            "values": ["O", "F"],
+        },
+        {
+            "name": "custkey_ref",
+            "kind": "ref",
+            "column": "o_custkey",
+            "dim_df": spark.table("customer"),
+            "dim_col": "c_custkey",
+        },
+    ]
+    return quality.expectation_report(orders, rules).orderBy("rule_name")
+
+
+# --------------------------------------------------------------------
+# q81 — bitwise aggregates (BIT_AND/BIT_OR/BIT_XOR): integer-exact,
+# order-free, map-side combinable.
+# --------------------------------------------------------------------
+
+Q81_ORACLE = """
+SELECT o_orderstatus,
+       bit_and(o_orderkey) AS key_and,
+       bit_or(o_orderkey) AS key_or,
+       bit_xor(o_orderkey) AS key_xor,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q81_bitwise_agg", oracle=Q81_ORACLE)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# q82 — exact grouped median without the engine's median(): explicit
+# row_number selection of the middle element(s), doubled to stay in
+# integers (median*2 = the middle value doubled, or the sum of the two
+# middle values). One shuffle (the window partition), two in-partition
+# sorts. Engine-exact — no float percentile paths.
+# --------------------------------------------------------------------
+
+_Q82_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn_q,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn_c,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(n) AS n,
+       SUM(CASE WHEN rn_q IN ((n + 1) {IDIV} 2, (n + 2) {IDIV} 2) THEN q ELSE 0 END)
+         * (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS median_x2_qty,
+       SUM(CASE WHEN rn_c IN ((n + 1) {IDIV} 2, (n + 2) {IDIV} 2) THEN cents ELSE 0 END)
+         * (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS median_x2_cents
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+Q82_ORACLE = _Q82_SQL.format(IDIV="//")
+
+
+@query("q82_exact_median", oracle=Q82_ORACLE)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q82_SQL.format(IDIV="DIV"))
+
+
+# --------------------------------------------------------------------
+# q83 — ordered list aggregation (LISTAGG/STRING_AGG): Spark builds it
+# as array_sort(collect_set) + array_join (order-free by construction,
+# so partitioning can't flip it); DuckDB uses its native ordered
+# string_agg.
+# --------------------------------------------------------------------
+
+Q83_ORACLE = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q83_listagg", oracle=Q83_ORACLE)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders")
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------
+# q84 — rank-family windows: NTILE over a total order, PERCENT_RANK /
+# CUME_DIST over a tied order (coarse balance buckets), both recovered
+# to exact integers via FLOOR(x * den + 0.5) so the output hash can't
+# drift (pr = (rank-1)/(n-1) and cd = peers/n are exact rationals;
+# the double round-trip is lossless for den < 2^26).
+# --------------------------------------------------------------------
+
+_Q84_SQL = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal, c_custkey) AS tile,
+       CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY bucket)
+                  * (n - 1) + 0.5) AS BIGINT) AS pr_num,
+       CAST(FLOOR(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY bucket)
+                  * n + 0.5) AS BIGINT) AS cd_num,
+       n AS n_seg
+FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bucket,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+"""
+
+
+@query("q84_rank_family", oracle=_Q84_SQL)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "customer")
+    return spark.sql(_Q84_SQL)
