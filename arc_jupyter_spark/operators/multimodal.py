@@ -22,7 +22,7 @@ import struct
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -230,3 +230,76 @@ def resize_images(df: DataFrame, width: int, height: int, binary_col: str = "val
             yield pdf.assign(**{binary_col: out})
 
     return df.mapInPandas(run, schema=df.schema)
+
+
+def phash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Hamming-distance near-duplicate pairs over a 64-bit perceptual
+    hash → ``[id_a, id_b, hamming]`` (id_a < id_b).
+
+    Multi-index hashing (Norouzi/Punjani/Fleet, public): split the
+    64-bit hash into *bands* equal slices; two hashes within Hamming
+    distance ``bands - 1`` MUST agree exactly on at least one band
+    (pigeonhole), so banding with ``bands = max_hamming + 1`` is a
+    lossless candidate filter. Candidates are verified with
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    Scale shape — the image analogue of MinHash LSH (`dedup.py`):
+    band values are the shuffle key (8 bytes + id, never the image
+    payload); within-bucket pairing is the only quadratic step and
+    ``max_bucket_size`` caps degenerate buckets (e.g. the all-black
+    thumbnail); the verify step is one integer XOR/POPCNT per
+    candidate inside codegen. No Python anywhere.
+    """
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at Hamming "
+            f"{max_hamming}; need bands >= max_hamming + 1"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sliced = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).cast("bigint").alias("_ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(CAST({phash_col} AS BIGINT), {i * width})"
+                            f" & {mask}"
+                        ).alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "_ph", "b.band", "b.val")
+    counted = sliced.withColumn(
+        "_bn",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
+    ).where(F.col("_bn") <= max_bucket_size)
+    a = counted.select(
+        F.col("band"), F.col("val"), F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a")
+    )
+    b = counted.select(
+        F.col("band"), F.col("val"), F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b")
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("ph_a ^ ph_b")).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -272,3 +272,73 @@ def shard_assign(
     if repartition:
         out = out.repartition(num_shards, F.col(shard_col))
     return out
+
+
+def epoch_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    budgets: dict[str, int],
+    max_epochs: int = 4,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-aware mixture sampling: meet a per-source row budget by
+    REPEATING small sources (up to ``max_epochs`` passes) and
+    truncating large ones — the standard LLM data-recipe step where
+    high-quality small sources are upsampled (seen multiple epochs)
+    while a huge crawl source contributes a fraction of one epoch.
+
+    Emits ``min(budget, n_source * max_epochs)`` rows per source:
+    whole epochs first (``epoch`` = 0..k-1), then the remainder of the
+    final partial epoch chosen deterministically by content hash
+    (``base_hash28(id)`` ascending, id tiebreak) so the same rows are
+    picked on any engine/layout.
+
+    Scale shape: per-source counts are one tiny aggregate (broadcast
+    back); epoch replication is a map-side ``explode(sequence(...))``
+    — row count multiplies but nothing shuffles; the partial-epoch
+    cut is ONE window shuffle on (source), the same shape as
+    `budget_select`. At 100 TB budgets are token counts, not row
+    counts — pass the same dict and swap the window's running metric
+    (the structure is unchanged).
+    """
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n_src"))
+    )
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(source_col)]
+    with_n = (
+        df.join(F.broadcast(counts), source_col)
+        .withColumn("_budget", F.coalesce(budget_expr, F.lit(0)).cast("bigint"))
+        # epochs needed to cover the budget, capped
+        .withColumn(
+            "_epochs",
+            F.least(
+                F.expr("CAST((_budget + _n_src - 1) DIV _n_src AS INT)"),
+                F.lit(max_epochs),
+            ),
+        )
+        .where(F.col("_epochs") > 0)
+    )
+    replicated = with_n.withColumn(
+        epoch_col, F.explode(F.expr("sequence(0, _epochs - 1)"))
+    )
+    # rows in complete epochs always survive; the LAST epoch is cut to
+    # the remainder by deterministic hash rank
+    rank_w = Window.partitionBy(source_col, epoch_col).orderBy(
+        base_hash28(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    kept = (
+        replicated.withColumn("_rk", F.row_number().over(rank_w))
+        .where(
+            (F.col(epoch_col) < F.col("_epochs") - 1)
+            | (
+                F.col("_rk")
+                <= F.col("_budget") - (F.col("_epochs") - 1) * F.col("_n_src")
+            )
+        )
+        .drop("_rk", "_n_src", "_budget", "_epochs")
+    )
+    return kept

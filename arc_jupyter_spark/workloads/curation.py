@@ -469,3 +469,122 @@ FROM (
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "customer")
     return spark.sql(_Q84_SQL)
+
+
+# --------------------------------------------------------------------
+# m08 — perceptual-hash Hamming near-dup (multi-index banding over a
+# 64-bit pHash). The pHash is a deterministic stub (xxhash64 of
+# payload — the real decoder is environment-gated, per SURVEY §2);
+# mirrors are constructed by flipping known bits: 1 flipped bit MUST
+# be found (pigeonhole guarantee at 4 bands), 2 flips in EVERY band
+# must not even become a candidate. The oracle enumerates the
+# constructed matches — binding recall and precision exactly.
+# --------------------------------------------------------------------
+
+#: 2 flipped bits in each 16-bit band: never a banding candidate and
+#: Hamming 8 > max_hamming anyway — the designed true-negative.
+_M08_MISS_MASK = 3 * (1 + (1 << 16) + (1 << 32) + (1 << 48))
+
+M08_ORACLE = """
+SELECT source, COUNT(*) AS n_pairs, SUM(doc_id) AS id_a_sum,
+       COUNT(*) AS hamming_sum
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY source ORDER BY source
+"""
+
+
+@query("m08_phash_near_dup", oracle=M08_ORACLE)
+def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    base = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.xxhash64(
+            F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))
+        ).alias("ph"),
+    )
+    near = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "source",
+        F.expr("ph ^ shiftleft(1L, CAST(doc_id % 60 AS INT))").alias("ph"),
+    )
+    far = base.where(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "source",
+        F.expr(f"ph ^ {_M08_MISS_MASK}L").alias("ph"),
+    )
+    corpus = base.unionAll(near).unionAll(far)
+    pairs = multimodal.phash_near_dup(
+        corpus, id_col="doc_id", phash_col="ph", bands=4, max_hamming=3
+    )
+    src = base.select(F.col("doc_id").alias("id_a"), "source")
+    return (
+        pairs.join(F.broadcast(src), "id_a")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("id_a_sum"),
+            F.sum("hamming").cast("bigint").alias("hamming_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# p06 — epoch-aware mixture: small high-quality sources repeat for
+# multiple epochs (capped), large ones truncate; the final partial
+# epoch is cut by deterministic content-hash rank. Both engines
+# compute the identical integer epoch arithmetic and md5-based rank.
+# --------------------------------------------------------------------
+
+_P06_BUDGETS = {"src1": 1000, "src2": 5, "src3": 37, "src4": 2}
+
+P06_ORACLE = """
+WITH n AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+b(source, budget) AS (VALUES ('src1', 1000), ('src2', 5), ('src3', 37), ('src4', 2)),
+d AS (
+  SELECT doc_id, documents.source, n_src, budget,
+         LEAST((budget + n_src - 1) // n_src, 4) AS epochs
+  FROM documents JOIN n USING (source) JOIN b USING (source)
+),
+r AS (
+  SELECT doc_id, source, n_src, budget, epochs,
+         unnest(generate_series(0, epochs - 1)) AS epoch
+  FROM d
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source, epoch
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+               doc_id) AS rk
+  FROM r
+)
+SELECT source, epoch, COUNT(*) AS n_rows, SUM(doc_id) AS id_sum
+FROM ranked
+WHERE epoch < epochs - 1 OR rk <= budget - (epochs - 1) * n_src
+GROUP BY source, epoch ORDER BY source, epoch
+"""
+
+
+@query("p06_epoch_mixture", oracle=P06_ORACLE)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import sampling
+
+    load_views(spark, sf_dir, "documents")
+    mixed = sampling.epoch_mixture(
+        spark.table("documents"),
+        source_col="source",
+        id_col="doc_id",
+        budgets=_P06_BUDGETS,
+        max_epochs=4,
+    )
+    return (
+        mixed.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source", "epoch")
+    )

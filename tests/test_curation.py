@@ -148,3 +148,61 @@ def test_expectation_report(spark):
     assert rep["id_ref"]["n_violations"] == 0
     assert all(r["n_rows"] == 3 for r in rep.values())
     assert rep["id_ref"]["passed"] and not rep["v_range"]["passed"]
+
+
+# ------------------------------------------------------------- phash
+def test_phash_near_dup_guarantee(spark):
+    from arc_jupyter_spark.operators import multimodal
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),           # hamming 3 -> must be found
+        (3, base ^ (3 * (1 + (1 << 16) + (1 << 32) + (1 << 48)))),  # 2/band
+        (4, 0x7EDCBA9876543210),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ph bigint")
+    pairs = multimodal.phash_near_dup(df, "id", "ph", bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_phash_near_dup_rejects_low_bands(spark):
+    from arc_jupyter_spark.operators import multimodal
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "id bigint, ph bigint")
+    with pytest.raises(ValueError):
+        multimodal.phash_near_dup(df, "id", "ph", bands=2, max_hamming=3)
+
+
+# ------------------------------------------------------------- epochs
+def test_epoch_mixture_budgets(spark):
+    from arc_jupyter_spark.operators import sampling
+
+    rows = [(i, "small" if i < 3 else "big") for i in range(13)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = sampling.epoch_mixture(
+        df, "source", "doc_id", {"small": 100, "big": 4}, max_epochs=2
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # small: 3 docs, budget 100 -> capped at 2 epochs = 6 rows
+    # big: 10 docs, budget 4 -> 1 partial epoch of 4
+    assert by == {"small": 6, "big": 4}
+    # epochs labelled 0..k-1 and deterministic reruns
+    assert sorted(
+        r["epoch"] for r in out.where("source='small'").select("epoch").collect()
+    ) == [0, 0, 0, 1, 1, 1]
+    again = sampling.epoch_mixture(
+        df, "source", "doc_id", {"small": 100, "big": 4}, max_epochs=2
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_epoch_mixture_zero_budget_drops_source(spark):
+    from arc_jupyter_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, source string")
+    out = sampling.epoch_mixture(df, "source", "doc_id", {"a": 1})
+    assert [r["source"] for r in out.collect()] == ["a"]
