@@ -61,6 +61,14 @@ HEADLINE = [
     "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",
+    "d14_url_dedup",
+    "t32_html_clean",
+    "t33_code_detect",
+    "g02_triangle_count",
+    "q80_dq_report",
+    "q82_exact_median",
+    "m08_phash_near_dup",
+    "p06_epoch_mixture",
 ]
 
 

@@ -206,3 +206,30 @@ def test_epoch_mixture_zero_budget_drops_source(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, source string")
     out = sampling.epoch_mixture(df, "source", "doc_id", {"a": 1})
     assert [r["source"] for r in out.collect()] == ["a"]
+
+
+# ---------------------------------------------------- url properties
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a structured URL corpus —
+    canonical form must be a fixed point (otherwise dedup keys depend
+    on how many times a pipeline normalizes)."""
+    from itertools import product
+
+    schemes = ["http", "HTTPS"]
+    hosts = ["Ex.COM", "a.b.org:443", "h.io:80", "h.io:8080"]
+    paths = ["", "/", "/P/q/", "/x"]
+    queries = ["", "?b=2&a=1", "?utm_source=s&z=9", "?gclid=1", "?a=%20&A=2"]
+    frags = ["", "#f"]
+    corpus = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in product(schemes, hosts, paths, queries, frags)
+    ]
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(url=u) for u in corpus])
+    once = df.select(urls.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select(
+        "c1", urls.canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in twice if r["c1"] != r["c2"]]
+    assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
