@@ -348,3 +348,87 @@ def test_file_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
     # was not missed
     assert out.count() == 150
     assert out.select("id").distinct().count() == 150
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, decisively: three micro-batches in
+    controlled order (distinct mtimes + maxFilesPerTrigger=1).
+    Batch 1 sets the watermark past the 10:00 window's end; batch 2
+    only advances it (state for the 10:00 window is evicted at that
+    batch's commit); batch 3 replays a 10:20 event — it MUST be
+    dropped (Spark counts it in numRowsDroppedByWatermark). With a
+    loose watermark the same input is accepted — proving the drop
+    comes from the watermark, not an unread file.
+
+    Nuance this test pins down: in update mode a late row is only
+    dropped once the watermark has EVICTED its window's state; while
+    state is live a late-but-present window still updates. Hence the
+    separate advance-only batch 2."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def run(delay: str, tag: str) -> tuple[dict, int]:
+        src = tmp_path / f"late_{tag}"
+        src.mkdir()
+        base = "2024-01-01 "
+
+        def mk(rows, name, age):
+            df = spark.createDataFrame(
+                [(base + r,) for r in rows], "ts_s string"
+            ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+            df.coalesce(1).write.parquet(str(src / name))
+            for f in os.listdir(src / name):
+                if f.endswith(".parquet"):
+                    dst = src / f"{name}.parquet"
+                    os.rename(src / name / f, dst)
+                    now = _time.time()
+                    os.utime(dst, (now - age, now - age))
+
+        mk(["10:05:00", "10:15:00", "10:45:00", "11:30:00"], "b1", 3000)
+        mk(["11:40:00"], "b2", 2000)                # advance-only
+        mk(["10:20:00", "11:50:00"], "b3", 1000)    # stale replay + fresh
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"late_{tag}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"chk_{tag}"))
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        out = {}
+        for r in spark.table(name).collect():
+            k = r["w"]["start"].strftime("%H:%M")
+            out[k] = max(out.get(k, 0), r["n"])
+        spark.catalog.dropTempView(name)
+        return out, dropped
+
+    # tight: watermark reaches 11:10 after batch 1 (> 11:00 window
+    # end), state evicted after batch 2 -> the 10:20 replay is dropped
+    tight, n_dropped = run("20 minutes", "tight")
+    assert tight["10:00"] == 3, f"late row not dropped: {tight}"
+    assert tight["11:00"] == 3
+    assert n_dropped == 1
+    # loose: watermark stays hours behind -> same replay is accepted
+    loose, n_dropped_loose = run("6 hours", "loose")
+    assert loose["10:00"] == 4, f"row wrongly dropped: {loose}"
+    assert loose["11:00"] == 3
+    assert n_dropped_loose == 0
