@@ -17,6 +17,11 @@ Rule kinds:
   ``ref``            — value has no match in ``dim_df[dim_col]``
 
 Every count is integer — engine-exact, oracle-able as UNION ALL SQL.
+
+Reference parity: the reference's validation surface is SQLValidate /
+MetadataValidate (single-predicate, fail-the-pipeline —
+`operators/execute.py` here); this adds the report-shaped multi-rule
+gate a warehouse runs nightly, beyond the reference per the brief.
 """
 
 from __future__ import annotations

@@ -20,6 +20,10 @@ Canonicalization rules (documented so the oracle/tests can mirror):
 
 Scale: every rule is a map-side column expression inside one
 whole-stage-codegen projection; dedup shuffles only (digest, id).
+
+Reference parity: no URL operator exists in the reference (checked
+src/main — the arc stage set ends at transforms/loads); this extends
+the LLM-pipeline surface per the build brief (crawl-curation family).
 """
 
 from __future__ import annotations
