@@ -50,7 +50,11 @@ def _violation_flag(rule: dict[str, Any]) -> F.Column | None:
         cond = col.isNull() | ~col.isin(*rule["values"])
     else:
         return None
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+    # COALESCE: SUM over zero rows is NULL, and an empty partition is
+    # routine at scale — an empty table violates nothing
+    return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast(
+        "bigint"
+    )
 
 
 def expectation_report(

@@ -142,3 +142,54 @@ def test_hll_shard_estimate_empty(spark):
         "k",
     ).first()
     assert out["n_exact"] == 0
+
+
+def test_url_dedup_empty(spark):
+    from arc_jupyter_spark.operators import urls
+
+    df = spark.createDataFrame([], "id bigint, url string")
+    out = urls.url_dedup(df, "url", "id")
+    assert out.count() == 0 and "canon_url" in out.columns
+
+
+def test_triangle_count_empty(spark):
+    from arc_jupyter_spark.operators import graph
+
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    row = graph.triangle_count(df).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+
+
+def test_phash_near_dup_empty(spark):
+    from arc_jupyter_spark.operators import multimodal
+
+    df = spark.createDataFrame([], "id bigint, ph bigint")
+    out = multimodal.phash_near_dup(df, "id", "ph")
+    assert out.count() == 0 and out.columns == ["id_a", "id_b", "hamming"]
+
+
+def test_epoch_mixture_empty(spark):
+    from arc_jupyter_spark.operators import sampling
+
+    df = spark.createDataFrame([], "doc_id bigint, source string")
+    assert sampling.epoch_mixture(df, "source", "doc_id", {"a": 5}).count() == 0
+
+
+def test_expectation_report_empty(spark):
+    from arc_jupyter_spark.operators import quality
+
+    df = spark.createDataFrame([], "id bigint, v double")
+    dim = spark.createDataFrame([], "k bigint")
+    rep = quality.expectation_report(
+        df,
+        [
+            {"name": "nn", "kind": "not_null", "column": "v"},
+            {"name": "uq", "kind": "unique", "column": "id"},
+            {"name": "rg", "kind": "range", "column": "v", "lo": 0, "hi": 1},
+            {"name": "rf", "kind": "ref", "column": "id",
+             "dim_df": dim, "dim_col": "k"},
+        ],
+    ).collect()
+    assert len(rep) == 4
+    assert all(r["n_rows"] == 0 and r["n_violations"] == 0 and r["passed"]
+               for r in rep)
