@@ -11,7 +11,7 @@ sketches is a union + groupBy-sum.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _bucket(key: Column, d: Column, width: int) -> Column:
@@ -128,3 +128,90 @@ def hll_shard_estimate(
     return full.crossJoin(merged).select(
         "n_exact", "n_merged_estimate", "n_full_estimate"
     )
+
+
+def hist_build(
+    df: DataFrame,
+    value: Column,
+    lo: int,
+    hi: int,
+    nbins: int = 1000,
+    shard: Column | None = None,
+) -> DataFrame:
+    """Fixed-bin integer histogram → ``[shard?, bin, n]``.
+
+    The distributed-quantile primitive: each shard keeps ``nbins``
+    BIGINT counters (fixed memory regardless of data volume) and
+    histograms MERGE ALGEBRAICALLY (union + groupBy-sum), unlike
+    rank-based quantile sketches (GK/KLL) whose merge result depends
+    on partition order. Binning is pure integer arithmetic —
+    ``((v - lo) * nbins) DIV (hi - lo + 1)`` clamped to the edge bins
+    — so the histogram is bit-identical in any engine at any
+    partitioning. ``value`` must already be integer-typed (e.g. cents
+    via ``FLOOR(x*100 + 0.5)``).
+
+    Scale shape: one map-side projection + one partial-agg'd groupBy
+    on (shard, bin) — the shuffle carries at most shards × nbins rows.
+    """
+    span = hi - lo + 1
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), value.cast("bigint")))
+    # integer DIV via expr on a named projection (keeps it codegen'd)
+    proj = df.select(
+        *( [shard.alias("shard")] if shard is not None else [] ),
+        clamped.alias("_v"),
+    ).withColumn("bin", F.expr(f"((_v - {lo}) * {nbins}) DIV {span}"))
+    keys = (["shard"] if shard is not None else []) + ["bin"]
+    return proj.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def hist_merge(hists: DataFrame) -> DataFrame:
+    """Merge per-shard histograms → ``[bin, n]`` (drop the shard key,
+    sum counters — associative/commutative, order-free)."""
+    return hists.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantile_bins(
+    hist: DataFrame,
+    quantiles: list[tuple[str, int, int]],
+    lo: int,
+    hi: int,
+    nbins: int = 1000,
+) -> DataFrame:
+    """Quantile lookup on a merged histogram →
+    ``[q_label, bin, bin_lo, cum_n, n_total]`` for each (label,
+    q_num, q_den) requested.
+
+    The target rank is ``ceil(n * q)`` in exact integers
+    (``(n*q_num + q_den - 1) DIV q_den``); the answer is the first bin
+    whose cumulative count reaches it, reported with its lower edge —
+    error bounded by one bin width by construction. The histogram is
+    tiny (≤ nbins rows), so the window runs in one task.
+    """
+    span = hi - lo + 1
+    cum = hist.withColumn(
+        "cum_n",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = hist.agg(F.sum("n").alias("t"))
+    out = None
+    for label, q_num, q_den in quantiles:
+        ranked = (
+            cum.crossJoin(F.broadcast(total))
+            .where(
+                F.col("cum_n")
+                >= F.expr(f"(t * {q_num} + {q_den} - 1) DIV {q_den}")
+            )
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(label).alias("q_label"),
+                F.col("bin"),
+                F.expr(f"{lo} + (bin * {span}) DIV {nbins}").alias("bin_lo"),
+                F.col("cum_n").cast("bigint").alias("cum_n"),
+                F.col("t").cast("bigint").alias("n_total"),
+            )
+        )
+        out = ranked if out is None else out.unionAll(ranked)
+    return out

@@ -598,3 +598,77 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch")
     )
+
+
+# --------------------------------------------------------------------
+# t34 — distributed quantiles via mergeable integer histograms: the
+# scale-path replacement for rank-based quantile sketches whose merge
+# depends on partition order (GK/KLL). Binning, merging, and rank
+# lookup are ALL integer arithmetic, so Spark's sharded-then-merged
+# result and DuckDB's direct computation are bit-identical; the query
+# additionally proves shard-merge == direct-histogram exactly.
+# --------------------------------------------------------------------
+
+_T34_LO, _T34_HI, _T34_BINS = 0, 10_999_999, 1000
+
+T34_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+cl AS (SELECT GREATEST({_T34_LO}, LEAST({_T34_HI}, cents)) AS v FROM c),
+h AS (
+  SELECT ((v - {_T34_LO}) * {_T34_BINS}) // {_T34_HI - _T34_LO + 1} AS bin,
+         COUNT(*) AS n
+  FROM cl GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM h
+),
+t AS (SELECT SUM(n) AS t FROM h),
+q(q_label, qn, qd) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+pick AS (
+  SELECT q_label, MIN(bin) AS bin
+  FROM cum, t, q
+  WHERE cum_n >= (t * qn + qd - 1) // qd
+  GROUP BY q_label
+)
+SELECT q_label, pick.bin,
+       {_T34_LO} + (pick.bin * {_T34_HI - _T34_LO + 1}) // {_T34_BINS} AS bin_lo,
+       cum.cum_n, t.t AS n_total, TRUE AS merge_exact
+FROM pick JOIN cum ON cum.bin = pick.bin, t
+ORDER BY q_label
+"""
+
+
+@query("t34_hist_quantile", oracle=T34_ORACLE)
+def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import sketch
+
+    load_views(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem")
+    cents = F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    sharded = sketch.hist_build(
+        li, cents, _T34_LO, _T34_HI, _T34_BINS,
+        shard=F.col("l_orderkey") % 8,
+    )
+    merged = sketch.hist_merge(sharded)
+    direct = sketch.hist_build(li, cents, _T34_LO, _T34_HI, _T34_BINS)
+    # exact-merge contract: the sharded-then-merged histogram must be
+    # row-identical to the direct one (symmetric difference empty)
+    n_diff = (
+        merged.unionAll(direct)
+        .groupBy("bin", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") != 2)
+        .count()
+    )
+    qbins = sketch.hist_quantile_bins(
+        merged,
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        _T34_LO, _T34_HI, _T34_BINS,
+    )
+    return qbins.withColumn("merge_exact", F.lit(n_diff == 0)).orderBy(
+        "q_label"
+    )

@@ -69,6 +69,7 @@ HEADLINE = [
     "q82_exact_median",
     "m08_phash_near_dup",
     "p06_epoch_mixture",
+    "t34_hist_quantile",
 ]
 
 

@@ -129,3 +129,36 @@ def test_hll_shard_estimate_stable_across_partitionings(spark):
         spark.createDataFrame(rows, ["k"]).repartition(17), "k"
     ).first()
     assert abs(a["n_merged_estimate"] - b["n_merged_estimate"]) <= 997 * 0.02
+
+
+def test_hist_quantile_merge_and_lookup(spark):
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import sketch
+
+    # values 0..99 -> 10 bins of width 10; shards must merge exactly
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "v bigint, s int")
+    sharded = sketch.hist_build(df, F.col("v"), 0, 99, 10, shard=F.col("s"))
+    merged = sketch.hist_merge(sharded)
+    direct = sketch.hist_build(df, F.col("v"), 0, 99, 10)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    got = {
+        r["q_label"]: (r["bin"], r["bin_lo"], r["cum_n"], r["n_total"])
+        for r in sketch.hist_quantile_bins(
+            merged, [("p50", 1, 2), ("p90", 9, 10)], 0, 99, 10
+        ).collect()
+    }
+    # rank ceil(100*0.5)=50 -> bin 4 (v=49 is rank 50), cum 50
+    assert got["p50"] == (4, 40, 50, 100)
+    # rank 90 -> bin 8 (v=89), cum 90
+    assert got["p90"] == (8, 80, 90, 100)
+
+
+def test_hist_build_clamps_outliers(spark):
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import sketch
+
+    df = spark.createDataFrame([(-5,), (500,), (50,)], "v bigint")
+    h = {r["bin"]: r["n"] for r in sketch.hist_build(df, F.col("v"), 0, 99, 10).collect()}
+    assert h == {0: 1, 9: 1, 5: 1}
