@@ -268,6 +268,7 @@ def test_no_cartesian_in_any_batch_query(spark):
         "d10_bloom_prefilter",  # crossJoin of four 1-row aggregates
         "t23_bigram_lift",  # crossJoin of the 1-row total-tokens aggregate
         "t30_hll_shards",  # crossJoin of two 1-row sketch-estimate aggregates
+        "t34_hist_quantile",  # crossJoin of the 1-row histogram total
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -503,3 +504,54 @@ def test_q78_merge_single_join_no_cartesian(spark):
 def test_p05_split_no_cartesian(spark):
     plan = plan_of(spark, "p05_split_leakage_safe")
     assert "CartesianProduct" not in plan
+
+
+def test_d14_prunes_text_and_partial_aggregates(spark):
+    """URL dedup synthesizes urls from (doc_id, source): the document
+    text must never be read, and the digest groupBy must partial-agg
+    (the shuffle carries digests, not documents)."""
+    plan = plan_of(spark, "d14_url_dedup")
+    assert "text" not in plan.split("ReadSchema")[-1][:300]
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m08_band_join_no_python(spark):
+    """pHash banding is pure JVM: no Python eval anywhere, candidate
+    pairing is an equi-join on (band, val)."""
+    plan = plan_of(spark, "m08_phash_near_dup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t34_hist_partial_aggregation(spark):
+    """Histogram build must map-side combine: the exchange carries at
+    most shards x nbins counter rows."""
+    plan = plan_of(spark, "t34_hist_quantile")
+    assert "partial_count" in plan or "Partial" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_triangle_orientation_broadcasts_degrees(spark):
+    """Triangle counting's orientation joins the tiny degree table —
+    those joins must broadcast. g02's returned frame is a 1-row
+    summary (ExistingRDD), so inspect the internal join pipeline the
+    same way the operator builds it."""
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    joined = e.join(F.broadcast(da), "a")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
