@@ -672,3 +672,42 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qbins.withColumn("merge_exact", F.lit(n_diff == 0)).orderBy(
         "q_label"
     )
+
+
+# --------------------------------------------------------------------
+# q85 — join-key skew profile: the diagnostic a pipeline runs BEFORE
+# choosing a join strategy (broadcast / salt / AQE skew split). One
+# groupBy builds per-key counts; the profile (max, exact percentile
+# ranks via row_number, top key) is computed over the tiny key-count
+# table. All integer — engine-exact.
+# --------------------------------------------------------------------
+
+_Q85_SQL = """
+WITH kc AS (
+  SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+  SELECT k, n,
+         ROW_NUMBER() OVER (ORDER BY n, k) AS rn,
+         COUNT(*) OVER () AS nk,
+         SUM(n) OVER () AS total
+  FROM kc
+)
+SELECT MAX(nk) AS n_keys,
+       MAX(total) AS n_rows,
+       MAX(n) AS max_per_key,
+       MIN(n) AS min_per_key,
+       SUM(CASE WHEN rn = (nk + 1) {IDIV} 2 THEN n ELSE 0 END) AS p50_per_key,
+       SUM(CASE WHEN rn = (nk * 99 + 99) {IDIV} 100 THEN n ELSE 0 END) AS p99_per_key,
+       SUM(CASE WHEN rn = nk THEN k ELSE 0 END) AS heaviest_key,
+       MAX(n) * MAX(nk) - MAX(total) AS balance_gap
+FROM r
+"""
+
+Q85_ORACLE = _Q85_SQL.format(IDIV="//")
+
+
+@query("q85_key_skew_profile", oracle=Q85_ORACLE)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q85_SQL.format(IDIV="DIV"))
