@@ -136,6 +136,10 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        # the canonical edge set feeds degrees, orientation, closing
+        # AND two of the three summary counts — materialize once
+        # instead of re-running the upstream dedup shuffle per action
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -151,10 +155,11 @@ def triangle_count(
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # oriented is read twice (wedge build + closing set): materialize
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint()
     # wedges at the low end: pairs (v, w) of out-neighbours of u
     o1 = oriented.select(F.col("u"), F.col("v"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("w"))

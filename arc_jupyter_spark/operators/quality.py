@@ -64,11 +64,30 @@ def expectation_report(
     """Run *rules* against *df* → ``[rule_name, col_name, n_violations,
     n_rows, passed]`` (one output row per rule, stable tiny result).
 
-    Single-pass kinds fold into one aggregate; ``unique`` adds a
-    ``count_distinct`` to the same aggregate (exact — a second shuffle
-    internally, still one scan); each ``ref`` rule is a broadcast
-    anti-join count against its (small) dimension side.
+    ONE scan regardless of rule count: single-pass kinds fold into one
+    aggregate projection; ``unique`` adds a ``count_distinct`` to the
+    same aggregate (exact — a second shuffle internally, still one
+    scan); ``ref`` rules become broadcast LEFT joins whose miss flag
+    (dim key IS NULL) folds into the same aggregate — a 50-rule suite
+    with 3 dimension checks is still one pass over the fact table.
     """
+    # ref rules: broadcast-left-join each (small, distinct) dim side
+    # once up front so the membership flag is an ordinary column
+    probe = df
+    ref_flags: dict[int, str] = {}
+    for i, rule in enumerate(rules):
+        if rule["kind"] != "ref":
+            continue
+        marker = f"__dq_ref_{i}"
+        dim = (
+            rule["dim_df"]
+            .select(F.col(rule["dim_col"]).alias(rule["column"]))
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+        probe = probe.join(F.broadcast(dim), rule["column"], "left")
+        ref_flags[i] = marker
+
     aggs: list[F.Column] = [F.count(F.lit(1)).cast("bigint").alias("_n_rows")]
     names: list[str] = []
     for i, rule in enumerate(rules):
@@ -82,33 +101,29 @@ def expectation_report(
                 .cast("bigint")
                 .alias(f"_v{i}")
             )
-            names.append(f"_v{i}")
         elif kind == "ref":
-            names.append("")  # joined separately below
+            miss = (
+                F.col(rule["column"]).isNotNull()
+                & F.col(ref_flags[i]).isNull()
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(miss, 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias(f"_v{i}")
+            )
         else:
             flag = _violation_flag(rule)
             if flag is None:
                 raise ValueError(f"unknown rule kind: {kind!r}")
             aggs.append(flag.alias(f"_v{i}"))
-            names.append(f"_v{i}")
+        names.append(f"_v{i}")
 
-    summary = df.agg(*aggs).collect()[0]
+    summary = probe.agg(*aggs).collect()[0]
     n_rows = summary["_n_rows"]
 
     rows = []
     for i, rule in enumerate(rules):
-        if rule["kind"] == "ref":
-            dim = rule["dim_df"].select(
-                F.col(rule["dim_col"]).alias(rule["column"])
-            ).distinct()
-            n_viol = (
-                df.select(rule["column"])
-                .where(F.col(rule["column"]).isNotNull())
-                .join(F.broadcast(dim), rule["column"], "left_anti")
-                .count()
-            )
-        else:
-            n_viol = summary[names[i]]
+        n_viol = summary[names[i]]
         rows.append(
             (rule["name"], rule["column"], int(n_viol), int(n_rows), n_viol == 0)
         )

@@ -215,3 +215,75 @@ def hist_quantile_bins(
         )
         out = ranked if out is None else out.unionAll(ranked)
     return out
+
+
+def exact_grouped_median_x2(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    tiebreak: list[Column],
+    lo: int,
+    hi: int,
+    nbins: int = 1000,
+    out_col: str = "median_x2",
+) -> DataFrame:
+    """EXACT grouped median (doubled to stay integer) via histogram
+    narrowing → ``[group_col, n, median_x2]``.
+
+    The scalable exact-median plan: a full-sort window ranks every row
+    (100 TB per group through one sort), but the median only needs the
+    rows of ONE bin. Pass 1 histograms each group (integer binning,
+    one small shuffle); the target rank's bin and its preceding-bin
+    row offset fall out of a window over the tiny histogram. Pass 2
+    ranks ONLY the rows inside target bins (a broadcast semi-join cuts
+    ~n/nbins of the data through the sort). Values outside [lo, hi]
+    just land in the edge bins — ranking inside a bin uses the true
+    value, so clamping never changes the result.
+
+    ``median_x2`` is the middle value doubled (odd n) or the sum of
+    the two middle values (even n) — exact integers end-to-end, same
+    contract as an explicit ROW_NUMBER selection, so a SQL oracle can
+    mirror it with a plain window.
+    """
+    span = hi - lo + 1
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        value.cast("bigint").alias("_v"),
+        *[c.alias(f"_t{i}") for i, c in enumerate(tiebreak)],
+    ).withColumn(
+        "_bin",
+        F.expr(
+            f"((GREATEST({lo}, LEAST({hi}, _v)) - {lo}) * {nbins}) DIV {span}"
+        ),
+    )
+    h = rows.groupBy("_g", "_bin").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.partitionBy("_g").orderBy("_bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("_g")
+    hh = (
+        h.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wall))
+        .withColumn("_k1", F.expr("(_n + 1) DIV 2"))
+        .withColumn("_k2", F.expr("(_n + 2) DIV 2"))
+    )
+    targets = hh.where(
+        (F.col("_cum") >= F.col("_k1")) & (F.col("_cum") - F.col("_c") < F.col("_k2"))
+    ).select("_g", "_bin", (F.col("_cum") - F.col("_c")).alias("_off"), "_n", "_k1", "_k2")
+    cand = rows.join(F.broadcast(targets), ["_g", "_bin"])
+    wrank = Window.partitionBy("_g", "_bin").orderBy(
+        "_v", *[f"_t{i}" for i in range(len(tiebreak))]
+    )
+    ranked = cand.withColumn("_rk", F.row_number().over(wrank) + F.col("_off"))
+    picked = ranked.where((F.col("_rk") == F.col("_k1")) | (F.col("_rk") == F.col("_k2")))
+    return (
+        picked.groupBy("_g")
+        .agg(
+            F.max("_n").alias("n"),
+            (
+                F.sum("_v")
+                * F.when(F.max("_n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+            ).alias(out_col),
+        )
+        .withColumnRenamed("_g", group_col)
+    )

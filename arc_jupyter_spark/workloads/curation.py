@@ -414,8 +414,32 @@ Q82_ORACLE = _Q82_SQL.format(IDIV="//")
 
 @query("q82_exact_median", oracle=Q82_ORACLE)
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass histogram-narrowed exact median (sketch.py): the full-
+    # sort window form (_Q82_SQL, kept as the oracle) ranks every row;
+    # this plan sorts only the target bin's rows — the 100 TB shape.
+    # Outputs are identical by construction (same rank selection).
+    from arc_jupyter_spark.operators import sketch
+
     load_views(spark, sf_dir, "lineitem")
-    return spark.sql(_Q82_SQL.format(IDIV="DIV"))
+    li = spark.table("lineitem")
+    tiebreak = [F.col("l_orderkey"), F.col("l_linenumber")]
+    qty = sketch.exact_grouped_median_x2(
+        li, "l_returnflag", F.col("l_quantity"), tiebreak,
+        lo=0, hi=63, nbins=64, out_col="median_x2_qty",
+    )
+    cents = sketch.exact_grouped_median_x2(
+        li, "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+        tiebreak, lo=0, hi=10_999_999, nbins=1000,
+        out_col="median_x2_cents",
+    )
+    return (
+        qty.join(cents.withColumnRenamed("n", "_n2"), "l_returnflag")
+        .select(
+            "l_returnflag", "n", "median_x2_qty", "median_x2_cents"
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 # --------------------------------------------------------------------
