@@ -759,3 +759,81 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------
+# st11 — watermark late-data drop, driver-checked: three controlled
+# micro-batches (distinct mtimes + maxFilesPerTrigger=1). Batch 1
+# carries the watermark past the first window's end; batch 2 advances
+# it only (the window's state is evicted at that batch's commit);
+# batch 3 replays a stale event — it MUST be dropped — plus a fresh
+# one. The update-mode sink is folded to max-per-window, which is
+# fully deterministic (pinned, both polarities, in
+# tests/test_streaming.py::test_watermark_drops_late_rows), so the
+# oracle is the literal expected table: 3 rows in the 10:00 window
+# (the replay excluded), 3 in the 11:00 window.
+# --------------------------------------------------------------------
+
+ST11_ORACLE = """
+SELECT CAST('2024-01-01 10:00:00' AS TIMESTAMP) AS window_start,
+       CAST(3 AS BIGINT) AS n_final
+UNION ALL
+SELECT CAST('2024-01-01 11:00:00' AS TIMESTAMP), CAST(3 AS BIGINT)
+ORDER BY window_start
+"""
+
+
+@query("st11_stream_late_data", oracle=ST11_ORACLE)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="st11_src_")
+    base = "2024-01-01 "
+
+    def mk(rows: list[str], name: str, age: float) -> None:
+        df = spark.createDataFrame(
+            [(base + r,) for r in rows], "ts_s string"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        for f in os.listdir(f"{src}/{name}"):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{name}.parquet"
+                os.rename(f"{src}/{name}/{f}", dst)
+                now = _time.time()
+                os.utime(dst, (now - age, now - age))
+
+    mk(["10:05:00", "10:15:00", "10:45:00", "11:30:00"], "b1", 3000)
+    mk(["11:40:00"], "b2", 2000)                 # advance-only
+    mk(["10:20:00", "11:50:00"], "b3", 1000)     # stale replay + fresh
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "20 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"st11_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(F.max("n").alias("n_final"))
+        .orderBy("window_start")
+    )
+    # materialize before dropping the sink view
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
