@@ -123,8 +123,9 @@ def triangle_count(
     under naive pairing; orientation bounds per-node wedge work by the
     node's *oriented* out-degree (≤ √(2m) for any graph), so the wedge
     table is O(m^1.5) worst case and far smaller on real graphs. All
-    joins are equi-joins on node ids; the degree table is tiny
-    (2 BIGINTs per node) and broadcasts.
+    joins are equi-joins on node ids; AQE broadcasts the degree table
+    (2 BIGINTs per node) when its runtime size allows, and billion-node
+    graphs fall back to a shuffle join instead of OOMing on a hint.
 
     Everything is integer counting — engine-exact. DuckDB mirror: a
     3-way self-join on the canonical a<b edge table.
@@ -151,7 +152,11 @@ def triangle_count(
     # each undirected edge appears exactly once in `oriented`
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    with_deg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # plain equi-joins: AQE broadcasts the degree table when it is
+    # actually small (runtime stats), but a web-scale graph's
+    # per-node table is GBs — a mandatory broadcast hint would OOM
+    # exactly where the operator claims to scale
+    with_deg = e.join(da, "a").join(db, "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )

@@ -304,41 +304,51 @@ def epoch_mixture(
     """
     counts = (
         df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("_n_src"))
+        .agg(F.count(F.lit(1)).alias("__em_n_src"))
     )
     budget_expr = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )[F.col(source_col)]
     with_n = (
         df.join(F.broadcast(counts), source_col)
-        .withColumn("_budget", F.coalesce(budget_expr, F.lit(0)).cast("bigint"))
+        .withColumn(
+            "__em_budget", F.coalesce(budget_expr, F.lit(0)).cast("bigint")
+        )
         # epochs needed to cover the budget, capped
         .withColumn(
-            "_epochs",
+            "__em_epochs",
             F.least(
-                F.expr("CAST((_budget + _n_src - 1) DIV _n_src AS INT)"),
+                F.expr(
+                    "CAST((__em_budget + __em_n_src - 1) DIV __em_n_src AS INT)"
+                ),
                 F.lit(max_epochs),
             ),
         )
-        .where(F.col("_epochs") > 0)
+        .where(F.col("__em_epochs") > 0)
     )
-    replicated = with_n.withColumn(
-        epoch_col, F.explode(F.expr("sequence(0, _epochs - 1)"))
-    )
-    # rows in complete epochs always survive; the LAST epoch is cut to
-    # the remainder by deterministic hash rank
-    rank_w = Window.partitionBy(source_col, epoch_col).orderBy(
+    # rank BEFORE replicating: the hash order is identical in every
+    # epoch (only the final partial epoch consults it), so one window
+    # shuffle on (source) over 1x the rows suffices — exploding first
+    # would push max_epochs x the data through the exchange for the
+    # same ranks
+    rank_w = Window.partitionBy(source_col).orderBy(
         base_hash28(F.col(id_col).cast("string")), F.col(id_col)
     )
+    ranked = with_n.withColumn("__em_rk", F.row_number().over(rank_w))
+    replicated = ranked.withColumn(
+        epoch_col, F.explode(F.expr("sequence(0, __em_epochs - 1)"))
+    )
+    # rows in complete epochs always survive; the LAST epoch is cut to
+    # the remainder by the precomputed hash rank
     kept = (
-        replicated.withColumn("_rk", F.row_number().over(rank_w))
-        .where(
-            (F.col(epoch_col) < F.col("_epochs") - 1)
+        replicated.where(
+            (F.col(epoch_col) < F.col("__em_epochs") - 1)
             | (
-                F.col("_rk")
-                <= F.col("_budget") - (F.col("_epochs") - 1) * F.col("_n_src")
+                F.col("__em_rk")
+                <= F.col("__em_budget")
+                - (F.col("__em_epochs") - 1) * F.col("__em_n_src")
             )
         )
-        .drop("_rk", "_n_src", "_budget", "_epochs")
+        .drop("__em_rk", "__em_n_src", "__em_budget", "__em_epochs")
     )
     return kept

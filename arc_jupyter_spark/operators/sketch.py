@@ -208,7 +208,12 @@ def hist_quantile_bins(
             .select(
                 F.lit(label).alias("q_label"),
                 F.col("bin"),
-                F.expr(f"{lo} + (bin * {span}) DIV {nbins}").alias("bin_lo"),
+                # lower edge = smallest v with bin(v) == bin, i.e.
+                # ceil(bin*span/nbins) — floor is wrong when nbins
+                # does not divide span
+                F.expr(
+                    f"{lo} + (bin * {span} + {nbins} - 1) DIV {nbins}"
+                ).alias("bin_lo"),
                 F.col("cum_n").cast("bigint").alias("cum_n"),
                 F.col("t").cast("bigint").alias("n_total"),
             )

@@ -470,13 +470,18 @@ def html_text(html: Column) -> Column:
     """Visible text of an HTML fragment.
 
     1. drop <script>/<style> blocks wholesale ((?s) dotall, non-greedy)
-    2. drop every remaining tag
+    2. drop comments, then every remaining tag — a "tag" must start
+       with a letter, ``/`` or ``!`` followed by a letter: real pages
+       contain raw ``<`` in text nodes (``price < 100 and qty > 5``),
+       and a bare ``<[^>]*>`` would swallow the visible text between
+       them
     3. decode the common entities (&amp; decoded last so
        ``&amp;lt;`` becomes ``&lt;`` the literal, not ``<``)
     4. collapse whitespace runs, trim
     """
     out = F.regexp_replace(html, r"(?is)<(script|style)\b.*?</\1>", " ")
-    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[!/]?[A-Za-z][^>]*>", " ")
     for ent, rep in _HTML_ENTITY_MAP:
         out = F.regexp_replace(out, ent, rep)
     out = F.regexp_replace(out, r"\s+", " ")

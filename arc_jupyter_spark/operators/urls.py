@@ -39,7 +39,13 @@ _QUERY_RE = r"\?([^#]*)"
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form of *url* per the module rules (one projection)."""
+    """Canonical form of *url* per the module rules (one projection).
+
+    A URL that doesn't parse as ``scheme://host...`` (relative links,
+    ``mailto:``, plain filenames) passes through UNCHANGED: mapping
+    every malformed URL to one degenerate string would make
+    ``url_dedup`` silently collapse unrelated documents.
+    """
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(no_frag, _HOSTPORT_RE, 1))
@@ -58,13 +64,14 @@ def canonical_url(url: Column) -> Column:
         lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
     )
     canon_qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(canon_qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_qs)),
     )
+    return F.when((scheme == "") | (host == ""), url).otherwise(canon)
 
 
 def with_canonical_url(
@@ -81,15 +88,13 @@ def url_dedup(
 ) -> DataFrame:
     """Keep the lowest-*id_col* row per canonical URL.
 
-    Same scale shape as exact text dedup: group by ``md5(canon_url)``
-    so the shuffle carries a fixed-width digest; ``min_by`` keeps the
-    winning id with a map-side partial aggregate, then one broadcast-
-    able semi-join recovers the surviving rows.
+    Delegates to `dedup.exact_dedup_by_digest` (the d01 path): one
+    digest-keyed ``groupBy`` + ``min_by(struct, id)`` with map-side
+    partial aggregation — no second join, and correct even when an id
+    value repeats across rows (a semi-join on id alone would resurrect
+    every row sharing a winning id).
     """
+    from arc_jupyter_spark.operators.dedup import exact_dedup_by_digest
+
     canon = with_canonical_url(df, url_col, out_col)
-    winners = (
-        canon.groupBy(F.md5(F.col(out_col)).alias("_url_digest"))
-        .agg(F.min(id_col).alias(id_col))
-        .drop("_url_digest")
-    )
-    return canon.join(winners, on=id_col, how="left_semi")
+    return exact_dedup_by_digest(canon, out_col, id_col)

@@ -786,6 +786,7 @@ ORDER BY window_start
 @query("st11_stream_late_data", oracle=ST11_ORACLE)
 def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
     import time as _time
 
@@ -833,7 +834,9 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").alias("n_final"))
         .orderBy("window_start")
     )
-    # materialize before dropping the sink view
+    # materialize before dropping the sink view and the temp source
+    # (repeated bench runs must not accumulate temp parquet dirs)
     rows = out.collect()
     spark.catalog.dropTempView(name)
+    shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)

@@ -233,3 +233,24 @@ def test_canonical_url_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in twice if r["c1"] != r["c2"]]
     assert not bad, f"non-idempotent canonicalization: {bad[:5]}"
+
+
+def test_canonical_url_malformed_passthrough(spark):
+    """Scheme-less / relative / mailto URLs must pass through unchanged
+    — NOT collapse into one degenerate '://' key that would make
+    url_dedup silently merge unrelated documents."""
+    raws = ["foo.html", "mailto:a@b.org", "/relative/path?x=1", "bar.html"]
+    df = spark.createDataFrame([Row(id=i, url=u) for i, u in enumerate(raws)])
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", urls.canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == {u: u for u in raws}
+    kept = urls.url_dedup(df, "url", "id")
+    assert kept.count() == 4  # nothing merged
+
+
+def test_html_text_preserves_raw_angle_text(spark):
+    df = spark.createDataFrame(
+        [Row(h="<p>price < 100 and qty > 5</p><!-- note --><b>ok</b>")]
+    )
+    out = df.select(text.html_text(F.col("h")).alias("t")).first()["t"]
+    assert out == "price < 100 and qty > 5 ok"
