@@ -532,11 +532,11 @@ def test_t34_hist_partial_aggregation(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_triangle_orientation_broadcasts_degrees(spark):
-    """Triangle counting's orientation joins the tiny degree table —
-    those joins must broadcast. g02's returned frame is a 1-row
-    summary (ExistingRDD), so inspect the internal join pipeline the
-    same way the operator builds it."""
+def test_triangle_orientation_joins_are_equi(spark):
+    """Triangle counting's orientation joins must be equi-joins on the
+    node id (broadcast vs shuffle is AQE's runtime call — a mandatory
+    hint would OOM on billion-node graphs), and the wedge pipeline
+    must never degrade to a cartesian product."""
     from pyspark.sql import functions as F
 
     edges = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
@@ -552,6 +552,7 @@ def test_triangle_orientation_broadcasts_degrees(spark):
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    joined = e.join(F.broadcast(da), "a")
+    joined = e.join(da, "a")
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
