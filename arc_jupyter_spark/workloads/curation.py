@@ -735,3 +735,49 @@ Q85_ORACLE = _Q85_SQL.format(IDIV="//")
 def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     return spark.sql(_Q85_SQL.format(IDIV="DIV"))
+
+
+# --------------------------------------------------------------------
+# q86 — incremental view maintenance for a join: the materialized
+# orders⋈lineitem view absorbs a batch of new rows via the delta rule
+# Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔΒ — base join never recomputed,
+# deltas broadcast. The query aggregates (old view ∪ maintained
+# delta); the oracle aggregates the direct full join — equality
+# proves the identity AND the implementation on real data.
+# --------------------------------------------------------------------
+
+Q86_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(l_quantity AS BIGINT)) AS qty_sum,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents_sum
+FROM orders JOIN lineitem ON orders.o_orderkey = lineitem.l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q86_ivm_join", oracle=Q86_ORACLE)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import joins
+
+    load_views(spark, sf_dir, "orders", "lineitem")
+    o = spark.table("orders").withColumnRenamed("o_orderkey", "okey")
+    li = spark.table("lineitem").withColumnRenamed("l_orderkey", "okey")
+    # simulate the arriving batch: every 50th order and its lineitems
+    new_o = F.col("okey") % 50 == 0
+    o_old, d_o = o.where(~new_o), o.where(new_o)
+    l_old, d_l = li.where(~new_o), li.where(new_o)
+    view_old = o_old.join(l_old, "okey")  # the materialized view
+    delta = joins.delta_join_maintenance(o_old, d_o, l_old, d_l, on=["okey"])
+    full = view_old.unionByName(delta.select(*view_old.columns))
+    return (
+        full.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+            F.sum(
+                F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            ).alias("cents_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

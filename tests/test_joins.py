@@ -65,3 +65,28 @@ def test_salted_join_rejects_right(spark):
     fact = spark.createDataFrame([(1, 10)], ["k", "v"])
     with pytest.raises(ValueError):
         salted_join(fact, fact, "k", how="right")
+
+
+def test_delta_join_maintenance_identity(spark):
+    """Δ(A⋈B) over inserts: (old join) ∪ (maintained delta) must equal
+    the full recomputed join exactly, with no duplicates."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import joins
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(10)], "k bigint, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 5, f"b{i}") for i, k in enumerate(range(12))], "k bigint, bv string"
+    )
+    is_new_a = F.col("k") >= 8
+    is_new_b = F.col("bv").isin("b0", "b7")
+    a_old, da = a.where(~is_new_a), a.where(is_new_a)
+    b_old, db = b.where(~is_new_b), b.where(is_new_b)
+    delta = joins.delta_join_maintenance(a_old, da, b_old, db, on=["k"])
+    incremental = a_old.join(b_old, "k").unionByName(delta)
+    full = a.join(b, "k")
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, full.collect())
+    )
