@@ -70,6 +70,8 @@ HEADLINE = [
     "m08_phash_near_dup",
     "p06_epoch_mixture",
     "t34_hist_quantile",
+    "q85_key_skew_profile",
+    "q86_ivm_join",
 ]
 
 
