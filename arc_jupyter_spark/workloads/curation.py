@@ -781,3 +781,122 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------
+# p07 — the composed crawl-curation pipeline, end to end with the
+# round-3 operators: synthesize messy (url, html) per document →
+# canonical-URL dedup → HTML cleaning → minimum-length gate →
+# code-vs-prose routing → per-source hash cap → deterministic shard
+# assignment → per-shard report. Every stage is individually
+# oracle-proven (d14/t32/t33/t17/t18 patterns); the composition is
+# mirrored stage by stage in one DuckDB CTE chain, including a
+# content checksum over the CLEANED text.
+# --------------------------------------------------------------------
+
+_P07_CAP = 15
+_P07_SHARDS = 4
+_P07_MIN_WORDS = 15
+
+P07_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 6 <= 2 THEN 'd' || CAST(doc_id // 6 AS VARCHAR)
+              ELSE 'u' || CAST(doc_id AS VARCHAR) END AS grp
+  FROM documents
+),
+kept1 AS (
+  SELECT u.doc_id FROM u
+  JOIN (SELECT grp, MIN(doc_id) AS doc_id FROM u GROUP BY grp) w
+  USING (grp, doc_id)
+),
+c AS (
+  SELECT d.doc_id, d.source,
+         'Doc ' || CAST(d.doc_id AS VARCHAR) || ' Home About & more ' ||
+           CASE WHEN d.doc_id % 5 = 0 THEN
+             'def load_' || CAST(d.doc_id AS VARCHAR) || '(x): import os; return {{ "n": '
+               || CAST(d.doc_id % 7 AS VARCHAR) || ' }};'
+           ELSE d.text END
+           || ' "q" <t> ''s'' end' AS clean
+  FROM documents d JOIN kept1 USING (doc_id)
+),
+gated AS (
+  SELECT *,
+         len(list_filter(regexp_split_to_array(clean, '\\s+'), x -> x <> '')) AS n_words,
+         3 * len(regexp_extract_all(clean, '{text._CODE_KEYWORD_RE}'))
+           + len(regexp_extract_all(clean, '{text._CODE_SYMBOL_RE}')) AS score
+  FROM c
+  WHERE len(list_filter(regexp_split_to_array(clean, '\\s+'), x -> x <> '')) >= {_P07_MIN_WORDS}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT,
+                      doc_id) AS rk
+    FROM gated
+  ) WHERE rk <= {_P07_CAP}
+),
+sharded AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % {_P07_SHARDS} AS shard,
+         length(clean) AS n_chars,
+         CASE WHEN score * 1000 >= 60 * length(clean) THEN 1 ELSE 0 END AS is_code,
+         ('0x' || substr(md5(clean), 1, 7))::BIGINT AS ck
+  FROM capped
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(is_code) AS n_code,
+       SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum,
+       SUM(ck) AS clean_checksum
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@query("p07_crawl_pipeline", oracle=P07_ORACLE)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import sampling
+    from arc_jupyter_spark.operators.dedup import base_hash28
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    url_expr = _D14_URL.format(IDIV="DIV", STR="STRING")
+    body_expr = _T33_TEXT.format(STR="STRING")
+    docs = spark.table("documents").selectExpr(
+        "doc_id", "source",
+        f"{url_expr} AS url",
+        f"{body_expr} AS body",
+    )
+    html = docs.selectExpr(
+        "doc_id", "source", "url",
+        _T32_HTML.format(STR="STRING").replace("' || text ||", "' || body ||")
+        + " AS html",
+    )
+    kept = urls.url_dedup(html, "url", "doc_id")
+    cleaned = kept.select(
+        "doc_id", "source", text.html_text(F.col("html")).alias("clean")
+    )
+    gated = cleaned.where(
+        F.size(text.tokens(F.col("clean"))) >= _P07_MIN_WORDS
+    ).withColumn("is_code", text.is_code(F.col("clean"), per_kchar=60))
+    rk = Window.partitionBy("source").orderBy(
+        base_hash28(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        gated.withColumn("_rk", F.row_number().over(rk))
+        .where(F.col("_rk") <= _P07_CAP)
+        .drop("_rk")
+    )
+    sharded = sampling.shard_assign(capped, "doc_id", _P07_SHARDS)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0)).alias("n_code"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("clean")).alias("char_sum"),
+            F.sum(base_hash28(F.col("clean"))).alias("clean_checksum"),
+        )
+        .orderBy("shard")
+    )

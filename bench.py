@@ -72,6 +72,7 @@ HEADLINE = [
     "t34_hist_quantile",
     "q85_key_skew_profile",
     "q86_ivm_join",
+    "p07_crawl_pipeline",
 ]
 
 
