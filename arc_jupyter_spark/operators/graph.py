@@ -104,32 +104,16 @@ def pagerank(
     return ranks
 
 
-def triangle_count(
+def _wedge_closure(
     edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-) -> DataFrame:
-    """Exact global triangle count → one row
-    ``[n_nodes, n_edges, n_triangles]``.
-
-    Classic degree-oriented algorithm (Suri & Vassilvitskii's
-    MapReduce formulation, public): canonicalize the edge set to
-    undirected distinct pairs, orient every edge from the
-    lower-(degree, id) endpoint to the higher, build wedges only at
-    each edge's *lower-degree* endpoint, and close them with one join
-    back to the oriented edge set.
-
-    Why this survives 100×: a hub of degree d would generate d² wedges
-    under naive pairing; orientation bounds per-node wedge work by the
-    node's *oriented* out-degree (≤ √(2m) for any graph), so the wedge
-    table is O(m^1.5) worst case and far smaller on real graphs. All
-    joins are equi-joins on node ids; AQE broadcasts the degree table
-    (2 BIGINTs per node) when its runtime size allows, and billion-node
-    graphs fall back to a shuffle join instead of OOMing on a hint.
-
-    Everything is integer counting — engine-exact. DuckDB mirror: a
-    3-way self-join on the canonical a<b edge table.
-    """
+    src: str,
+    dst: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the triangle pipeline → ``(e, deg, closure)`` where
+    ``closure`` is the wedge⋈edge join whose row count IS the
+    triangle count. Split out so plan gates can assert on the REAL
+    pipeline (equi-joins only, no nested-loop fallback) instead of a
+    reconstruction."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -176,13 +160,40 @@ def triangle_count(
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
-    n_tri = (
-        wedges.select(
-            F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y")
-        )
-        .join(closing, ["x", "y"])
-        .count()
-    )
+    closure = wedges.select(
+        F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y")
+    ).join(closing, ["x", "y"])
+    return e, deg, closure
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count → one row
+    ``[n_nodes, n_edges, n_triangles]``.
+
+    Classic degree-oriented algorithm (Suri & Vassilvitskii's
+    MapReduce formulation, public): canonicalize the edge set to
+    undirected distinct pairs, orient every edge from the
+    lower-(degree, id) endpoint to the higher, build wedges only at
+    each edge's *lower-degree* endpoint, and close them with one join
+    back to the oriented edge set.
+
+    Why this survives 100×: a hub of degree d would generate d² wedges
+    under naive pairing; orientation bounds per-node wedge work by the
+    node's *oriented* out-degree (≤ √(2m) for any graph), so the wedge
+    table is O(m^1.5) worst case and far smaller on real graphs. All
+    joins are equi-joins on node ids; AQE broadcasts the degree table
+    (2 BIGINTs per node) when its runtime size allows, and billion-node
+    graphs fall back to a shuffle join instead of OOMing on a hint.
+
+    Everything is integer counting — engine-exact. DuckDB mirror: a
+    3-way self-join on the canonical a<b edge table.
+    """
+    e, deg, closure = _wedge_closure(edges, src, dst)
+    n_tri = closure.count()
     n_nodes = deg.count()
     n_edges = e.count()
     spark = edges.sparkSession

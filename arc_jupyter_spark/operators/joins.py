@@ -188,6 +188,6 @@ def delta_join_maintenance(
     db = F.broadcast(delta_b) if broadcast_deltas else delta_b
     t1 = da.join(b_old, on)
     t2 = a_old.join(db, on)
-    t3 = da.join(db, on) if broadcast_deltas else delta_a.join(db, on)
+    t3 = da.join(db, on)
     cols = t1.columns
     return t1.unionByName(t2.select(*cols)).unionByName(t3.select(*cols))

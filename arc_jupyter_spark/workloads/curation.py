@@ -95,7 +95,7 @@ _T32_HTML = (
     "'<html><head><title>Doc ' || CAST(doc_id AS {STR}) || '</title>"
     "<style>p{{color:red}}</style><script>var x = 1 &amp;&amp; 2;</script>"
     "</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About &amp; more</a></nav>"
-    "<p>' || text || '</p><div>&quot;q&quot; &lt;t&gt; &#39;s&#39;&nbsp;end</div></body></html>'"
+    "<p>' || {TEXT} || '</p><div>&quot;q&quot; &lt;t&gt; &#39;s&#39;&nbsp;end</div></body></html>'"
 )
 
 #: visible chars inside the two nav anchors: "Home" + "About & more"
@@ -119,7 +119,7 @@ FROM c GROUP BY source ORDER BY source
 @query("t32_html_clean", oracle=T32_ORACLE)
 def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "documents")
-    html_expr = _T32_HTML.format(STR="STRING")
+    html_expr = _T32_HTML.format(STR="STRING", TEXT="text")
     docs = spark.table("documents").selectExpr(
         "doc_id", "source", f"{html_expr} AS html"
     )
@@ -763,10 +763,16 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders", "lineitem")
     o = spark.table("orders").withColumnRenamed("o_orderkey", "okey")
     li = spark.table("lineitem").withColumnRenamed("l_orderkey", "okey")
-    # simulate the arriving batch: every 50th order and its lineitems
+    # simulate the arriving batch with DECOUPLED predicates (every
+    # 50th order is new; every high line number is a late-arriving
+    # item regardless of order age) so all three delta-rule terms are
+    # non-empty on this data: ΔO⋈L_old (new order, early items),
+    # O_old⋈ΔL (old order, late items), ΔO⋈ΔL (new order, late items)
+    # — a bug in any term would break the oracle equality
     new_o = F.col("okey") % 50 == 0
+    late_l = F.col("l_linenumber") >= 5
     o_old, d_o = o.where(~new_o), o.where(new_o)
-    l_old, d_l = li.where(~new_o), li.where(new_o)
+    l_old, d_l = li.where(~late_l), li.where(late_l)
     view_old = o_old.join(l_old, "okey")  # the materialized view
     delta = joins.delta_join_maintenance(o_old, d_o, l_old, d_l, on=["okey"])
     full = view_old.unionByName(delta.select(*view_old.columns))
@@ -870,8 +876,7 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     html = docs.selectExpr(
         "doc_id", "source", "url",
-        _T32_HTML.format(STR="STRING").replace("' || text ||", "' || body ||")
-        + " AS html",
+        _T32_HTML.format(STR="STRING", TEXT="body") + " AS html",
     )
     kept = urls.url_dedup(html, "url", "doc_id")
     cleaned = kept.select(

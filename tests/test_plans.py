@@ -532,27 +532,22 @@ def test_t34_hist_partial_aggregation(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_triangle_orientation_joins_are_equi(spark):
-    """Triangle counting's orientation joins must be equi-joins on the
-    node id (broadcast vs shuffle is AQE's runtime call — a mandatory
-    hint would OOM on billion-node graphs), and the wedge pipeline
-    must never degrade to a cartesian product."""
+def test_triangle_closure_plan_is_equi_join_only(spark):
+    """The REAL triangle pipeline (graph._wedge_closure) must plan the
+    degree, wedge, and closure joins as equi-joins — no cartesian
+    product, no nested-loop fallback anywhere in the closure plan."""
     from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import graph
 
     edges = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
-    e = edges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    joined = e.join(da, "a")
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    _, _, closure = graph._wedge_closure(edges, "src", "dst")
+    plan = closure._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the degree joins ran inside the eager localCheckpoint (oriented
+    # appears as ExistingRDD here); the closure plan itself carries the
+    # wedge self-join + the closing equi-join
+    assert plan.count("Join") >= 2
