@@ -265,7 +265,8 @@ def lsh_topk(
     """Approximate top-k: exact-score only the query's LSH bucket(s).
 
     ``multi_probe=1`` also probes every bucket at Hamming distance 1
-    from the query signature (n_planes extra buckets) — the standard
+    from the query signature (n_planes extra buckets); ``multi_probe=2``
+    adds the distance-2 buckets (C(n_planes,2) more) — the standard
     multi-probe trick that buys recall without more tables. The probe
     list is a literal IN filter, so partition/file pruning applies when
     the corpus is written bucketed by ``sig``; only ~(n_probes ·
@@ -279,6 +280,16 @@ def lsh_topk(
     probes = [qsig]
     if multi_probe >= 1:
         probes += [qsig ^ (1 << i) for i in range(len(planes))]
+    if multi_probe >= 2:
+        # all Hamming-distance-2 buckets: C(n_planes, 2) extra probes —
+        # the standard recall/probe-count trade (still a literal IN
+        # filter, still prunable)
+        n = len(planes)
+        probes += [
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
 
     q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     pruned = corpus_with_sig.where(F.col(sig_col).isin(probes))

@@ -905,3 +905,100 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------
+# s09 — ANN recall evaluation harness: every index variant (IVF, LSH,
+# int8) measured against exact brute force over the SAME query set in
+# one report — the eval a platform runs before picking a serving
+# index. Recall is deterministic on fixed data; the oracle checks the
+# contract (the proven s02/s04 pattern): per-method floors as
+# booleans, exact n_queries/k as integers.
+# --------------------------------------------------------------------
+
+_S09_Q, _S09_K = 5, 10
+_S09_FLOORS = {"ivf": 0.6, "lsh": 0.4, "int8": 0.7}
+
+S09_ORACLE = f"""
+SELECT * FROM (
+  SELECT 'int8' AS method, CAST({_S09_Q} AS BIGINT) AS n_queries,
+         CAST({_S09_K} AS BIGINT) AS k, TRUE AS recall_floor_met
+  UNION ALL
+  SELECT 'ivf', {_S09_Q}, {_S09_K}, TRUE
+  UNION ALL
+  SELECT 'lsh', {_S09_Q}, {_S09_K}, TRUE
+) ORDER BY method
+"""
+
+
+@query("s09_ann_recall", oracle=S09_ORACLE)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import similarity
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qrows = (
+        emb.where(F.col("vec_id") < _S09_Q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # shared index structures, built once (what a serving tier does)
+    centroids = similarity.kmeans_centroids(
+        emb, k=8, vec_col="embedding", max_iter=3
+    )
+    with_cells = similarity.assign_ivf_cells(
+        emb, centroids, vec_col="embedding"
+    )
+    dim = len(qrows[0]["embedding"])
+    planes = similarity.hyperplane_planes(dim, n_planes=6, seed=7)
+    with_sig = emb.withColumn(
+        "sig", similarity.hyperplane_signature(F.col("embedding"), planes)
+    )
+
+    hits = {"ivf": 0, "lsh": 0, "int8": 0}
+    for row in qrows:
+        qv = row["embedding"]
+        # cosine ground truth for the cosine-metric indexes (ivf, lsh)
+        exact_cos = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                emb, qv, id_col="vec_id", vec_col="embedding", k=_S09_K
+            ).collect()
+        }
+        # int8 ranks by INNER PRODUCT — its honest baseline is the
+        # exact unquantized dot ranking (isolates quantization loss;
+        # cosine-vs-dot disagreement is a metric choice, not an error)
+        qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+        exact_dot = {
+            r["vec_id"]
+            for r in emb.select(
+                "vec_id",
+                similarity.dot(
+                    F.col("embedding").cast("array<double>"), qlit
+                ).alias("d"),
+            )
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(_S09_K)
+            .collect()
+        }
+        got = {
+            "ivf": (exact_cos, similarity.ivf_topk(
+                with_cells, centroids, qv, k=_S09_K, n_probe=3
+            )),
+            "lsh": (exact_cos, similarity.lsh_topk(
+                with_sig, planes, qv, k=_S09_K, multi_probe=2
+            )),
+            "int8": (exact_dot, similarity.quantized_topk(emb, qv, k=_S09_K)),
+        }
+        for m, (truth, df) in got.items():
+            hits[m] += len(
+                truth & {r["vec_id"] for r in df.select("vec_id").collect()}
+            )
+    denom = _S09_Q * _S09_K
+    rows = [
+        (m, _S09_Q, _S09_K, hits[m] >= _S09_FLOORS[m] * denom)
+        for m in sorted(hits)
+    ]
+    return spark.createDataFrame(
+        rows, "method string, n_queries bigint, k bigint, recall_floor_met boolean"
+    )

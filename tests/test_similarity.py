@@ -138,3 +138,31 @@ def test_pq_adc_orders_by_distance(spark):
     top = S.pq_topk(enc, books, rows[3][1], k=5, id_col="vec_id").collect()
     assert top[0]["adc"] < 0.2  # own cell ≈ zero quantized distance
     assert [r["adc"] for r in top] == sorted(r["adc"] for r in top)
+
+
+def test_lsh_multi_probe_2_extends_bucket_set(spark):
+    """Distance-2 probing must strictly widen the candidate set (and
+    therefore never lower recall) relative to distance-1."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 3).first()["embedding"]
+    planes = similarity.hyperplane_planes(len(qv), n_planes=6, seed=7)
+    with_sig = emb.withColumn(
+        "sig", similarity.hyperplane_signature(F.col("embedding"), planes)
+    )
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, qv, k=10).collect()
+    }
+    r1 = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(with_sig, planes, qv, k=10, multi_probe=1).collect()
+    }
+    r2 = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(with_sig, planes, qv, k=10, multi_probe=2).collect()
+    }
+    assert len(exact & r2) >= len(exact & r1)
