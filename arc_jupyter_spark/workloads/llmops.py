@@ -3505,3 +3505,60 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# d15 — corpus duplication profile: after near-dup clustering, report
+# the cluster-size distribution ("how duplicated is my corpus") — the
+# forensics a curation team reads before choosing a dedup policy.
+# Singletons (no near-dup evidence) are size-1 clusters; the oracle
+# reuses d06's recursive-CTE transitive closure.
+# --------------------------------------------------------------------
+
+D15_ORACLE = f"""
+WITH RECURSIVE {{cand}},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+),
+sizes AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       SUM(cluster_size) AS n_docs
+FROM sizes GROUP BY cluster_size
+UNION ALL
+SELECT 1, (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM labels),
+       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM labels)
+ORDER BY cluster_size
+"""
+
+
+@query("d15_dup_profile", oracle=D15_ORACLE.format(cand=_d02_oracle()))
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    labels = dedup.connected_components(cands)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    dist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    n_total = docs.count()
+    n_labeled = labels.count()
+    singletons = spark.createDataFrame(
+        [(1, n_total - n_labeled, n_total - n_labeled)],
+        "cluster_size bigint, n_clusters bigint, n_docs bigint",
+    )
+    return dist.unionByName(singletons).orderBy("cluster_size")
