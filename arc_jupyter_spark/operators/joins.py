@@ -20,20 +20,38 @@ def asof_join(
     by: str,
     right_value_cols: list[str] | None = None,
     strict: bool = True,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right.on < left.on`` (``<=`` when ``strict=False``), per ``by``.
+    """Per ``by`` key, attach to each left row the nearest right row
+    at-or-before (``direction="backward"``) or at-or-after
+    (``"forward"``) it on ``on`` — the full pandas ``merge_asof``
+    surface, without its single-machine limit.
+
+    ``strict=True`` excludes the simultaneous right row (``<`` / ``>``
+    instead of ``<=`` / ``>=``). ``tolerance`` (in the units of ``on``;
+    seconds when ``on`` is a timestamp) nulls out matches farther than
+    the bound — the "only match within an hour" contract.
 
     Returns the left rows plus ``right_value_cols`` prefixed
-    ``asof_`` (NULL when no earlier right row exists). Left and right
-    may have disjoint schemas; ``on``/``by`` column names may differ in
-    type only if comparable.
+    ``asof_`` (NULL when no matching right row exists).
+
+    Scale shape — why this beats the per-key pair join: both sides
+    union into ONE frame, one shuffle on ``by``, one in-partition
+    sort; the match is a running last/first-non-null window — no k×k
+    per-key pair blowup, no range-join fallback. This is the plan an
+    ASOF JOIN keyword compiles to in engines that have one.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
     lrow = F.struct(*[F.col(c) for c in left.columns])
-    rpay = F.struct(*[F.col(c) for c in value_cols])
+    # carry the matched row's own `on` so tolerance can bound the gap
+    rpay = F.struct(
+        *[F.col(c) for c in value_cols], F.col(on).alias("_asof_on")
+    )
     lrow_type = left.select(lrow.alias("s")).schema["s"].dataType
     rpay_type = right.select(rpay.alias("s")).schema["s"].dataType
 
@@ -53,20 +71,44 @@ def asof_join(
     )
     unioned = l_side.unionByName(r_side)
 
-    # tie order at equal _on: strict → left sorts first (is_left=1 →
-    # -1) so a simultaneous right row is NOT in the preceding frame;
-    # non-strict → right sorts first and IS visible
+    # tie order at equal _on decides whether a simultaneous right row
+    # is inside the one-sided frame:
+    #   backward strict     → left first  (right not in preceding)
+    #   backward non-strict → right first (right in preceding)
+    #   forward  strict     → right first (right not in following)
+    #   forward  non-strict → left first  (right in following)
     tie = F.col("_is_left").cast("int")
-    w = (
-        Window.partitionBy("_by")
-        .orderBy(F.col("_on"), -tie if strict else tie)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    matched = unioned.withColumn(
-        "_asof", F.last("_rpay", ignorenulls=True).over(w)
-    )
+    left_first = strict if direction == "backward" else not strict
+    order_tie = -tie if left_first else tie
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on"), order_tie)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pick = F.last("_rpay", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_by")
+            .orderBy(F.col("_on"), order_tie)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        pick = F.first("_rpay", ignorenulls=True).over(w)
+    matched = unioned.withColumn("_asof", pick)
+
+    asof = F.col("_asof")
+    if tolerance is not None:
+        on_type = left.schema[on].dataType.simpleString()
+        if on_type.startswith("timestamp"):
+            gap_l = F.unix_timestamp(F.col("_on"))
+            gap_r = F.unix_timestamp(asof["_asof_on"])
+        else:
+            gap_l = F.col("_on").cast("double")
+            gap_r = asof["_asof_on"].cast("double")
+        gap = (gap_l - gap_r) if direction == "backward" else (gap_r - gap_l)
+        asof = F.when(gap <= F.lit(float(tolerance)), F.col("_asof"))
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
-    out_cols += [F.col("_asof")[c].alias(f"asof_{c}") for c in value_cols]
+    out_cols += [asof[c].alias(f"asof_{c}") for c in value_cols]
     return matched.where(F.col("_is_left")).select(*out_cols)
 
 

@@ -1002,3 +1002,92 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_queries bigint, k bigint, recall_floor_met boolean"
     )
+
+
+# --------------------------------------------------------------------
+# q87 — forward as-of join with tolerance: for every click, the NEXT
+# purchase by the same user within one hour (attribution's standard
+# question; pandas merge_asof(direction='forward', tolerance=...)).
+# One shuffle on user_id, one in-partition sort, a first-non-null
+# window — no per-key pair join. The oracle mirrors the identical
+# union+window construction with DuckDB's IGNORE NULLS frames.
+# Determinism: no user has two purchases at the same timestamp in the
+# fixture (verified at every sf), so the first-non-null pick is
+# unambiguous; production data would add a value tiebreak to the sort.
+# --------------------------------------------------------------------
+
+Q87_ORACLE = """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, ts, TRUE AS is_left, event_id,
+         CAST(NULL AS DOUBLE) AS rval, CAST(NULL AS TIMESTAMP) AS rts
+  FROM l
+  UNION ALL
+  SELECT user_id, ts, FALSE, NULL, value, ts FROM r
+),
+m AS (
+  SELECT *,
+         first_value(rts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CASE WHEN is_left THEN 0 ELSE 1 END
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_ts,
+         first_value(rval IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, CASE WHEN is_left THEN 0 ELSE 1 END
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_val
+  FROM u
+),
+clicks AS (
+  SELECT user_id,
+         CASE WHEN m_ts IS NOT NULL
+                AND epoch(m_ts) - epoch(ts) <= 3600 THEN m_val END AS val
+  FROM m WHERE is_left
+)
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       COUNT(val) AS n_attributed,
+       CAST(SUM(CASE WHEN val IS NOT NULL
+                     THEN CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS val_e6
+FROM clicks GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q87_asof_forward", oracle=Q87_ORACLE)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import joins
+    from arc_jupyter_spark.workloads.base import read_events
+
+    events = read_events(spark, sf_dir)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = joins.asof_join(
+        clicks, purchases, on="ts", by="user_id",
+        right_value_cols=["value"],
+        strict=False, direction="forward", tolerance=3600,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("asof_value").alias("n_attributed"),
+            F.sum(
+                F.when(
+                    F.col("asof_value").isNotNull(),
+                    F.floor(F.col("asof_value") * 1000000 + F.lit(0.5)).cast(
+                        "bigint"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("val_e6"),
+        )
+        .orderBy("user_id")
+    )

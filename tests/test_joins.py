@@ -90,3 +90,40 @@ def test_delta_join_maintenance_identity(spark):
     assert sorted(map(tuple, incremental.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from pyspark.sql import Row, functions as F
+
+    from arc_jupyter_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, i=1), Row(k="a", t=20, i=2), Row(k="b", t=5, i=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=12, v="x"), Row(k="a", t=40, v="y"), Row(k="b", t=5, v="z")]
+    )
+    fwd = {
+        r["i"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="t", by="k", direction="forward", strict=False
+        ).collect()
+    }
+    # i=1 -> next right at 12; i=2 -> 40; i=3 -> simultaneous z visible
+    assert fwd == {1: "x", 2: "y", 3: "z"}
+    fwd_strict = {
+        r["i"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="t", by="k", direction="forward", strict=True
+        ).collect()
+    }
+    assert fwd_strict[3] is None  # simultaneous row excluded
+    tol = {
+        r["i"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="t", by="k", direction="forward",
+            strict=False, tolerance=5,
+        ).collect()
+    }
+    # i=2's match at 40 is 20 away -> nulled by tolerance
+    assert tol == {1: "x", 2: None, 3: "z"}
