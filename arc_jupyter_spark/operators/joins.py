@@ -24,9 +24,10 @@ def asof_join(
     tolerance: float | None = None,
 ) -> DataFrame:
     """Per ``by`` key, attach to each left row the nearest right row
-    at-or-before (``direction="backward"``) or at-or-after
-    (``"forward"``) it on ``on`` — the full pandas ``merge_asof``
-    surface, without its single-machine limit.
+    at-or-before (``direction="backward"``), at-or-after
+    (``"forward"``), or closest on either side (``"nearest"``, ties →
+    backward) on ``on`` — the full pandas ``merge_asof`` surface,
+    without its single-machine limit.
 
     ``strict=True`` excludes the simultaneous right row (``<`` / ``>``
     instead of ``<=`` / ``>=``). ``tolerance`` (in the units of ``on``;
@@ -37,18 +38,23 @@ def asof_join(
     ``asof_`` (NULL when no matching right row exists).
 
     Scale shape — why this beats the per-key pair join: both sides
-    union into ONE frame, one shuffle on ``by``, one in-partition
-    sort; the match is a running last/first-non-null window — no k×k
-    per-key pair blowup, no range-join fallback. This is the plan an
-    ASOF JOIN keyword compiles to in engines that have one.
+    union into ONE frame, ONE shuffle on ``by``, and the match is a
+    running last/first-non-null window — no k×k per-key pair blowup,
+    no range-join fallback. ``nearest`` adds a second in-partition
+    sort (the forward pick needs the opposite tie order), still zero
+    extra shuffles. This is the plan an ASOF JOIN keyword compiles to
+    in engines that have one.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}"
+        )
     value_cols = right_value_cols or [
         c for c in right.columns if c not in (on, by)
     ]
     lrow = F.struct(*[F.col(c) for c in left.columns])
-    # carry the matched row's own `on` so tolerance can bound the gap
+    # carry the matched row's own `on` so tolerance/nearest can see
+    # the gap
     rpay = F.struct(
         *[F.col(c) for c in value_cols], F.col(on).alias("_asof_on")
     )
@@ -71,6 +77,11 @@ def asof_join(
     )
     unioned = l_side.unionByName(r_side)
 
+    on_is_ts = left.schema[on].dataType.simpleString().startswith("timestamp")
+
+    def _num(c):
+        return F.unix_timestamp(c) if on_is_ts else c.cast("double")
+
     # tie order at equal _on decides whether a simultaneous right row
     # is inside the one-sided frame:
     #   backward strict     → left first  (right not in preceding)
@@ -78,37 +89,41 @@ def asof_join(
     #   forward  strict     → right first (right not in following)
     #   forward  non-strict → left first  (right in following)
     tie = F.col("_is_left").cast("int")
-    left_first = strict if direction == "backward" else not strict
-    order_tie = -tie if left_first else tie
-    if direction == "backward":
-        w = (
-            Window.partitionBy("_by")
-            .orderBy(F.col("_on"), order_tie)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        pick = F.last("_rpay", ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy("_by")
-            .orderBy(F.col("_on"), order_tie)
-            .rowsBetween(1, Window.unboundedFollowing)
-        )
-        pick = F.first("_rpay", ignorenulls=True).over(w)
-    matched = unioned.withColumn("_asof", pick)
 
-    asof = F.col("_asof")
-    if tolerance is not None:
-        on_type = left.schema[on].dataType.simpleString()
-        if on_type.startswith("timestamp"):
-            gap_l = F.unix_timestamp(F.col("_on"))
-            gap_r = F.unix_timestamp(asof["_asof_on"])
+    def _pick(side: str):
+        left_first = strict if side == "backward" else not strict
+        order_tie = -tie if left_first else tie
+        if side == "backward":
+            w = (
+                Window.partitionBy("_by")
+                .orderBy(F.col("_on"), order_tie)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            m = F.last("_rpay", ignorenulls=True).over(w)
+            gap = _num(F.col("_on")) - _num(m["_asof_on"])
         else:
-            gap_l = F.col("_on").cast("double")
-            gap_r = asof["_asof_on"].cast("double")
-        gap = (gap_l - gap_r) if direction == "backward" else (gap_r - gap_l)
-        asof = F.when(gap <= F.lit(float(tolerance)), F.col("_asof"))
+            w = (
+                Window.partitionBy("_by")
+                .orderBy(F.col("_on"), order_tie)
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            m = F.first("_rpay", ignorenulls=True).over(w)
+            gap = _num(m["_asof_on"]) - _num(F.col("_on"))
+        if tolerance is not None:
+            m = F.when(gap <= F.lit(float(tolerance)), m)
+        return m, gap
+
+    if direction == "nearest":
+        mb, gb = _pick("backward")
+        mf, gf = _pick("forward")
+        use_fwd = mb.isNull() | (mf.isNotNull() & (gf < gb))
+        asof = F.when(use_fwd, mf).otherwise(mb)
+    else:
+        asof, _ = _pick(direction)
+
+    matched = unioned.withColumn("_asof", asof)
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
-    out_cols += [asof[c].alias(f"asof_{c}") for c in value_cols]
+    out_cols += [F.col("_asof")[c].alias(f"asof_{c}") for c in value_cols]
     return matched.where(F.col("_is_left")).select(*out_cols)
 
 

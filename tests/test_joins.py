@@ -127,3 +127,44 @@ def test_asof_join_forward_and_tolerance(spark):
     }
     # i=2's match at 40 is 20 away -> nulled by tolerance
     assert tol == {1: "x", 2: None, 3: "z"}
+
+
+def test_asof_join_nearest(spark):
+    from pyspark.sql import Row
+
+    from arc_jupyter_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, i=1), Row(k="a", t=100, i=2), Row(k="a", t=3, i=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", t=8, v="b8"), Row(k="a", t=13, v="f13"), Row(k="a", t=90, v="b90")]
+    )
+    near = {
+        r["i"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="t", by="k", direction="nearest", strict=False
+        ).collect()
+    }
+    # i=1: back gap 2 (8) vs fwd gap 3 (13) -> b8
+    # i=2: back gap 10 (90), no fwd -> b90
+    # i=3: no back, fwd 8 -> b8
+    assert near == {1: "b8", 2: "b90", 3: "b8"}
+    # equal gaps tie -> backward (pandas semantics)
+    left2 = spark.createDataFrame([Row(k="a", t=10, i=1)])
+    right2 = spark.createDataFrame(
+        [Row(k="a", t=8, v="back"), Row(k="a", t=12, v="fwd")]
+    )
+    r = joins.asof_join(
+        left2, right2, on="t", by="k", direction="nearest", strict=False
+    ).first()
+    assert r["asof_v"] == "back"
+    # tolerance cuts the far side: i=2's 10-away match nulled at tol 5
+    tol = {
+        r["i"]: r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="t", by="k", direction="nearest",
+            strict=False, tolerance=5,
+        ).collect()
+    }
+    assert tol == {1: "b8", 2: None, 3: "b8"}
