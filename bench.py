@@ -73,6 +73,7 @@ HEADLINE = [
     "q85_key_skew_profile",
     "q86_ivm_join",
     "p07_crawl_pipeline",
+    "q87_asof_forward",
 ]
 
 
