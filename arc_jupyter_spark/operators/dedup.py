@@ -357,9 +357,17 @@ def jaccard_pairs(
     boilerplate shingle can otherwise create a quadratic join key at
     corpus scale. Document sizes still count all shingles, so the
     capped jaccard is a conservative underestimate of the exact value
-    (shared boilerplate stops counting as similarity evidence). The
-    frequency is computed with a window over the join key, so the
-    self-join reuses the same hash partitioning — no extra shuffle.
+    (shared boilerplate stops counting as similarity evidence).
+
+    The frequency prune is a partial-aggregated ``groupBy`` count plus
+    a LEFT SEMI join back on the same key — NOT a count window over
+    the exploded stream: a window must sort every (block, shingle)
+    partition in memory, and under memory pressure that sort degrades
+    superlinearly (round-3 driver bench measured d03 at 2× its idle
+    time while neighbor queries degraded ~18%, with GC-locker retries
+    on exactly this stage). The hash aggregate combines map-side to
+    one row per distinct shingle before the shuffle and spills
+    gracefully; the semi-join carries only digests.
     """
     block = [block_col] if block_col else []
     # shingles become 8-byte digests BEFORE the explode/shuffle: the
@@ -382,12 +390,17 @@ def jaccard_pairs(
         F.explode("_sh").alias("_s"),
         F.size("_sh").alias("_n"),
     )
-    w = Window.partitionBy(*block, "_s")
-    ex = ex.withColumn("_df", F.count(F.lit(1)).over(w))
+    keys = [*block, "_s"]
     cap = F.col("_df") >= 2
     if max_doc_freq is not None:
         cap = cap & (F.col("_df") <= max_doc_freq)
-    ex = ex.where(cap).drop("_df")
+    keep = (
+        ex.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(cap)
+        .select(*keys)
+    )
+    ex = ex.join(keep, on=keys, how="left_semi")
     a = ex.alias("a")
     b = ex.alias("b")
     cond = F.col("a._s") == F.col("b._s")

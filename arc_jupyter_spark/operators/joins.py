@@ -77,10 +77,33 @@ def asof_join(
     )
     unioned = l_side.unionByName(r_side)
 
-    on_is_ts = left.schema[on].dataType.simpleString().startswith("timestamp")
+    # numeric view of `on` for tolerance / nearest gap arithmetic.
+    # Timestamps cast straight to double (fractional epoch seconds) —
+    # unix_timestamp() truncates to whole seconds, which silently
+    # breaks tolerance bounds and backward/forward picks at
+    # millisecond resolution. Dates go through timestamp first
+    # (date→double is NULL in Spark); anything else can't produce a
+    # gap, so tolerance/nearest must refuse rather than silently
+    # null every match / degrade to backward-only.
+    from pyspark.sql import types as T
 
-    def _num(c):
-        return F.unix_timestamp(c) if on_is_ts else c.cast("double")
+    on_dt = left.schema[on].dataType
+    if isinstance(on_dt, (T.DateType, T.TimestampNTZType)):
+        # neither casts straight to double; go through (session-tz)
+        # timestamp — consistent across both sides, so gaps are exact
+        def _num(c):
+            return c.cast("timestamp").cast("double")
+    elif isinstance(on_dt, (T.TimestampType, T.NumericType)):
+        def _num(c):
+            return c.cast("double")
+    else:
+        if tolerance is not None or direction == "nearest":
+            raise ValueError(
+                f"asof_join: tolerance/nearest need a numeric, timestamp, "
+                f"or date `on` column; got {on_dt.simpleString()} for {on!r}"
+            )
+        def _num(c):  # unused by backward/forward without tolerance
+            return c.cast("double")
 
     # tie order at equal _on decides whether a simultaneous right row
     # is inside the one-sided frame:

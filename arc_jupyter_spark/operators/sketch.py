@@ -187,6 +187,8 @@ def hist_quantile_bins(
     error bounded by one bin width by construction. The histogram is
     tiny (≤ nbins rows), so the window runs in one task.
     """
+    if not quantiles:
+        raise ValueError("hist_quantile_bins: quantiles must be non-empty")
     span = hi - lo + 1
     cum = hist.withColumn(
         "cum_n",

@@ -20,6 +20,7 @@ from arc_jupyter_spark.workloads import (  # noqa: F401
     streaming_queries,
 )
 from arc_jupyter_spark.workloads.base import ORACLES, QUERIES
+from arc_jupyter_spark.workloads.oracle_casts import apply_oracle_casts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -27,4 +28,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # apply_oracle_casts closes the DuckDB HUGEINT -> pandas float64
+    # channel in the driver's oracle fetch (see oracle_casts.py)
+    return {name: apply_oracle_casts(name, sql) for name, sql in ORACLES.items()}

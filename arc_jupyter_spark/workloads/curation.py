@@ -539,13 +539,18 @@ def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string"))
         ).alias("ph"),
     )
+    # variant ids live above bit 40 so they cannot collide with base
+    # doc_ids at any realistic scale factor (a 10M additive offset
+    # would collide once the fixture reaches 10M docs, corrupting the
+    # id_a < id_b pair orientation and the oracle sums)
+    variant_offset = 1 << 40
     near = base.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + variant_offset).alias("doc_id"),
         "source",
         F.expr("ph ^ shiftleft(1L, CAST(doc_id % 60 AS INT))").alias("ph"),
     )
     far = base.where(F.col("doc_id") % 3 == 1).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + variant_offset).alias("doc_id"),
         "source",
         F.expr(f"ph ^ {_M08_MISS_MASK}L").alias("ph"),
     )

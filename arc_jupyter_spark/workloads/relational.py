@@ -776,8 +776,11 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle uses its native ASOF JOIN.
 # --------------------------------------------------------------------
 
+# COALESCE to -1 on both sides: a nullable BIGINT column with NULLs
+# becomes float64 in the driver's pandas fetch (numpy int64 has no NA),
+# reopening the representation-hash channel the BIGINT casts close
 Q28_ORACLE = """
-SELECT e.event_id, c.click_us AS matched_click_us
+SELECT e.event_id, COALESCE(c.click_us, -1) AS matched_click_us
 FROM (SELECT event_id, user_id, epoch_us(ts) AS err_us FROM events WHERE event_type = 'error') e
 ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.err_us > c.click_us
@@ -804,7 +807,10 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["click_us"], strict=True,
     )
     return (
-        out.select("event_id", F.col("asof_click_us").alias("matched_click_us"))
+        out.select(
+            "event_id",
+            F.coalesce(F.col("asof_click_us"), F.lit(-1)).alias("matched_click_us"),
+        )
         .orderBy("event_id")
     )
 

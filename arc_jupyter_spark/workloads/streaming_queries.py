@@ -767,18 +767,24 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carries the watermark past the first window's end; batch 2 advances
 # it only (the window's state is evicted at that batch's commit);
 # batch 3 replays a stale event — it MUST be dropped — plus a fresh
-# one. The update-mode sink is folded to max-per-window, which is
-# fully deterministic (pinned, both polarities, in
+# one. The update-mode sink is folded per window to max-n AND the
+# number of sink update rows, which is fully deterministic (pinned,
+# both polarities, in
 # tests/test_streaming.py::test_watermark_drops_late_rows), so the
-# oracle is the literal expected table: 3 rows in the 10:00 window
-# (the replay excluded), 3 in the 11:00 window.
+# oracle is the literal expected table: the 10:00 window updates once
+# (batch 1, n=3) and the 11:00 window three times (n=1,2,3).
+# n_updates is what makes the oracle sensitive to a drop failure: an
+# undropped 10:20 replay re-creates the evicted 10:00 window with
+# n=1 — max(n) stays 3 either way, but the window gains a second sink
+# update row (n_updates 1 → 2), failing the hash.
 # --------------------------------------------------------------------
 
 ST11_ORACLE = """
 SELECT CAST('2024-01-01 10:00:00' AS TIMESTAMP) AS window_start,
-       CAST(3 AS BIGINT) AS n_final
+       CAST(3 AS BIGINT) AS n_final, CAST(1 AS BIGINT) AS n_updates
 UNION ALL
-SELECT CAST('2024-01-01 11:00:00' AS TIMESTAMP), CAST(3 AS BIGINT)
+SELECT CAST('2024-01-01 11:00:00' AS TIMESTAMP), CAST(3 AS BIGINT),
+       CAST(3 AS BIGINT)
 ORDER BY window_start
 """
 
@@ -831,7 +837,10 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         spark.table(name)
         .groupBy(F.col("w.start").alias("window_start"))
-        .agg(F.max("n").alias("n_final"))
+        .agg(
+            F.max("n").alias("n_final"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
         .orderBy("window_start")
     )
     # materialize before dropping the sink view and the temp source

@@ -76,6 +76,33 @@ HEADLINE = [
     "q87_asof_forward",
 ]
 
+# the round-1 headline set: kept as the stable cross-round comparison
+# basis AND as the per-query detail on the final stdout line — round 3
+# proved the driver's tail capture truncates a ~2.5 KB line (58-query
+# dict => BENCH_r03 "parsed": null), so the printed line carries only
+# this 18-query subset (~0.8 KB) and the full per-query detail goes to
+# BENCH_DETAIL.json instead.
+SHARED_18 = [
+    "q01_pricing_summary",
+    "q02_broadcast_join",
+    "q03_topk_join",
+    "q09_window_topn",
+    "q11_rollup",
+    "q27_time_window",
+    "q28_asof_join",
+    "q29_range_join",
+    "q43_session_window",
+    "q44_lateral_topk",
+    "d01_exact_dedup",
+    "d02_minhash_lsh",
+    "d03_ngram_jaccard",
+    "d06_cc_dedup",
+    "s01_cosine_topk",
+    "t01_quality_score",
+    "t05_corpus_filter",
+    "st01_stream_window",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,7 +161,7 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -147,7 +174,26 @@ def main() -> int:
         "queries_first_pass": first_pass,
         "sf": sf_val,
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # compact final line (must stay well under ~1.5 KB — see SHARED_18
+    # note): totals over all queries + per-query detail for the stable
+    # 18-query cross-round subset only
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "n": len(HEADLINE),
+        "value_first_pass": detail["value_first_pass"],
+        "shared18": round(sum(timings[q] for q in SHARED_18), 3),
+        "shared18_first_pass": round(sum(first_pass[q] for q in SHARED_18), 3),
+        "queries": {q: timings[q] for q in SHARED_18},
+        "sf": sf_val,
+    }
+    line = json.dumps(out)
+    assert len(line) < 1400, f"bench summary line too long: {len(line)}B"
+    print(line)
     return 0
 
 

@@ -168,3 +168,88 @@ def test_asof_join_nearest(spark):
         ).collect()
     }
     assert tol == {1: "b8", 2: None, 3: "b8"}
+
+
+def test_asof_join_subsecond_timestamps(spark):
+    """Tolerance and nearest gaps keep sub-second precision: the old
+    unix_timestamp() path truncated to whole seconds, so a match 1.5s
+    away passed a tolerance of 1 (ADVICE round-3, medium)."""
+    from pyspark.sql import Row, functions as F
+
+    from arc_jupyter_spark.operators import joins
+
+    mk = F.col("s").cast("timestamp")
+    left = spark.createDataFrame(
+        [Row(k="a", s="2024-01-01 00:00:10.400", i=1)]
+    ).select("k", "i", mk.alias("t"))
+    right = spark.createDataFrame(
+        [
+            Row(k="a", s="2024-01-01 00:00:08.900", v="back1500ms"),
+            Row(k="a", s="2024-01-01 00:00:10.000", v="back400ms"),
+        ]
+    ).select("k", "v", mk.alias("t"))
+    # truncation would see gaps of 2s/0s; real gaps are 1.5s/0.4s
+    r = joins.asof_join(
+        left, right, on="t", by="k", tolerance=0.5, strict=False
+    ).first()
+    assert r["asof_v"] == "back400ms"
+    r = joins.asof_join(
+        left,
+        right.where(F.col("v") == "back1500ms"),
+        on="t", by="k", tolerance=1.0, strict=False,
+    ).first()
+    assert r["asof_v"] is None  # 1.5s gap > 1.0s tolerance
+    # nearest: fwd 0.3s beats back 0.4s only with fractional gaps
+    right2 = spark.createDataFrame(
+        [
+            Row(k="a", s="2024-01-01 00:00:10.000", v="back"),
+            Row(k="a", s="2024-01-01 00:00:10.700", v="fwd"),
+        ]
+    ).select("k", "v", mk.alias("t"))
+    r = joins.asof_join(
+        left, right2, on="t", by="k", direction="nearest", strict=False
+    ).first()
+    assert r["asof_v"] == "fwd"
+
+
+def test_asof_join_date_on(spark):
+    """DateType `on` gets real gaps (in seconds) instead of NULLs."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from arc_jupyter_spark.operators import joins
+
+    d = datetime.date
+    left = spark.createDataFrame([Row(k="a", t=d(2024, 1, 10), i=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", t=d(2024, 1, 7), v="3days"),
+            Row(k="a", t=d(2024, 1, 1), v="9days"),
+        ]
+    )
+    r = joins.asof_join(
+        left, right, on="t", by="k", tolerance=4 * 86400, strict=False
+    ).first()
+    assert r["asof_v"] == "3days"
+    r = joins.asof_join(
+        left, right, on="t", by="k", tolerance=2 * 86400, strict=False
+    ).first()
+    assert r["asof_v"] is None
+
+
+def test_asof_join_rejects_gapless_on():
+    """String `on` cannot produce gaps: tolerance/nearest raise
+    instead of silently nulling matches (ADVICE round-3, low)."""
+    import pytest
+    from pyspark.sql import Row, SparkSession
+
+    from arc_jupyter_spark.operators import joins
+
+    spark = SparkSession.builder.getOrCreate()
+    left = spark.createDataFrame([Row(k="a", t="x", i=1)])
+    right = spark.createDataFrame([Row(k="a", t="w", v="v")])
+    with pytest.raises(ValueError, match="tolerance/nearest"):
+        joins.asof_join(left, right, on="t", by="k", tolerance=1.0)
+    with pytest.raises(ValueError, match="tolerance/nearest"):
+        joins.asof_join(left, right, on="t", by="k", direction="nearest")

@@ -162,3 +162,13 @@ def test_hist_build_clamps_outliers(spark):
     df = spark.createDataFrame([(-5,), (500,), (50,)], "v bigint")
     h = {r["bin"]: r["n"] for r in sketch.hist_build(df, F.col("v"), 0, 99, 10).collect()}
     assert h == {0: 1, 9: 1, 5: 1}
+
+
+def test_hist_quantile_empty_quantiles_raises(spark):
+    import pytest
+
+    from arc_jupyter_spark.operators import sketch
+
+    hist = spark.createDataFrame([(0, 5)], "bin long, n long")
+    with pytest.raises(ValueError, match="non-empty"):
+        sketch.hist_quantile_bins(hist, [], lo=0, hi=99)

@@ -12,6 +12,15 @@ driver, which does NOT use build_session — round 1 proved that plain
 vs tuned sessions partition differently and can flip order-dependent
 float aggregates). Pass --tuned to use build_session instead.
 
+Besides the fetchall() value comparison, each oracle is ALSO fetched
+via ``duckdb .df()`` (pandas) and every shared column's numeric dtype
+family is asserted against the Spark result schema. The driver hashes
+through the pandas path, where DuckDB's HUGEINT (``SUM(<integer>)``)
+and nullable BIGINT columns surface as float64 while Spark stays
+int64 — bit-identical values, divergent hashes. fetchall() yields
+Python ints either way, so without this mirror selfcheck is
+structurally blind to the exact channel that burned rounds 1 and 3.
+
 Usage: python tools/selfcheck.py [--tuned] [--loose] [sf_dir] [query ...]
 """
 
@@ -49,6 +58,48 @@ def normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
         return ("s", str(v))
 
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Driver-fetch dtype mirror: compare the Spark result schema with
+    the pandas dtypes of the oracle fetched via ``.df()``; return
+    numeric-family mismatches (int vs float in either direction)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def spark_family(dt):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(dt, T.DecimalType):
+            return "decimal"
+        return "other"
+
+    def pandas_family(series):
+        if pd.api.types.is_bool_dtype(series.dtype):
+            return "other"
+        if pd.api.types.is_integer_dtype(series.dtype):
+            return "int"
+        if pd.api.types.is_float_dtype(series.dtype):
+            return "float"
+        if series.dtype == object:
+            nn = series.dropna()
+            if len(nn) and isinstance(nn.iloc[0], int):
+                return "int"
+            if len(nn) and isinstance(nn.iloc[0], float):
+                return "float"
+        return "other"
+
+    sfam = {f.name: spark_family(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for col in odf.columns:
+        if col not in sfam:
+            continue
+        pfam = pandas_family(odf[col])
+        if {sfam[col], pfam} <= {"int", "float", "decimal"} and sfam[col] != pfam:
+            out.append(f"{col}: spark={sfam[col]} oracle_df={pfam}")
+    return out
 
 
 def main() -> int:
@@ -103,11 +154,12 @@ def main() -> int:
             rel = con.execute(oracles[name])
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
-        problems = []
+        problems = dtype_mismatches(sdf, odf)
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
