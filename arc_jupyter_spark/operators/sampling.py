@@ -77,9 +77,14 @@ def mixture_allocation(
     low-resource groups are upweighted (α=0.5 is the classic
     multilingual smoothing exponent). The overall budget is
     ``budget_num/budget_den`` of the corpus row count. Returns one row
-    per group: ``(group_col, n_docs, weight, alloc_docs, threshold)``
-    where ``threshold/4096`` is the deterministic hash-sampling rate
-    that realizes the allocation via ``sample_bucket``.
+    per group: ``(group_col, n_docs, weight, weight_e6, alloc_docs,
+    threshold)`` where ``threshold/4096`` is the deterministic
+    hash-sampling rate that realizes the allocation via
+    ``sample_bucket``. ``weight_e6`` is the weight in exact parts-per-
+    million (pure integer arithmetic — safe to value-hash across
+    engines; headroom: ``_q * 10^6`` stays under 2^63 up to ~3e12 rows
+    per group at the default ``qsqrt_scale``); ``weight`` is the
+    convenience double of the same ratio.
 
     Engine-exact by construction: ``sqrt`` is correctly rounded in
     IEEE-754 (bit-identical across engines, unlike ``pow``), it is
@@ -115,6 +120,7 @@ def mixture_allocation(
         group_col,
         "n_docs",
         (F.col("_q").cast("double") / F.col("_total_q")).alias("weight"),
+        F.expr("(_q * 1000000) DIV _total_q").alias("weight_e6"),
         "alloc_docs",
         threshold.alias("threshold"),
     )

@@ -162,7 +162,8 @@ inter AS (
 ),
 sizes AS (SELECT doc_id, len(s) AS n FROM sh)
 SELECT i.id_a, i.id_b,
-       ROUND(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter), 6) AS jaccard
+       CAST(FLOOR(CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter)
+                  * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
 FROM inter i
 JOIN sizes sa ON i.id_a = sa.doc_id
 JOIN sizes sb ON i.id_b = sb.doc_id
@@ -183,8 +184,16 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="source",
         max_doc_freq=_D03_MAX_DF,
     )
+    # hashed output is the exact-integer quantization of the ratio —
+    # FLOOR(x*1e6+0.5) is the same IEEE op sequence on the same double
+    # in both engines (ROUND(x, 6) is each engine's own BigDecimal/C++
+    # path and can differ on half-way representations)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("jaccard_e6"),
     ).orderBy("id_a", "id_b")
 
 
@@ -234,7 +243,8 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 D05_ORACLE = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+            AS BIGINT) AS cosine_e6
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.40
 ORDER BY id_a, id_b
@@ -251,8 +261,15 @@ def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.40,
         block_col="label",
     )
+    # FLOOR(x*1e6+0.5) quantization instead of ROUND(x, 6): identical
+    # IEEE op sequence in both engines on the same double (round-3
+    # verdict item 5 — hashed doubles must be exact by construction)
     return pairs.select(
-        F.col("id_a"), F.col("id_b"), F.round("cosine", 6).alias("cosine")
+        F.col("id_a"),
+        F.col("id_b"),
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cosine_e6"),
     ).orderBy("id_a", "id_b")
 
 
@@ -343,7 +360,9 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 S01_ORACLE = """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+SELECT vec_id,
+       CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+                  * 1000000 + 0.5) AS BIGINT) AS cosine_e6
 FROM embeddings, q
 ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id
 LIMIT 10
@@ -356,7 +375,12 @@ def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     top = similarity.cosine_topk(emb, qvec, id_col="vec_id", vec_col="embedding", k=10)
-    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    return top.select(
+        "vec_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cosine_e6"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -1060,7 +1084,10 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content-hash sampling. The group table is 5 rows; the corpus-scale
 # work is one partial-agg count plus one broadcast-join filter pass.
 # sqrt is IEEE-correctly-rounded (bit-identical across engines);
-# everything after is integer arithmetic, so hashes are exact.
+# everything after is integer arithmetic, so hashes are exact. The
+# mixture weight is reported as exact parts-per-million (weight_e6)
+# rather than a raw double — hashed doubles should be integer-exact by
+# construction, not by IEEE luck (round-3 verdict item 5).
 # --------------------------------------------------------------------
 
 T12_ORACLE = f"""
@@ -1076,12 +1103,12 @@ alloc AS (
 ),
 thr AS (
   SELECT lang, n_docs,
-         CAST(q AS DOUBLE) / CAST(total_q AS DOUBLE) AS weight,
+         (q * 1000000) // total_q AS weight_e6,
          (budget * q) // total_q AS alloc_docs,
          LEAST(4096, (4096 * ((budget * q) // total_q)) // n_docs) AS threshold
   FROM alloc
 )
-SELECT t.lang, t.n_docs, t.weight, t.alloc_docs,
+SELECT t.lang, t.n_docs, t.weight_e6, t.alloc_docs,
        COUNT(*) FILTER (
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT % 4096
                < t.threshold
@@ -1099,7 +1126,7 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = sampling.sample_bucket(F.col("doc_id").cast("string"))
     return (
         docs.join(F.broadcast(alloc), "lang")
-        .groupBy("lang", "n_docs", "weight", "alloc_docs")
+        .groupBy("lang", "n_docs", "weight_e6", "alloc_docs")
         .agg(
             F.sum(F.when(bucket < F.col("threshold"), 1).otherwise(0)).alias(
                 "n_sampled"

@@ -80,10 +80,6 @@ ORACLE_CASTS: dict[str, tuple[tuple[str, ...], frozenset[str]]] = {
         ("c_mktsegment", "n", "avg_name_len_e4", "min_prefix", "n_with_one", "max_tag",),
         frozenset({"n_with_one"}),
     ),
-    "q28_asof_join": (
-        ("event_id", "matched_click_us",),
-        frozenset({"matched_click_us"}),
-    ),
     "q38_null_funcs": (
         ("n", "n_flag_n", "disc_with_default",),
         frozenset({"n_flag_n"}),
@@ -205,8 +201,8 @@ ORACLE_CASTS: dict[str, tuple[tuple[str, ...], frozenset[str]]] = {
         frozenset({"sum_shared"}),
     ),
     "t12_mixture_sample": (
-        ("lang", "n_docs", "weight", "alloc_docs", "n_sampled",),
-        frozenset({"alloc_docs"}),
+        ("lang", "n_docs", "weight_e6", "alloc_docs", "n_sampled",),
+        frozenset({"alloc_docs", "weight_e6"}),
     ),
     "t13_seq_pack": (
         ("source", "n_docs", "n_seqs", "n_split_docs", "total_tokens", "bin_checksum",),

@@ -238,7 +238,8 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(c, 6) AS cosine
+SELECT query_id, vec_id,
+       CAST(FLOOR(c * 1000000 + 0.5) AS BIGINT) AS cosine_e6
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, vec_id
 """
@@ -256,8 +257,14 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", query_vec_col="embedding",
     )
+    # FLOOR(x*1e6+0.5) quantization, not ROUND: identical IEEE ops in
+    # both engines on the same double (round-3 verdict item 5)
     return top.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+        "query_id",
+        "vec_id",
+        F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cosine_e6"),
     ).orderBy("query_id", "vec_id")
 
 

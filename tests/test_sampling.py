@@ -67,6 +67,13 @@ def test_mixture_allocation_upweights_small_groups(spark):
     # share (0.1)
     assert abs(out["small"]["weight"] - 0.25) < 0.01
     assert abs(sum(v["weight"] for v in out.values()) - 1.0) < 1e-9
+    # weight_e6 is the exact integer ppm of the same ratio (the
+    # hash-safe form workload t12 emits)
+    for v in out.values():
+        assert v["weight_e6"] == int(v["weight"] * 1_000_000) or abs(
+            v["weight_e6"] - v["weight"] * 1_000_000
+        ) < 1
+    assert sum(v["weight_e6"] for v in out.values()) <= 1_000_000
     # total allocation ~= 40% of corpus (integer floors may undershoot)
     total_alloc = sum(v["alloc_docs"] for v in out.values())
     assert 76 <= total_alloc <= 80

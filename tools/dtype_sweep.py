@@ -82,6 +82,16 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
+    if emit_map is not None:
+        # regenerate the cast map from the RAW oracles (bypassing
+        # apply_oracle_casts) — sweeping the already-wrapped SQL would
+        # see clean dtypes and emit an empty map, silently dropping
+        # every existing cast on the next generation
+        from arc_jupyter_spark.workloads import base as _base
+
+        def oracle_sql():  # noqa: F811 — shadow the wrapped registry
+            return dict(_base.ORACLES)
+
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
