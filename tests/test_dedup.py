@@ -54,6 +54,36 @@ def test_jaccard_threshold_filters(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_jaccard_pairs_posting_and_semi_paths_agree(spark):
+    """The capped posting-list shape and the uncapped semi-join shape
+    must produce identical pairs when the cap exceeds every shingle's
+    document frequency (so the cap prunes nothing)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "a completely different document about spark plans"),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    capped = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs(
+                df, "id", "text", shingle_len=2, threshold=0.1, max_doc_freq=100
+            ).collect(),
+        )
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            dedup.jaccard_pairs(
+                df, "id", "text", shingle_len=2, threshold=0.1
+            ).collect(),
+        )
+    )
+    assert capped == uncapped and len(capped) >= 3
+
+
 def test_minhash_signature_table_identical_docs_agree(spark):
     sigs = dedup.minhash_signature_table(
         docs_df(spark), "id", "text", shingle_len=2, num_hashes=8

@@ -53,8 +53,14 @@ def test_d02_no_cartesian(spark):
 def test_d03_no_cartesian_and_counts_shuffle_light(spark):
     plan = plan_of(spark, "d03_ngram_jaccard")
     assert "CartesianProduct" not in plan
-    # the join output aggregates counts, not arrays
-    assert "collect_list" not in plan
+    # capped posting-list shape: pairs come from bounded per-shingle
+    # lists (<= max_doc_freq structs — the size filter must reach the
+    # plan), NOT from a count window over the exploded stream (sorts
+    # every (block, shingle) partition in memory; degraded
+    # superlinearly under memory pressure in the round-3 driver bench)
+    # and NOT from an unbounded collect
+    assert "Window" not in plan
+    assert "size(lst" in plan and "<= 50" in plan
 
 
 def test_s01_no_shuffle_before_topk(spark):

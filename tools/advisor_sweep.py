@@ -26,7 +26,11 @@ the allowlisted 1-row histogram-total crossJoin and its shuffles move
 at most shards x nbins counter rows; `q82_exact_median` many-shuffles
 is the two-pass histogram-narrowed plan whose post-histogram shuffles
 move only counters and the single target bin's rows — the trade that
-REMOVES the full-table sort."""
+REMOVES the full-table sort; `d03_ngram_jaccard` unbounded-collect is
+the posting-list pair generation whose `collect_list` is bounded at
+`max_doc_freq` structs per (block, shingle) group by the size filter
+in the same aggregate (plan-asserted in `test_plans.py`), the shape
+that runs the shingling scalar work exactly once."""
 
 
 def main() -> int:
