@@ -193,3 +193,12 @@ def test_expectation_report_empty(spark):
     assert len(rep) == 4
     assert all(r["n_rows"] == 0 and r["n_violations"] == 0 and r["passed"]
                for r in rep)
+
+
+def test_jaccard_pairs_empty_both_paths(empty_docs):
+    for cap in (None, 50):
+        out = dedup.jaccard_pairs(
+            empty_docs, "doc_id", "text", shingle_len=2, max_doc_freq=cap
+        )
+        assert out.count() == 0
+        assert out.columns == ["id_a", "id_b", "jaccard"]

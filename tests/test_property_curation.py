@@ -84,3 +84,50 @@ def test_exact_median_matches_sorted_middle(spark, vals):
     n = len(sv)
     want = sv[(n - 1) // 2] + sv[n // 2]
     assert (row["n"], row["median_x2"]) == (n, want), (vals, row)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    cap=st.integers(2, 6),
+)
+@SETTINGS
+def test_jaccard_capped_path_matches_semi_path(spark, texts, cap):
+    """For any corpus, the capped posting-list shape equals the
+    uncapped semi-join shape with the cap applied as a post-hoc
+    document-frequency rule: pairs and values agree whenever the cap
+    exceeds every shingle's df; with a binding cap the posting path's
+    pairs are a subset with jaccard <= the uncapped value (the
+    documented conservative-underestimate contract)."""
+    from arc_jupyter_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "id", "text", shingle_len=2, threshold=0.0
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "id", "text", shingle_len=2, threshold=0.0, max_doc_freq=cap
+        ).collect()
+    }
+    big = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            df, "id", "text", shingle_len=2, threshold=0.0, max_doc_freq=10_000
+        ).collect()
+    }
+    assert big == uncapped  # non-binding cap: identical pairs + values
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert v <= uncapped[k] + 1e-12  # binding cap only removes evidence
