@@ -589,6 +589,7 @@ def keep_best_per_component(
     labels: DataFrame,
     id_col: str,
     score_col: Column,
+    keep_score: str | None = None,
 ) -> DataFrame:
     """Drop all but the best-scoring row of each near-dup component.
 
@@ -604,6 +605,12 @@ def keep_best_per_component(
     aggregation over the *labeled subset only* (``max_by`` with
     partial aggregation), then a second broadcast semi-join keeps
     winners — the full corpus never shuffles.
+
+    ``keep_score``: when set, the computed score survives in the
+    output under that name, so callers that aggregate the score
+    afterwards don't evaluate ``score_col`` a second time — for a
+    regex-backed score (token counts) that halves the per-row
+    expression cost of the corpus scan.
     """
     keyed = df.withColumn("_score", score_col).join(
         F.broadcast(labels).withColumnRenamed("node", id_col), id_col, "left"
@@ -622,11 +629,13 @@ def keep_best_per_component(
     )
     # one corpus scan: flag winners via a second broadcast join, keep
     # unlabeled rows and flagged winners
-    return (
-        keyed.join(F.broadcast(winners), id_col, "left")
-        .where(F.col("label").isNull() | F.col("_is_winner").isNotNull())
-        .drop("label", "_score", "_is_winner")
+    out = keyed.join(F.broadcast(winners), id_col, "left").where(
+        F.col("label").isNull() | F.col("_is_winner").isNotNull()
     )
+    if keep_score is not None:
+        out = out.withColumnRenamed("_score", keep_score)
+        return out.drop("label", "_is_winner")
+    return out.drop("label", "_score", "_is_winner")
 
 
 # -- Bloom-filter membership prefilter --------------------------------

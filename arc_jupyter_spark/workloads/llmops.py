@@ -2170,12 +2170,10 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup.keep_best_per_component(
         docs, labels, "doc_id",
         score_col=text.token_count(F.col("text")).cast("bigint"),
+        keep_score="score",
     )
     return (
-        kept.select(
-            "source", "doc_id",
-            text.token_count(F.col("text")).cast("bigint").alias("score"),
-        )
+        kept.select("source", "doc_id", "score")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

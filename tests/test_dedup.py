@@ -231,6 +231,22 @@ def test_keep_best_per_component(spark):
     assert kept == [2, 4, 9]
 
 
+def test_keep_best_keep_score_preserves_computed_score(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (9, 99)], ["id", "base"]
+    )
+    labels = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["node", "label"])
+    out = dedup.keep_best_per_component(
+        docs, labels, "id", score_col=F.col("base") * 2, keep_score="sc"
+    )
+    got = {r["id"]: r["sc"] for r in out.collect()}
+    # winner of {1,2,3} is id 2 (score tie 60, lowest id); 9 unlabeled
+    assert got == {2: 60, 9: 198}
+    assert "sc" in out.columns and "_score" not in out.columns
+
+
 def test_keep_best_matches_keep_one_on_uniform_scores(spark):
     from pyspark.sql import functions as F
 
