@@ -1097,6 +1097,80 @@ def passage_dedup(
     )
 
 
+def boilerplate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    passage_len: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Within-group boilerplate passage removal (CCNet-style): chop
+    each document into non-overlapping ``passage_len``-token chunks
+    and drop EVERY occurrence of a chunk that appears in >=
+    ``min_docs`` distinct documents of the same ``group_col``
+    (domain/source) — headers, footers, cookie banners. Returns
+    per-document retention stats
+    ``(id, group, n_chunks, n_removed, kept_tokens)``.
+
+    Differs from :func:`passage_dedup` in both scope and policy:
+    frequency is counted *within the group* (a chunk common on one
+    domain is boilerplate there even if globally rare), and ALL
+    occurrences are removed — keep-first would preserve one copy of a
+    footer, which is exactly what crawl curation does not want.
+
+    Scale shape: chunking is a map-side projection; only
+    ``(group, digest, id)`` triples shuffle for the distinct-doc
+    count (partial-aggregated), chunk text never does. The qualifying
+    boilerplate set is tiny by construction (high-frequency chunks
+    only) — it broadcasts back onto the occurrence stream, so the
+    flagging join never shuffles the corpus.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size("_toks") / F.lit(passage_len)).cast("int")
+    chunk_arr = F.slice(
+        F.col("_toks"), F.col("_idx") * passage_len + 1, passage_len
+    )
+    occ = (
+        df.select(F.col(id_col), F.col(group_col), toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_idx"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", chunk_arr).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("_digest"),
+            F.size(chunk_arr).cast("bigint").alias("_chunk_toks"),
+        )
+    )
+    boiler = (
+        occ.groupBy(group_col, "_digest")
+        .agg(F.countDistinct(id_col).alias("_ddf"))
+        .where(F.col("_ddf") >= min_docs)
+        .select(group_col, "_digest", F.lit(True).alias("_boiler"))
+    )
+    rm = F.col("_boiler").isNotNull().cast("int")
+    return (
+        occ.join(F.broadcast(boiler), [group_col, "_digest"], "left")
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(rm).cast("bigint").alias("n_removed"),
+            F.sum(F.col("_chunk_toks") * (1 - rm)).alias("kept_tokens"),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     col: str,

@@ -89,6 +89,85 @@ def cosine_topk_batch(
     )
 
 
+# -- lexical scoring (BM25) for hybrid retrieval ----------------------
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k1: float = 1.25,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a fixed term set, as
+    ``(id, score, score_e9)`` — the lexical half of hybrid retrieval.
+
+    ``score = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) ·
+    tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`` with whitespace
+    tokens; ``score_e9`` is the FLOOR(x·1e9 + 0.5) scaled-long
+    quantization for order-stable downstream ranking. Defaults pick
+    binary-exact constants (k1 = 1.25, b = 0.75, k1+1 = 2.25) so the
+    arithmetic reproduces bit-identically on any IEEE engine.
+
+    Scale shape: per-document term frequencies and length are one
+    map-side projection; the corpus statistics (N, Σdl, df per term)
+    are ONE 1-row partial aggregate broadcast back as a literal-sized
+    crossJoin — scoring then stays map-side. Nothing corpus-sized
+    shuffles; the term list rides in the plan.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    feat = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("_dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _eq_factory(t)))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = feat.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sdl") / F.col("_n")
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        term = idf * (
+            (F.col(f"_tf{i}") * F.lit(k1 + 1.0))
+            / (F.col(f"_tf{i}") + F.lit(k1) * norm)
+        )
+        score = term if score is None else score + term
+    return scored.select(
+        F.col(id_col),
+        score.alias("score"),
+        F.floor(score * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("score_e9"),
+    )
+
+
+def _eq_factory(term: str):
+    """HOF-lambda factory (a closure default arg would be read as the
+    optional index parameter)."""
+    def eq(tok: Column) -> Column:
+        return tok == F.lit(term)
+
+    return eq
+
+
 # -- IVF-style approximate search ------------------------------------
 
 def assign_ivf_cells(

@@ -192,6 +192,65 @@ def winnow_fingerprint(text: Column, shingle_len: int = 5) -> Column:
     )
 
 
+def overlapping_chunks(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 16,
+    keep_cols: tuple[str, ...] = (),
+):
+    """Sliding-window chunking for RAG / training-sequence prep:
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    ``window - stride``), as
+    ``(id, *keep_cols, chunk_idx, chunk_digest, chunk_tokens)``.
+
+    A document with n tokens yields ``1 + ceil(max(n - window, 0) /
+    stride)`` chunks — every token is covered, the tail chunk may be
+    short, and consecutive chunks share ``window - stride`` tokens of
+    context (the standard retrieval-index chunking recipe). Chunk
+    identity is a 60-bit md5-derived digest of the joined tokens, so
+    downstream dedup/indexing never carries chunk text.
+
+    Scale shape: pure map-side projection (sequence + slice + explode
+    inside codegen, no UDF, no shuffle); output size rides with input
+    tokens × (window/stride). ``keep_cols`` pass through so callers
+    don't re-join the corpus to recover grouping columns.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.size("_toks") - F.lit(window), F.lit(0)) / F.lit(stride)
+        )
+    ).cast("int")
+    chunk_arr = F.slice(F.col("_toks"), F.col("_idx") * stride + 1, window)
+    kept = [F.col(c) for c in keep_cols]
+    return (
+        df.select(F.col(id_col), *kept, toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            F.col(id_col),
+            *kept,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_idx"),
+            "_toks",
+        )
+        .select(
+            F.col(id_col),
+            *kept,
+            F.col("_idx").cast("bigint").alias("chunk_idx"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", chunk_arr).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("chunk_digest"),
+            F.size(chunk_arr).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
 def token_rarity(df, id_col: str, text_col: str, broadcast_model: bool = True):
     """Per-document rare-token density — a corpus-statistics quality
     signal (integer-exact stand-in for n-gram LM perplexity).

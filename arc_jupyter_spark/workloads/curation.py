@@ -1096,3 +1096,283 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# d16 — within-source boilerplate passage removal (CCNet-style): every
+# occurrence of a 5-token chunk appearing in >= 2 distinct documents
+# of the same source is dropped — the header/footer/banner stage
+# between whole-document dedup (d01) and global keep-first passage
+# dedup (d11, which would preserve one copy of a footer). Only
+# (source, digest, id) triples shuffle; the boilerplate set broadcasts.
+# --------------------------------------------------------------------
+
+_D16_LEN = 5
+
+D16_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, source,
+         unnest(generate_series(
+           0, CAST(ceil(len(toks) / {_D16_LEN}.0) AS INT) - 1)) AS idx,
+         toks
+  FROM tk WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(array_to_string(
+           toks[idx*{_D16_LEN}+1:idx*{_D16_LEN}+{_D16_LEN}], ' ')), 1, 15)
+         )::BIGINT AS dg,
+         len(toks[idx*{_D16_LEN}+1:idx*{_D16_LEN}+{_D16_LEN}]) AS ctoks
+  FROM occ
+),
+boiler AS (
+  SELECT source, dg FROM ch GROUP BY source, dg
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT c.source, c.doc_id, c.ctoks,
+         CASE WHEN b.dg IS NOT NULL THEN 1 ELSE 0 END AS rm
+  FROM ch c LEFT JOIN boiler b ON b.source = c.source AND b.dg = c.dg
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(rm) AS BIGINT) AS n_removed,
+       CAST(SUM(ctoks * (1 - rm)) AS BIGINT) AS tokens_kept
+FROM fl GROUP BY source ORDER BY source
+"""
+
+
+@query("d16_boilerplate_chunks", oracle=D16_ORACLE)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import dedup
+
+    load_views(spark, sf_dir, "documents")
+    stats = dedup.boilerplate_chunks(
+        spark.table("documents"), "doc_id", "text", "source",
+        passage_len=_D16_LEN, min_docs=2,
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_removed").alias("n_removed"),
+            F.sum("kept_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t35 — sliding-window RAG chunking: 32-token windows every 16 tokens
+# (50% overlap), the retrieval-index prep stage. Chunking is one
+# map-side projection (sequence + slice in codegen); the per-source
+# rollup is the only shuffle. The digest identity doubles as the
+# dedup/index key downstream, so chunk text never needs to move.
+# --------------------------------------------------------------------
+
+_T35_WIN = 32
+_T35_STRIDE = 16
+
+T35_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, source,
+         unnest(generate_series(
+           0, CAST(1 + ceil(GREATEST(len(toks) - {_T35_WIN}, 0)
+                            / {_T35_STRIDE}.0) AS INT) - 1)) AS idx,
+         toks
+  FROM tk WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, source, idx,
+         ('0x' || substr(md5(array_to_string(
+           toks[idx*{_T35_STRIDE}+1:idx*{_T35_STRIDE}+{_T35_WIN}], ' ')),
+           1, 15))::BIGINT AS dg,
+         len(toks[idx*{_T35_STRIDE}+1:idx*{_T35_STRIDE}+{_T35_WIN}]) AS ctoks
+  FROM occ
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT dg) AS distinct_chunks,
+       CAST(SUM(ctoks) AS BIGINT) AS chunk_tokens,
+       MAX(idx) AS max_chunk_idx
+FROM ch GROUP BY source ORDER BY source
+"""
+
+
+@query("t35_rag_chunks", oracle=T35_ORACLE)
+def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    chunks = text.overlapping_chunks(
+        spark.table("documents"), "doc_id", "text",
+        window=_T35_WIN, stride=_T35_STRIDE, keep_cols=("source",),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_digest").alias("distinct_chunks"),
+            F.sum("chunk_tokens").alias("chunk_tokens"),
+            F.max("chunk_idx").alias("max_chunk_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# s10 — hybrid retrieval with reciprocal-rank fusion: BM25 top-50
+# (lexical) + exact cosine top-50 (dense) fused by RRF(60), top-15.
+# The standard RAG retrieval stack in one plan. BM25 constants are
+# binary-exact (k1 = 1.25, b = 0.75) and the corpus stats are one
+# 1-row broadcast aggregate, so both rankings — and therefore the
+# fused integer ranks — reproduce bit-identically in the oracle.
+# Scale: both arms end in TakeOrdered top-50; the rank windows and
+# the full-outer fusion join run on <= 100 rows total.
+# --------------------------------------------------------------------
+
+_S10_TERMS = ("spark", "vector", "join")
+
+
+def _s10_bm25_sql() -> str:
+    """DuckDB mirror of similarity.bm25_scores on the documents table
+    (same fold order: term 0 + term 1 + term 2, left-associated)."""
+    tf = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_S10_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_S10_TERMS))
+    )
+    terms = " + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * 2.25 / (tf{i} + 1.25 * norm))"
+        for i in range(len(_S10_TERMS))
+    )
+    return f"""feat AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '')) AS dl, {tf}
+  FROM (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+  )
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl, {dfs} FROM feat
+),
+scored AS (
+  SELECT doc_id,
+         CAST(FLOOR(({terms}) * 1000000000 + 0.5) AS BIGINT) AS score_e9
+  FROM (
+    SELECT f.*, s.n,
+           {", ".join(f"s.df{i}" for i in range(len(_S10_TERMS)))},
+           1.0 - 0.75 + 0.75 * (f.dl / (s.sdl / s.n)) AS norm
+    FROM feat f, stats s
+  )
+)"""
+
+
+S10_ORACLE = f"""
+WITH {_s10_bm25_sql()},
+bm_top AS (
+  SELECT doc_id, score_e9 FROM scored
+  ORDER BY score_e9 DESC, doc_id LIMIT 50
+),
+bm_r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_e9 DESC, doc_id) AS r_bm
+  FROM bm_top
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cos_top AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) AS cosine
+  FROM embeddings, q
+  ORDER BY cosine DESC, vec_id LIMIT 50
+),
+cos_r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_cos
+  FROM cos_top
+),
+f AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.r_bm, c.r_cos
+  FROM bm_r b FULL OUTER JOIN cos_r c ON b.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CAST(FLOOR((
+         CASE WHEN r_bm IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / (60 + r_bm) ELSE 0.0 END
+       + CASE WHEN r_cos IS NOT NULL
+              THEN CAST(1 AS DOUBLE) / (60 + r_cos) ELSE 0.0 END
+       ) * 1000000000 + 0.5) AS BIGINT) AS rrf_e9,
+       CAST(COALESCE(r_bm, 0) AS BIGINT) AS r_bm,
+       CAST(COALESCE(r_cos, 0) AS BIGINT) AS r_cos
+FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT 15
+"""
+
+
+@query("s10_hybrid_rrf", oracle=S10_ORACLE)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from arc_jupyter_spark.operators import similarity
+
+    load_views(spark, sf_dir, "documents", "embeddings")
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    bm = similarity.bm25_scores(docs, "doc_id", "text", _S10_TERMS)
+    bm_top = bm.orderBy(F.col("score_e9").desc(), "doc_id").limit(50)
+    w_bm = Window.orderBy(F.col("score_e9").desc(), "doc_id")
+    bm_r = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_bm")
+    )
+
+    cos_top = similarity.cosine_topk(
+        emb, qvec, id_col="vec_id", vec_col="embedding", k=50
+    )
+    w_cos = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    cos_r = cos_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("r_cos"),
+    )
+
+    fused = bm_r.join(cos_r, "doc_id", "full_outer")
+    rrf = (
+        F.when(
+            F.col("r_bm").isNotNull(),
+            F.lit(1.0) / (F.lit(60) + F.col("r_bm")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("r_cos").isNotNull(),
+            F.lit(1.0) / (F.lit(60) + F.col("r_cos")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.floor(rrf * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("rrf_e9"),
+            F.coalesce("r_bm", F.lit(0)).cast("bigint").alias("r_bm"),
+            F.coalesce("r_cos", F.lit(0)).cast("bigint").alias("r_cos"),
+        )
+        .orderBy(F.col("rrf_e9").desc(), "doc_id")
+        .limit(15)
+    )

@@ -74,6 +74,9 @@ HEADLINE = [
     "q86_ivm_join",
     "p07_crawl_pipeline",
     "q87_asof_forward",
+    "d16_boilerplate_chunks",
+    "t35_rag_chunks",
+    "s10_hybrid_rrf",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -411,3 +411,41 @@ def test_passage_dedup_huge_ids_keep_first(spark):
         for r in dd.passage_dedup(df, "doc_id", "text", passage_len=2).collect()
     }
     assert rows[big1]["n_kept"] == 1 and rows[big2]["n_kept"] == 0
+
+
+def test_boilerplate_chunks_removes_all_occurrences_within_group(spark):
+    # "f1 f2 f3 f4 f5" is a footer chunk shared by docs 1 and 2 of
+    # group g1 -> removed from BOTH (not keep-first); the same chunk
+    # in group g2 appears once -> kept there.
+    footer = "f1 f2 f3 f4 f5"
+    rows = [
+        (1, "a1 a2 a3 a4 a5 " + footer, "g1"),
+        (2, "b1 b2 b3 b4 b5 " + footer, "g1"),
+        (3, "c1 c2 c3 c4 c5 " + footer, "g2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_chunks(
+            df, "doc_id", "text", "source", passage_len=5, min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["kept_tokens"] == 5
+    assert out[2]["n_removed"] == 1 and out[2]["kept_tokens"] == 5
+    # unique in g2 -> nothing removed
+    assert out[3]["n_removed"] == 0 and out[3]["kept_tokens"] == 10
+
+
+def test_boilerplate_chunks_threshold(spark):
+    # min_docs=3: a chunk in only 2 docs survives
+    footer = "f1 f2 f3 f4 f5"
+    rows = [
+        (1, footer, "g1"),
+        (2, footer, "g1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dedup.boilerplate_chunks(
+        df, "doc_id", "text", "source", passage_len=5, min_docs=3
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in out)

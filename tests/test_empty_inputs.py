@@ -202,3 +202,38 @@ def test_jaccard_pairs_empty_both_paths(empty_docs):
         )
         assert out.count() == 0
         assert out.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_boilerplate_chunks_empty(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    out = dedup.boilerplate_chunks(
+        spark.createDataFrame([], schema), "doc_id", "text", "source"
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "source", "n_chunks", "n_removed", "kept_tokens",
+    ]
+
+
+def test_overlapping_chunks_empty(empty_docs):
+    out = text.overlapping_chunks(empty_docs, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "chunk_idx", "chunk_digest", "chunk_tokens",
+    ]
+
+
+def test_bm25_scores_empty(empty_docs):
+    from arc_jupyter_spark.operators import similarity
+
+    out = similarity.bm25_scores(empty_docs, "doc_id", "text", ("a", "b"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score", "score_e9"]

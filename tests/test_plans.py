@@ -275,6 +275,7 @@ def test_no_cartesian_in_any_batch_query(spark):
         "t23_bigram_lift",  # crossJoin of the 1-row total-tokens aggregate
         "t30_hll_shards",  # crossJoin of two 1-row sketch-estimate aggregates
         "t34_hist_quantile",  # crossJoin of the 1-row histogram total
+        "s10_hybrid_rrf",  # crossJoin of the 1-row BM25 corpus stats
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -557,3 +558,32 @@ def test_triangle_closure_plan_is_equi_join_only(spark):
     # appears as ExistingRDD here); the closure plan itself carries the
     # wedge self-join + the closing equi-join
     assert plan.count("Join") >= 2
+
+
+def test_d16_boilerplate_set_broadcasts(spark):
+    """The within-source boilerplate set is tiny (high-frequency
+    chunks only) — flagging the occurrence stream must be a broadcast
+    join, never a corpus-sized SortMergeJoin."""
+    plan = plan_of(spark, "d16_boilerplate_chunks")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t35_chunking_is_map_side(spark):
+    """Sliding-window chunking must stay a map-side projection: no
+    window, no join — the only shuffles are the per-source rollup
+    (incl. the distinct-digest expand)."""
+    plan = plan_of(spark, "t35_rag_chunks")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_s10_both_arms_take_ordered(spark):
+    """Hybrid RRF: both retrieval arms must end in TakeOrdered top-50
+    (per-partition k + driver merge), never a global sort of the
+    corpus; the rank windows run on the bounded 50-row frames."""
+    plan = plan_of(spark, "s10_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan

@@ -166,3 +166,37 @@ def test_lsh_multi_probe_2_extends_bucket_set(spark):
         for r in similarity.lsh_topk(with_sig, planes, qv, k=10, multi_probe=2).collect()
     }
     assert len(exact & r2) >= len(exact & r1)
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from arc_jupyter_spark.operators import similarity
+
+    # 2 docs, term "apple": doc 1 has tf=2, dl=4; doc 2 tf=0, dl=2.
+    # N=2, df=1, avgdl=3.
+    df = spark.createDataFrame(
+        [(1, "apple pie apple tart"), (2, "banana split")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in similarity.bm25_scores(df, "doc_id", "text", ("apple",)).collect()
+    }
+    idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    norm = 1.0 - 0.75 + 0.75 * (4 / (6 / 2))
+    expect = idf * (2 * 2.25 / (2 + 1.25 * norm))
+    assert abs(got[1] - expect) < 1e-12
+    assert got[2] == 0.0
+
+
+def test_bm25_score_e9_is_quantized_score(spark):
+    import math
+
+    from arc_jupyter_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, "x " * (i + 1) + "apple") for i in range(5)], ["doc_id", "text"]
+    )
+    for r in similarity.bm25_scores(df, "doc_id", "text", ("apple", "x")).collect():
+        assert r["score_e9"] == math.floor(r["score"] * 1e9 + 0.5)

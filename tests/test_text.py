@@ -209,3 +209,46 @@ def test_domain_block_filter_suffix_semantics(spark):
     blocked = sorted(r["id"] for r in
                      domain_block_filter(df, "url", ["spam-mill.com"], keep=True).collect())
     assert blocked == [1, 2, 5]
+
+
+def test_overlapping_chunks_coverage_and_overlap(spark):
+    from arc_jupyter_spark.operators import text as text_ops
+
+    # 40 tokens, window 32, stride 16 -> 1 + ceil(8/16) = 2 chunks
+    words = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame([(1, " ".join(words), "s0")],
+                               ["doc_id", "text", "source"])
+    rows = (
+        text_ops.overlapping_chunks(
+            df, "doc_id", "text", window=32, stride=16, keep_cols=("source",)
+        )
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [r["chunk_idx"] for r in rows] == [0, 1]
+    assert rows[0]["chunk_tokens"] == 32          # tokens 0..31
+    assert rows[1]["chunk_tokens"] == 24          # tokens 16..39 (tail)
+    assert rows[0]["source"] == "s0"
+    assert rows[0]["chunk_digest"] != rows[1]["chunk_digest"]
+
+
+def test_overlapping_chunks_short_doc_single_chunk(spark):
+    from arc_jupyter_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(7, "a b c")], ["doc_id", "text"])
+    rows = text_ops.overlapping_chunks(df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0 and rows[0]["chunk_tokens"] == 3
+
+
+def test_overlapping_chunks_exact_window_boundary(spark):
+    from arc_jupyter_spark.operators import text as text_ops
+
+    # n == window -> exactly 1 chunk; n == window + 1 -> 2 chunks
+    for n, expect in [(32, 1), (33, 2)]:
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(n)))], ["doc_id", "text"]
+        )
+        assert (
+            text_ops.overlapping_chunks(df, "doc_id", "text").count() == expect
+        ), n
