@@ -358,3 +358,56 @@ def epoch_mixture(
         .drop("__em_rk", "__em_n_src", "__em_budget", "__em_epochs")
     )
     return kept
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    key_col: str,
+    budget_den: int = 16,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic per-cluster quota sampling: cap every cluster at an
+    equal share ``n_total DIV budget_den`` of the corpus, keeping rows
+    whose content-hash bucket clears the cluster's integer threshold.
+
+    The balance half of cluster-balanced corpus selection (SemDeDup /
+    DSIR-style): dominant clusters (boilerplate-heavy semantic regions)
+    are downsampled to the share while small clusters survive whole, so
+    the kept corpus is diversity-flattened. All arithmetic is integer
+    (``LEAST(B, (B * share) DIV n_c)`` over ``SAMPLE_BUCKETS``), so the
+    selection reproduces bit-exactly on any engine/layout — and because
+    the keep test is ``sample_bucket(key) < threshold``, growing the
+    budget only ever ADDS rows (nested samples, the property epoch
+    resampling relies on).
+
+    Returns the input rows that clear their cluster's threshold, plus a
+    ``__cb_n_c`` per-cluster total column (callers aggregating per
+    cluster need it; drop otherwise).
+
+    Scale shape: one tiny aggregate (``n_clusters`` rows) + an
+    unpartitioned window over THAT aggregate (never the corpus) for the
+    grand total, broadcast-joined back; the keep test is a map-side
+    filter. The corpus itself never shuffles. Callers that already
+    aggregated per-cluster counts pass them via *counts*
+    (``[cluster_col, __cb_n_c]``) to save the extra corpus scan.
+    """
+    if counts is None:
+        counts = df.groupBy(cluster_col).agg(
+            F.count(F.lit(1)).alias("__cb_n_c")
+        )
+    thresholds = counts.select(
+        F.col(cluster_col),
+        F.col("__cb_n_c"),
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("bigint"),
+            F.expr(
+                f"CAST(({SAMPLE_BUCKETS} * (sum(__cb_n_c) OVER () DIV {budget_den}))"
+                " DIV __cb_n_c AS BIGINT)"
+            ),
+        ).alias("__cb_thr"),
+    )
+    kept = df.join(F.broadcast(thresholds), cluster_col).where(
+        sample_bucket(F.col(key_col)) < F.col("__cb_thr")
+    )
+    return kept.drop("__cb_thr")

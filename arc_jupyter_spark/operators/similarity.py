@@ -620,3 +620,53 @@ def quantized_topk(
         int_dot(quantize_int8(F.col(vec_col), levels), qlit).alias("qdot"),
     )
     return scored.orderBy(F.desc("qdot"), F.col(id_col)).limit(k)
+
+
+def quantize_vec_py(vec: Sequence[float], levels: int = 127) -> list[int]:
+    """Driver-side twin of :func:`quantize_int8` (same absmax recipe,
+    same op order, round-half-up via ``floor(x + 0.5)``) so literal
+    anchor/query vectors match the engine-side quantization bit-exactly
+    — and so a SQL oracle running the same formula reproduces them."""
+    import math
+
+    absmax = max(max(abs(float(x)) for x in vec), 1e-300)
+    return [int(math.floor(float(x) * levels / absmax + 0.5)) for x in vec]
+
+
+def assign_quantized_cells(
+    df: DataFrame,
+    anchors: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cluster_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Assign each vector to the anchor with the highest int8-quantized
+    dot product — pure map-side argmax, the corpus never shuffles.
+
+    The semantic-clustering front half of cluster-balanced corpus
+    sampling (the SemDeDup / DSIR-style diversity primitive): anchors
+    are a small fixed set of (id, vector) pairs quantized driver-side
+    with :func:`quantize_vec_py` and folded into the plan as integer
+    literals; each row is quantized in-engine with the identical absmax
+    recipe, so every score is an exact BIGINT and the argmax is
+    engine-reproducible (no IEEE ordering hazard anywhere — unlike a
+    float cosine argmax, two near-tied anchors cannot flip between
+    engines). Ties go to the smallest anchor id.
+
+    Scale: one codegen'd struct-array max per row over ``len(anchors)``
+    integer folds; at 100 TB this is a scan-speed map with zero
+    exchange, and the int8 corpus representation is the same 4x-smaller
+    layout :func:`quantized_topk` scans.
+    """
+    qrow = quantize_int8(F.col(vec_col), levels)
+    entries = []
+    for aid, avec in anchors:
+        alit = F.array(*[F.lit(v) for v in quantize_vec_py(avec, levels)])
+        entries.append(
+            F.struct(
+                int_dot(qrow, alit).alias("sim"),
+                F.lit(-int(aid)).cast("long").alias("neg_id"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return df.withColumn(cell_col, (-best["neg_id"]).cast("long"))

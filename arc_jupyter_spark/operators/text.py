@@ -596,3 +596,31 @@ def is_code(text: Column, per_kchar: int = 60) -> Column:
     """
     n = F.length(text)
     return (n > 0) & (code_score(text) * 1000 >= F.lit(per_kchar) * n)
+
+
+def ascii_words(text: Column, min_len: int = 2) -> Column:
+    """Lowercased ASCII-alpha words of at least *min_len* chars.
+
+    The corpus-prep normalization in front of byte-pair statistics:
+    restricting to ``^[a-z]+$`` keeps substring indexing semantics
+    identical across engines (no multi-byte grapheme ambiguity) and is
+    what BPE training corpora do anyway (separate symbol inventory for
+    punctuation/digits).
+    """
+    return F.filter(
+        tokens(text),
+        lambda w: w.rlike("^[a-z]+$") & (F.length(w) >= min_len),
+    )
+
+
+def char_pairs(word: Column) -> Column:
+    """All adjacent character pairs of a word (BPE merge candidates).
+
+    ``transform(sequence(1, len-1), i -> substr(w, i, 2))`` — one
+    codegen'd array build per word, no UDF. Callers must filter words
+    to length >= 2 first (``sequence(1, 0)`` would descend).
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: word.substr(i, F.lit(2)),
+    )

@@ -3592,3 +3592,146 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size bigint, n_clusters bigint, n_docs bigint",
     )
     return dist.unionByName(singletons).orderBy("cluster_size")
+
+
+# --------------------------------------------------------------------
+# s11 — cluster-balanced corpus sampling (SemDeDup / DSIR-style
+# diversity flattening): assign every embedding to its nearest anchor
+# by int8-quantized dot product (map-only argmax over 8 broadcast
+# integer-literal anchors — no IEEE ordering hazard, unlike a float
+# cosine argmax), then cap each cluster at an equal 1/16 share of the
+# corpus via deterministic hash-bucket quotas. Dominant semantic
+# regions are downsampled; small ones survive whole. Everything after
+# the embedding scan is integer arithmetic, so the oracle mirrors it
+# construction-for-construction.
+# --------------------------------------------------------------------
+
+_S11_K = 8  # anchors = embeddings of vec_id 0..7 (fixed, SQL-expressible)
+_S11_DEN = 16  # per-cluster share = n_total DIV 16
+
+S11_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-300) AS am
+  FROM e
+),
+cq AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * 127 / am + 0.5) AS BIGINT)) AS q
+  FROM m
+),
+anch AS (SELECT vec_id AS anchor_id, q AS aq FROM cq WHERE vec_id < {_S11_K}),
+scored AS (
+  SELECT c.vec_id, a.anchor_id,
+         list_sum(list_transform(generate_series(1, len(c.q)),
+                                 i -> c.q[i] * a.aq[i])) AS qdot
+  FROM cq c, anch a
+),
+asg AS (
+  SELECT vec_id, anchor_id AS cluster_id
+  FROM (SELECT vec_id, anchor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY qdot DESC, anchor_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+thr AS (
+  SELECT cluster_id, COUNT(*) AS n_c,
+         LEAST(4096, (4096 * (SUM(COUNT(*)) OVER () // {_S11_DEN}))
+                     // COUNT(*)) AS t
+  FROM asg GROUP BY cluster_id
+),
+kept AS (
+  SELECT a.vec_id, a.cluster_id
+  FROM asg a JOIN thr USING (cluster_id)
+  WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 7))::BIGINT % 4096
+        < thr.t
+)
+SELECT t.cluster_id,
+       CAST(t.n_c AS BIGINT) AS n_total,
+       CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.vec_id), 0) AS BIGINT) AS id_sum
+FROM thr t LEFT JOIN kept k USING (cluster_id)
+GROUP BY t.cluster_id, t.n_c
+ORDER BY t.cluster_id
+"""
+
+
+@query("s11_cluster_sample", oracle=S11_ORACLE)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    anchor_rows = emb.where(F.col("vec_id") < _S11_K).select(
+        "vec_id", "embedding"
+    ).collect()  # 8 rows — anchor literals, the allowed k-row read
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchor_rows
+    )
+    asg = similarity.assign_quantized_cells(emb, anchors, vec_col="embedding")
+    # one per-cluster count feeds both the sampler's quota math and the
+    # reported n_total — 2 corpus scans total, not 3
+    counts = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__cb_n_c")
+    )
+    kept = sampling.cluster_balanced_sample(
+        asg, "cluster_id", "vec_id", budget_den=_S11_DEN, counts=counts
+    )
+    totals = counts.select("cluster_id", F.col("__cb_n_c").alias("n_total"))
+    kept_agg = kept.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("vec_id").alias("id_sum")
+    )
+    return (
+        totals.join(kept_agg, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------
+# t36 — byte-pair (first BPE merge iteration) statistics: global
+# adjacent-character-pair counts over lowercased ASCII words, top-20
+# merge candidates. The tokenizer-training primitive: iterate this
+# (merge top pair, re-pair, repeat) and you have BPE vocab induction.
+# Scale shape is ideal — the pair vocabulary is bounded (<= 26^2), so
+# the partial aggregate caps the shuffle at 676 rows PER PARTITION no
+# matter the corpus size, and the explode fan-out is pipelined
+# map-side (never materialized).
+# --------------------------------------------------------------------
+
+T36_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(list_filter({_DUCK_TOKS},
+                x -> regexp_matches(x, '^[a-z]+$') AND length(x) >= 2)) AS word
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substring(word, i, 2))) AS pair
+  FROM w
+)
+SELECT pair, COUNT(*) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("t36_bpe_pairs", oracle=T36_ORACLE)
+def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    pairs = (
+        spark.table("documents")
+        .select(F.explode(text.ascii_words(F.col("text"))).alias("word"))
+        .select(F.explode(text.char_pairs(F.col("word"))).alias("pair"))
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )

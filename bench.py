@@ -77,6 +77,8 @@ HEADLINE = [
     "d16_boilerplate_chunks",
     "t35_rag_chunks",
     "s10_hybrid_rrf",
+    "s11_cluster_sample",
+    "t36_bpe_pairs",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

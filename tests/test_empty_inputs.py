@@ -237,3 +237,22 @@ def test_bm25_scores_empty(empty_docs):
     out = similarity.bm25_scores(empty_docs, "doc_id", "text", ("a", "b"))
     assert out.count() == 0
     assert out.columns == ["doc_id", "score", "score_e9"]
+
+
+def test_cluster_balanced_sample_empty(spark):
+    from arc_jupyter_spark.operators import sampling
+
+    df = spark.createDataFrame([], "id BIGINT, cluster BIGINT")
+    assert sampling.cluster_balanced_sample(df, "cluster", "id").count() == 0
+
+
+def test_bpe_pairs_empty(empty_docs):
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import text
+
+    pairs = (
+        empty_docs.select(F.explode(text.ascii_words(F.col("text"))).alias("w"))
+        .select(F.explode(text.char_pairs(F.col("w"))).alias("p"))
+    )
+    assert pairs.count() == 0

@@ -587,3 +587,34 @@ def test_s10_both_arms_take_ordered(spark):
     plan = plan_of(spark, "s10_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_s11_cluster_sample_shape(spark):
+    """Cluster-balanced sampling: the corpus-side joins must be
+    broadcast (thresholds are n_clusters rows), the only SinglePartition
+    exchange is the window over the 8-row count aggregate, and the
+    assignment is folded into the scans as a map (no join producing
+    it)."""
+    plan = plan_of(spark, "s11_cluster_sample")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # the one SinglePartition exchange carries the n_clusters-row count
+    # aggregate into the grand-total window — never the corpus
+    assert plan.count("Exchange SinglePartition") == 1
+    # quantized argmax assignment is a scan-side projection: the corpus
+    # FileScans read embedding (+vec_id), nothing else
+    assert "FileScan parquet [embedding#" in plan
+
+
+def test_t36_bpe_pairs_shape(spark):
+    """Pair counting must partial-aggregate map-side (the pair
+    vocabulary is bounded at 26^2, so the shuffle is capped per
+    partition) and take the top-20 with TakeOrderedAndProject — one
+    exchange total, no global sort."""
+    plan = plan_of(spark, "t36_bpe_pairs")
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    # column pruning: only the text column is read
+    assert "FileScan parquet [text#" in plan

@@ -187,3 +187,48 @@ def test_shard_assign_repartition_plan(spark):
     out = sampling.shard_assign(df, "k", 4, repartition=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(shard" in plan
+
+
+def _clustered(spark, sizes):
+    rows = []
+    nid = 0
+    for cid, n in sizes.items():
+        for _ in range(n):
+            rows.append((nid, cid))
+            nid += 1
+    return spark.createDataFrame(rows, ["id", "cluster"])
+
+
+def test_cluster_balanced_sample_caps_dominant_cluster(spark):
+    # cluster 0 dominates; share = 300 DIV 4 = 75, so cluster 0 is
+    # downsampled toward ~75 while the small clusters keep everything
+    df = _clustered(spark, {0: 280, 1: 12, 2: 8})
+    kept = sampling.cluster_balanced_sample(df, "cluster", "id", budget_den=4)
+    by = {
+        r["cluster"]: r["n"]
+        for r in kept.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by[1] == 12 and by[2] == 8  # thr = 4096 (kept whole)
+    # hash-bucket sampling at rate 4096*75//280 = 1097/4096 ~ 0.268
+    assert 40 <= by[0] <= 110
+    assert by[0] < 280
+
+
+def test_cluster_balanced_sample_nested_in_budget(spark):
+    # growing the budget share must only ADD rows (thresholds grow)
+    df = _clustered(spark, {0: 150, 1: 50})
+    small = sampling.cluster_balanced_sample(df, "cluster", "id", budget_den=8)
+    big = sampling.cluster_balanced_sample(df, "cluster", "id", budget_den=2)
+    small_ids = {r["id"] for r in small.collect()}
+    big_ids = {r["id"] for r in big.collect()}
+    assert small_ids <= big_ids
+
+
+def test_cluster_balanced_sample_precomputed_counts(spark):
+    df = _clustered(spark, {0: 100, 1: 30})
+    counts = df.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cb_n_c"))
+    a = sorted(r["id"] for r in sampling.cluster_balanced_sample(
+        df, "cluster", "id", budget_den=4).collect())
+    b = sorted(r["id"] for r in sampling.cluster_balanced_sample(
+        df, "cluster", "id", budget_den=4, counts=counts).collect())
+    assert a == b

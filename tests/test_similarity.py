@@ -200,3 +200,50 @@ def test_bm25_score_e9_is_quantized_score(spark):
     )
     for r in similarity.bm25_scores(df, "doc_id", "text", ("apple", "x")).collect():
         assert r["score_e9"] == math.floor(r["score"] * 1e9 + 0.5)
+
+
+def test_assign_quantized_cells_matches_bruteforce(spark):
+    import math
+
+    from arc_jupyter_spark.operators import similarity
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),
+        (11, [0.1, 0.95, 0.0]),
+        (12, [-1.0, -1.0, 0.5]),
+        (13, [0.0, 0.0, 0.0]),  # all-zero: quantizes to zeros, tie -> anchor 0
+    ]
+    anchors = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.assign_quantized_cells(df, anchors).collect()
+    }
+
+    def quant(v):
+        am = max(max(abs(float(x)) for x in v), 1e-300)
+        return [int(math.floor(float(x) * 127 / am + 0.5)) for x in v]
+
+    for vid, v in vecs:
+        qv = quant(v)
+        best = min(
+            ((-sum(a * b for a, b in zip(qv, quant(av))), aid) for aid, av in anchors),
+        )[1]
+        assert got[vid] == best, (vid, got[vid], best)
+
+
+def test_assign_quantized_cells_is_map_only(spark):
+    from arc_jupyter_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    anchors = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    plan = (
+        similarity.assign_quantized_cells(df, anchors)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -252,3 +252,37 @@ def test_overlapping_chunks_exact_window_boundary(spark):
         assert (
             text_ops.overlapping_chunks(df, "doc_id", "text").count() == expect
         ), n
+
+
+def test_ascii_words_filters_and_lowers(spark):
+    df = spark.createDataFrame(
+        [("The cat3 ran über a b zz",)], ["text"]
+    )
+    out = df.select(text.ascii_words(F.col("text")).alias("w")).collect()[0]["w"]
+    # 'the' (lowered), 'ran', 'zz' pass; 'cat3' (digit), 'über'
+    # (non-ASCII), 'a'/'b' (len 1) don't
+    assert out == ["the", "ran", "zz"]
+
+
+def test_char_pairs_adjacent(spark):
+    df = spark.createDataFrame([("abcd",), ("xy",)], ["word"])
+    rows = df.select(text.char_pairs(F.col("word")).alias("p")).collect()
+    assert rows[0]["p"] == ["ab", "bc", "cd"]
+    assert rows[1]["p"] == ["xy"]
+
+
+def test_bpe_pair_counts_sum_invariant(spark):
+    # total pair occurrences == sum over words of (len(word) - 1)
+    words = ["hello", "help", "hell", "ox", "ox"]
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    pairs = (
+        df.select(F.explode(text.ascii_words(F.col("text"))).alias("w"))
+        .select(F.explode(text.char_pairs(F.col("w"))).alias("p"))
+    )
+    assert pairs.count() == sum(len(w) - 1 for w in words)
+    top = (
+        pairs.groupBy("p").count().orderBy(F.desc("count"), "p").first()
+    )
+    # 'el' and 'he' both appear 3x (hello, help, hell); the pair-asc
+    # tiebreak picks 'el'
+    assert top["p"] == "el" and top["count"] == 3
