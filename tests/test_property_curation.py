@@ -131,3 +131,37 @@ def test_jaccard_capped_path_matches_semi_path(spark, texts, cap):
     assert set(capped) <= set(uncapped)
     for k, v in capped.items():
         assert v <= uncapped[k] + 1e-12  # binding cap only removes evidence
+
+
+@given(
+    sizes=st.lists(st.integers(1, 60), min_size=1, max_size=4),
+    budget_den=st.integers(1, 8),
+)
+@SETTINGS
+def test_cluster_balanced_sample_invariants(spark, sizes, budget_den):
+    """Kept rows are a subset of the input; a cluster whose size is
+    within the equal share survives whole; thresholds reproduce the
+    integer quota formula exactly."""
+    from arc_jupyter_spark.operators import sampling
+
+    rows, nid = [], 0
+    for cid, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((nid, cid))
+            nid += 1
+    df = spark.createDataFrame(rows, "id bigint, cluster bigint")
+    total = sum(sizes)
+    share = total // budget_den
+    kept = sampling.cluster_balanced_sample(
+        df, "cluster", "id", budget_den=budget_den
+    )
+    got = {r["cluster"]: r["n"] for r in kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    ids = {r["id"] for r in kept.collect()}
+    assert ids <= set(range(nid))
+    for cid, n in enumerate(sizes):
+        thr = min(4096, (4096 * share) // n)
+        if thr >= 4096:  # share covers the cluster: kept whole
+            assert got.get(cid, 0) == n, (cid, n, share)
+        else:
+            assert got.get(cid, 0) <= n

@@ -30,7 +30,11 @@ REMOVES the full-table sort; `d03_ngram_jaccard` unbounded-collect is
 the posting-list pair generation whose `collect_list` is bounded at
 `max_doc_freq` structs per (block, shingle) group by the size filter
 in the same aggregate (plan-asserted in `test_plans.py`), the shape
-that runs the shingling scalar work exactly once."""
+that runs the shingling scalar work exactly once;
+`s11_cluster_sample` many-shuffles counts the n_clusters-row quota
+aggregates (8-row exchanges, one reused at runtime) — the corpus
+itself is filtered map-side and never shuffles (plan-asserted in
+`test_plans.py::test_s11_cluster_sample_shape`)."""
 
 
 def main() -> int:
