@@ -653,20 +653,25 @@ def assign_quantized_cells(
     float cosine argmax, two near-tied anchors cannot flip between
     engines). Ties go to the smallest anchor id.
 
-    Scale: one codegen'd struct-array max per row over ``len(anchors)``
-    integer folds; at 100 TB this is a scan-speed map with zero
-    exchange, and the int8 corpus representation is the same 4x-smaller
-    layout :func:`quantized_topk` scans.
+    Scale: one struct-array max per row over ``len(anchors)`` integer
+    folds; at 100 TB this is a scan-speed map with zero exchange, and
+    the int8 corpus representation is the same 4x-smaller layout
+    :func:`quantized_topk` scans. The row is quantized ONCE into an
+    intermediate projection the anchor folds all reference —
+    ``CollapseProject`` keeps multi-referenced non-cheap expressions
+    out of line, so the 4-pass quantization does not get inlined (and
+    re-evaluated) once per anchor.
     """
-    qrow = quantize_int8(F.col(vec_col), levels)
+    qcol = "__aqc_q"
+    with_q = df.withColumn(qcol, quantize_int8(F.col(vec_col), levels))
     entries = []
     for aid, avec in anchors:
         alit = F.array(*[F.lit(v) for v in quantize_vec_py(avec, levels)])
         entries.append(
             F.struct(
-                int_dot(qrow, alit).alias("sim"),
+                int_dot(F.col(qcol), alit).alias("sim"),
                 F.lit(-int(aid)).cast("long").alias("neg_id"),
             )
         )
     best = F.array_max(F.array(*entries))
-    return df.withColumn(cell_col, (-best["neg_id"]).cast("long"))
+    return with_q.withColumn(cell_col, (-best["neg_id"]).cast("long")).drop(qcol)

@@ -3669,7 +3669,18 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in anchor_rows
     )
-    asg = similarity.assign_quantized_cells(emb, anchors, vec_col="embedding")
+    # The quantize+8-fold argmax is the expensive map here. Two
+    # measured hazards: (1) the fixture is one file/one split, pinning
+    # the interpreted HOF work to one core (_parallelize round-robins
+    # it — a no-op on a real many-file corpus); (2) the downstream
+    # broadcast join's isnotnull(cluster_id) pushdown INLINES the whole
+    # argmax into the scan filter, re-evaluating it per consumer —
+    # localCheckpoint on the 16 B/row (vec_id, cluster_id) projection
+    # runs the map exactly once (the q70/d06 materialization pattern;
+    # measured 6.4s -> ~0.4s at sf0.1).
+    asg = similarity.assign_quantized_cells(
+        dedup._parallelize(emb), anchors, vec_col="embedding"
+    ).select("vec_id", "cluster_id").localCheckpoint()
     # one per-cluster count feeds both the sampler's quota math and the
     # reported n_total — 2 corpus scans total, not 3
     counts = asg.groupBy("cluster_id").agg(

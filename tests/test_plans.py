@@ -592,9 +592,11 @@ def test_s10_both_arms_take_ordered(spark):
 def test_s11_cluster_sample_shape(spark):
     """Cluster-balanced sampling: the corpus-side joins must be
     broadcast (thresholds are n_clusters rows), the only SinglePartition
-    exchange is the window over the 8-row count aggregate, and the
-    assignment is folded into the scans as a map (no join producing
-    it)."""
+    exchange is the window over the 8-row count aggregate, and every
+    downstream consumer reads the localCheckpoint'd 16 B/row
+    (vec_id, cluster_id) projection — the quantize+argmax map runs
+    exactly once (a pushed-down isnotnull(cluster_id) join predicate
+    would otherwise inline and re-evaluate it in the scan filter)."""
     plan = plan_of(spark, "s11_cluster_sample")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -602,9 +604,11 @@ def test_s11_cluster_sample_shape(spark):
     # the one SinglePartition exchange carries the n_clusters-row count
     # aggregate into the grand-total window — never the corpus
     assert plan.count("Exchange SinglePartition") == 1
-    # quantized argmax assignment is a scan-side projection: the corpus
-    # FileScans read embedding (+vec_id), nothing else
-    assert "FileScan parquet [embedding#" in plan
+    # all consumers read the materialized assignment, not the parquet
+    # scan — the heavy map cannot appear (or be re-evaluated) here
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") == 3
+    assert "array_max" not in plan
 
 
 def test_t36_bpe_pairs_shape(spark):

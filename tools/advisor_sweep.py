@@ -32,9 +32,12 @@ the posting-list pair generation whose `collect_list` is bounded at
 in the same aggregate (plan-asserted in `test_plans.py`), the shape
 that runs the shingling scalar work exactly once;
 `s11_cluster_sample` many-shuffles counts the n_clusters-row quota
-aggregates (8-row exchanges, one reused at runtime) — the corpus
-itself is filtered map-side and never shuffles (plan-asserted in
-`test_plans.py::test_s11_cluster_sample_shape`)."""
+aggregates (8-row exchanges) — the corpus-side work is one
+localCheckpoint'd (vec_id, cluster_id) map (16 B/row, evaluated
+exactly once; a pushed-down join-key isnotnull would otherwise inline
+the quantize+argmax into the scan filter per consumer — measured 3x),
+and the keep test is a map-side broadcast-join filter (plan-asserted
+in `test_plans.py::test_s11_cluster_sample_shape`)."""
 
 
 def main() -> int:
