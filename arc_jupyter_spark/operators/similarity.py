@@ -675,3 +675,107 @@ def assign_quantized_cells(
         )
     best = F.array_max(F.array(*entries))
     return with_q.withColumn(cell_col, (-best["neg_id"]).cast("long")).drop(qcol)
+
+
+def mmr_rerank_greedy(
+    rel: dict[int, int],
+    sims: dict[int, dict[int, int]],
+    k: int,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> list[tuple[int, int, int]]:
+    """Exact-integer MMR greedy selection → ``[(rank, id, score)]``.
+
+    ``score = lam_num*rel - (lam_den-lam_num)*max_sim_to_selected``
+    (for the first pick the max term is 0). All inputs are quantized
+    integers, so the selection is bit-reproducible on any engine; ties
+    go to the smallest id. O(k * pool) with the running-max trick
+    (each new selection only adds one column of the sim matrix)."""
+    best_sim: dict[int, int] = {}
+    out: list[tuple[int, int, int]] = []
+    sel: list[int] = []
+    while len(out) < k and len(sel) < len(rel):
+        best = None
+        for cid, rv in rel.items():
+            if cid in sel:
+                continue
+            if sel:
+                score = lam_num * rv - (lam_den - lam_num) * best_sim[cid]
+            else:
+                score = lam_num * rv
+            if best is None or (score, -cid) > (best[2], -best[0]):
+                best = (cid, rv, score)
+        if best is None:
+            break
+        cid = best[0]
+        sel.append(cid)
+        out.append((len(sel), cid, best[2]))
+        # fold the new selection into every candidate's running max
+        for other, s in sims.get(cid, {}).items():
+            cur = best_sim.get(other)
+            # sims is symmetric; sims[cid][other] == sims[other][cid]
+            if cur is None or s > cur:
+                best_sim[other] = s
+    return out
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lam_num: int = 1,
+    lam_den: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank →
+    ``[rank, id_col, score_e6]``.
+
+    The retrieval head that complements hybrid search: take the exact
+    cosine top-``pool``, then greedily pick ``k`` results trading
+    relevance against redundancy (``λ = lam_num/lam_den``, default
+    1/2). Relevance and pairwise sims are quantized to e6 integers
+    IN-ENGINE (the s01/s08 recipe), so the greedy argmax is
+    engine-exact.
+
+    Scale posture: the pool cut is the distributed ``cosine_topk``
+    map (TakeOrderedAndProject over the corpus — the only part that
+    sees corpus-sized data); the pool^2 sim matrix is an engine-side
+    broadcast self-join of the CONSTANT-sized pool, and the collect is
+    bounded by pool + pool^2 rows (2.5k at the default — the d06
+    capped-collect contract, independent of corpus size). The greedy
+    selection is inherently sequential in k and runs driver-side on
+    exact integers — the same head/tail split a production vector
+    store uses (rerank touches the head only).
+    """
+    top = cosine_topk(df, query_vec, id_col=id_col, vec_col=vec_col, k=pool)
+    rel_df = top.select(
+        id_col,
+        F.floor(F.col("cosine") * scale + F.lit(0.5)).cast("bigint").alias("rel_q"),
+    )
+    pool_vec = df.join(F.broadcast(rel_df), id_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = pool_vec.select(F.col(id_col).alias("ia"), F.col("_v").alias("_va"))
+    b = pool_vec.select(F.col(id_col).alias("ib"), F.col("_v").alias("_vb"))
+    sims_df = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(cosine_similarity(F.col("_va"), F.col("_vb")) * scale + F.lit(0.5))
+            .cast("bigint")
+            .alias("s_q"),
+        )
+    )
+    rel = {r[id_col]: r["rel_q"] for r in rel_df.collect()}  # pool rows
+    sims: dict[int, dict[int, int]] = {}
+    for r in sims_df.collect():  # pool^2 rows — constant-bounded
+        sims.setdefault(r["ia"], {})[r["ib"]] = r["s_q"]
+    picked = mmr_rerank_greedy(rel, sims, k, lam_num, lam_den)
+    return df.sparkSession.createDataFrame(
+        picked, f"rank BIGINT, {id_col} BIGINT, score_e6 BIGINT"
+    )

@@ -3746,3 +3746,73 @@ def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# s12 — MMR diversity re-rank (the retrieval head that complements s10
+# hybrid search): exact cosine top-50 pool, then greedy Maximal
+# Marginal Relevance selection of 10 results with λ = 1/2
+# (score = rel − max-sim-to-selected, all e6-quantized integers, so
+# the argmax chain is engine-exact). The oracle replays the greedy
+# loop as a DuckDB recursive CTE carrying the selected-id list; the
+# Spark side computes pool + pairwise sims in-engine and runs the
+# (inherently sequential) selection driver-side over the
+# constant-bounded pool² integer matrix.
+# --------------------------------------------------------------------
+
+_S12_POOL = 50
+_S12_K = 10
+
+S12_ORACLE = f"""
+WITH RECURSIVE
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+                    * 1000000 + 0.5) AS BIGINT) AS rel_e6
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id
+  LIMIT {_S12_POOL}
+),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+              AS BIGINT) AS s_e6
+  FROM pool a, pool b WHERE a.vec_id <> b.vec_id
+),
+sel(step, ids, pick, score_e6) AS (
+  SELECT 1, [f.vec_id], f.vec_id, f.rel_e6
+  FROM (SELECT vec_id, rel_e6 FROM pool
+        ORDER BY rel_e6 DESC, vec_id LIMIT 1) f
+  UNION ALL
+  SELECT sel.step + 1, list_append(sel.ids, c.vec_id), c.vec_id, c.mmr
+  FROM sel, LATERAL (
+    SELECT p.vec_id, p.rel_e6 - MAX(s.s_e6) AS mmr
+    FROM pool p JOIN sims s
+      ON s.ia = p.vec_id AND list_contains(sel.ids, s.ib)
+    WHERE NOT list_contains(sel.ids, p.vec_id)
+    GROUP BY p.vec_id, p.rel_e6
+    ORDER BY mmr DESC, p.vec_id
+    LIMIT 1
+  ) c
+  WHERE sel.step < {_S12_K}
+)
+SELECT CAST(step AS BIGINT) AS rank, pick AS vec_id,
+       CAST(score_e6 AS BIGINT) AS score_e6
+FROM sel ORDER BY rank
+"""
+
+
+@query("s12_mmr_rerank", oracle=S12_ORACLE)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.mmr_topk(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        k=_S12_K,
+        pool=_S12_POOL,
+        id_col="vec_id",
+        vec_col="embedding",
+    ).orderBy("rank")

@@ -79,6 +79,7 @@ HEADLINE = [
     "s10_hybrid_rrf",
     "s11_cluster_sample",
     "t36_bpe_pairs",
+    "s12_mmr_rerank",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

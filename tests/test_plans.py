@@ -276,6 +276,7 @@ def test_no_cartesian_in_any_batch_query(spark):
         "t30_hll_shards",  # crossJoin of two 1-row sketch-estimate aggregates
         "t34_hist_quantile",  # crossJoin of the 1-row histogram total
         "s10_hybrid_rrf",  # crossJoin of the 1-row BM25 corpus stats
+        "s12_mmr_rerank",  # 50-row pool self-crossJoin for the sim matrix
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

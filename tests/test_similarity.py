@@ -247,3 +247,69 @@ def test_assign_quantized_cells_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_mmr_greedy_prefers_diversity():
+    from arc_jupyter_spark.operators.similarity import mmr_rerank_greedy
+
+    # a and b are near-duplicates with top relevance; c is less
+    # relevant but diverse — MMR must pick (a, c) not (a, b)
+    rel = {1: 900, 2: 890, 3: 500}
+    sims = {
+        1: {2: 990, 3: 10},
+        2: {1: 990, 3: 10},
+        3: {1: 10, 2: 10},
+    }
+    out = mmr_rerank_greedy(rel, sims, k=2)
+    assert [(r, i) for r, i, _ in out] == [(1, 1), (2, 3)]
+    # scores: first = rel; second = rel - max_sim_to_selected
+    assert out[0][2] == 900 and out[1][2] == 500 - 10
+
+
+def test_mmr_greedy_tie_breaks_on_smaller_id():
+    from arc_jupyter_spark.operators.similarity import mmr_rerank_greedy
+
+    rel = {7: 100, 3: 100}
+    sims = {7: {3: 0}, 3: {7: 0}}
+    out = mmr_rerank_greedy(rel, sims, k=2)
+    assert [i for _, i, _ in out] == [3, 7]
+
+
+def test_mmr_greedy_pool_smaller_than_k():
+    from arc_jupyter_spark.operators.similarity import mmr_rerank_greedy
+
+    rel = {1: 10, 2: 5}
+    sims = {1: {2: 1}, 2: {1: 1}}
+    out = mmr_rerank_greedy(rel, sims, k=10)
+    assert len(out) == 2
+
+
+def test_mmr_topk_matches_reference(spark):
+    import math
+
+    from arc_jupyter_spark.operators import similarity
+
+    vecs = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3)])
+            for i in range(1, 30)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = [1.0, 0.0, 0.0]
+    out = similarity.mmr_topk(df, q, k=5, pool=12).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in out}) == 5
+
+    # reference: replay greedy on the same quantized ints
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    pool = sorted(vecs, key=lambda t: (-cos(t[1], q), t[0]))[:12]
+    rel = {i: int(math.floor(cos(v, q) * 1e6 + 0.5)) for i, v in pool}
+    sims = {
+        i: {
+            j: int(math.floor(cos(v, w) * 1e6 + 0.5))
+            for j, w in pool if j != i
+        }
+        for i, v in pool
+    }
+    want = similarity.mmr_rerank_greedy(rel, sims, k=5)
+    assert [(r["rank"], r["vec_id"], r["score_e6"]) for r in out] == want
