@@ -662,6 +662,8 @@ def assign_quantized_cells(
     out of line, so the 4-pass quantization does not get inlined (and
     re-evaluated) once per anchor.
     """
+    if not anchors:
+        raise ValueError("assign_quantized_cells: anchors must be non-empty")
     qcol = "__aqc_q"
     with_q = df.withColumn(qcol, quantize_int8(F.col(vec_col), levels))
     entries = []

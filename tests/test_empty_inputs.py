@@ -256,3 +256,22 @@ def test_bpe_pairs_empty(empty_docs):
         .select(F.explode(text.char_pairs(F.col("w"))).alias("p"))
     )
     assert pairs.count() == 0
+
+
+def test_mmr_topk_empty_corpus(spark):
+    from arc_jupyter_spark.operators import similarity
+
+    df = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = similarity.mmr_topk(df, [1.0, 0.0], k=5, pool=10)
+    assert out.count() == 0
+    assert out.columns == ["rank", "vec_id", "score_e6"]
+
+
+def test_assign_quantized_cells_rejects_empty_anchors(spark):
+    import pytest
+
+    from arc_jupyter_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.assign_quantized_cells(df, [])
