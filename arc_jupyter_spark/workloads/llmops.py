@@ -3609,8 +3609,9 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S11_K = 8  # anchors = embeddings of vec_id 0..7 (fixed, SQL-expressible)
 _S11_DEN = 16  # per-cluster share = n_total DIV 16
 
-S11_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# the quantize → 8-anchor integer argmax chain, shared with st12's
+# streaming-assignment oracle
+S11_ASG_CTES = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 m AS (
   SELECT vec_id, v,
          GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-300) AS am
@@ -3635,7 +3636,10 @@ asg AS (
                                   ORDER BY qdot DESC, anchor_id) AS rn
         FROM scored)
   WHERE rn = 1
-),
+)"""
+
+S11_ORACLE = f"""
+WITH {S11_ASG_CTES},
 thr AS (
   SELECT cluster_id, COUNT(*) AS n_c,
          LEAST(4096, (4096 * (SUM(COUNT(*)) OVER () // {_S11_DEN}))

@@ -849,3 +849,74 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(name)
     shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------
+# st12 — streaming semantic routing: the s11 int8-quantized anchor
+# argmax applied to an embedding STREAM (the online half of
+# cluster-balanced ingestion: route each arriving vector to its
+# semantic cell, keep running per-cell stats). The assignment is a
+# stateless map, so it composes with any streaming sink/agg; here a
+# complete-mode count+id-checksum per cell over the availableNow-
+# drained fixture, which must equal the batch assignment — the oracle
+# reuses s11's quantize→argmax CTE chain verbatim.
+# --------------------------------------------------------------------
+
+def _st12_oracle() -> str:
+    from arc_jupyter_spark.workloads.llmops import S11_ASG_CTES
+
+    return f"""
+WITH {S11_ASG_CTES}
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+FROM asg GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+@query("st12_stream_cluster_assign", oracle=_st12_oracle())
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import similarity
+
+    # anchors come from the batch side (the already-ingested corpus);
+    # the stream only ever sees the folded-in integer literals
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchor_rows = batch.where(F.col("vec_id") < 8).select(
+        "vec_id", "embedding"
+    ).collect()
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchor_rows
+    )
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = similarity.assign_quantized_cells(
+        stream, anchors, vec_col="embedding"
+    )
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+    )
+    name = f"st12_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = (
+        spark.table(name)
+        .select("cluster_id", "n", "id_sum")
+        .orderBy("cluster_id")
+    )
+    # materialize before dropping the backing sink view
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)

@@ -432,3 +432,29 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert loose["10:00"] == 4, f"row wrongly dropped: {loose}"
     assert loose["11:00"] == 3
     assert n_dropped_loose == 0
+
+
+def test_st12_stream_assignment_equals_batch(spark):
+    """The streaming anchor argmax must reproduce the batch assignment
+    exactly (stateless map ⇒ micro-batching cannot change it)."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import similarity
+    from arc_jupyter_spark.workloads.base import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["cluster_id"]: (r["n"], r["id_sum"])
+           for r in QUERIES["st12_stream_cluster_assign"](spark, sf).collect()}
+    batch = spark.read.parquet(f"{sf}/embeddings.parquet")
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in batch.where(F.col("vec_id") < 8).collect()
+    )
+    want = {
+        r["cluster_id"]: (r["n"], r["id_sum"])
+        for r in similarity.assign_quantized_cells(batch, anchors)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("id_sum"))
+        .collect()
+    }
+    assert out == want
