@@ -2460,3 +2460,48 @@ ORDER BY user_id, ts
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "events")
     return spark.sql(Q79_SQL)
+
+
+# --------------------------------------------------------------------
+# q88 — UNPIVOT (wide → long reshaping, the inverse of q23's pivot):
+# melt the three integer join keys into (key_kind, key_value) rows and
+# aggregate per (returnflag, kind). ``stack`` compiles to a map-side
+# Generate exactly like explode — rows triple but nothing shuffles
+# until the 6-group partial aggregate, so the exchange carries a
+# constant-bounded row set at any corpus size. Integer keys keep every
+# SUM exact (the oracle CASTs DuckDB's HUGEINT back to BIGINT).
+# --------------------------------------------------------------------
+
+Q88_ORACLE = """
+SELECT l_returnflag, key_kind,
+       COUNT(*) AS n,
+       CAST(SUM(key_value) AS BIGINT) AS key_sum
+FROM (
+  UNPIVOT (SELECT l_returnflag,
+                  l_orderkey AS orderkey,
+                  l_partkey AS partkey,
+                  l_suppkey AS suppkey
+           FROM lineitem)
+  ON orderkey, partkey, suppkey INTO NAME key_kind VALUE key_value
+)
+GROUP BY l_returnflag, key_kind
+ORDER BY l_returnflag, key_kind
+"""
+
+
+@query("q88_unpivot", oracle=Q88_ORACLE)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    long = spark.table("lineitem").selectExpr(
+        "l_returnflag",
+        "stack(3, 'orderkey', l_orderkey, 'partkey', l_partkey, "
+        "'suppkey', l_suppkey) AS (key_kind, key_value)",
+    )
+    return (
+        long.groupBy("l_returnflag", "key_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("key_value").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("l_returnflag", "key_kind")
+    )

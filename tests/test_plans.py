@@ -623,3 +623,13 @@ def test_t36_bpe_pairs_shape(spark):
     assert "TakeOrderedAndProject" in plan
     # column pruning: only the text column is read
     assert "FileScan parquet [text#" in plan
+
+
+def test_q88_unpivot_shape(spark):
+    """stack() must be a map-side Generate with partial aggregation
+    before the exchange, and the scan pruned to the four used columns."""
+    plan = plan_of(spark, "q88_unpivot")
+    assert "Generate" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange") <= 2
+    assert "l_quantity" not in plan  # pruning: unused columns stay out
