@@ -80,6 +80,7 @@ HEADLINE = [
     "s11_cluster_sample",
     "t36_bpe_pairs",
     "s12_mmr_rerank",
+    "q88_unpivot",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison
