@@ -201,3 +201,70 @@ def triangle_count(
         [(n_nodes, n_edges, n_tri)],
         "n_nodes bigint, n_edges bigint, n_triangles bigint",
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) →
+    ``[node, label]`` after a FIXED number of rounds.
+
+    Raghavan et al.'s LPA (public), made engine-deterministic: every
+    node starts labelled with its own id; each round every node adopts
+    the label most frequent among its in-neighbours, ties broken by
+    the SMALLEST label. Synchronous fixed-round updates + a total
+    tie-break order make the result a pure function of the edge set —
+    no run-to-run or engine-to-engine drift, unlike the asynchronous
+    randomized formulation. Pass both directions of each undirected
+    edge (as g03 does) for the classic undirected behaviour.
+
+    Scale shape: per round, ONE shuffle join of the 16 B/row label
+    state onto edges (AQE broadcasts the label table only while it is
+    genuinely small), one partial-agg'd ``groupBy(node, label)``
+    count, and one per-node window argmax whose input is already
+    partitioned by ``node`` from the count's exchange — Catalyst
+    reuses that partitioning, so the window adds a sort but no extra
+    exchange. Label state is two BIGINTs per node; the corpus/payload
+    never moves. ``localCheckpoint`` truncates lineage growth across
+    rounds (use ``checkpoint`` on a real cluster).
+
+    Reference parity: no graph surface in the reference
+    (`README.md:1` positions it as notebook ETL); this extends the
+    corpus-forensics family alongside :func:`pagerank`.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for i in range(iterations):
+        counts = (
+            e.join(labels, e.src == labels.node, "inner")
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        # isolated nodes (none here: every node of an undirected edge
+        # set has an in-edge) keep their current label
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint()
+    return labels

@@ -781,3 +781,103 @@ def mmr_topk(
     return df.sparkSession.createDataFrame(
         picked, f"rank BIGINT, {id_col} BIGINT, score_e6 BIGINT"
     )
+
+
+def lloyd_step_quantized(
+    df: DataFrame,
+    anchors: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    levels: int = 127,
+) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration, integer-exact →
+    per ``(cluster_id, dim)`` row: ``[cluster_id, dim, sum_q, n_c,
+    inertia_q]``.
+
+    The two halves of the classic k-means step, both engine-exact:
+
+    * **Assign** — :func:`assign_quantized_cells`'s int8 argmax over
+      the broadcast anchor literals (map-only, no IEEE ordering
+      hazard).
+    * **Update + inertia** — raw components are fixed-point quantized
+      (``FLOOR(x * scale + 0.5)`` — exact IEEE ops, the repo-standard
+      e6 recipe), then one explode to ``(cluster_id, dim)`` granularity
+      aggregates the per-dimension component sums (``sum_q``; the new
+      centroid is ``sum_q / n_c`` downstream) and the squared
+      quantized distance to the OWN anchor, rolled up to the
+      per-cluster ``inertia_q`` (e12 units) that a driver loop would
+      watch for convergence.
+
+    Scale shape: the corpus is scanned ONCE — assignment and
+    quantization are map-side; the explode fans each row into ``dim``
+    tiny integer rows that the hash aggregate's map-side partial
+    combine collapses to at most ``k * dim`` rows per task before the
+    only shuffle. The per-cluster inertia rollup runs on the k*dim-row
+    aggregate (broadcast-joined back). Overflow headroom: each squared
+    term is <= (2*scale)^2, so with e6 quantization a single cluster
+    can absorb ~2M unit-norm vectors per dimension before the BIGINT
+    bound — drop ``scale`` to 1e3 (and re-derive the oracle) past
+    that, or shard clusters.
+
+    Iterating this step k times IS distributed k-means
+    (:func:`kmeans_centroids` is the float/driver-loop variant; this
+    one is oracle-checkable bit-for-bit).
+    """
+    import math
+
+    if not anchors:
+        raise ValueError("lloyd_step_quantized: anchors must be non-empty")
+    asg = assign_quantized_cells(df, anchors, vec_col=vec_col, levels=levels)
+    q6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
+    # anchors as a literal array-of-arrays indexed by cluster_id —
+    # quantized driver-side with the identical FLOOR formula, so the
+    # in-plan literals match what the engine would compute
+    ordered = sorted((int(aid), avec) for aid, avec in anchors)
+    a6 = F.array(*[
+        F.array(*[
+            F.lit(int(math.floor(float(x) * scale + 0.5))) for x in avec
+        ])
+        for _aid, avec in ordered
+    ])
+    id_to_pos = {aid: i for i, (aid, _v) in enumerate(ordered)}
+    pos = F.col("cluster_id").cast("int") if list(id_to_pos) == list(range(len(ordered))) else (
+        F.element_at(
+            F.create_map(*[
+                x for aid, i in id_to_pos.items() for x in (F.lit(aid), F.lit(i))
+            ]),
+            F.col("cluster_id"),
+        )
+    )
+    arow = F.element_at(a6, pos + F.lit(1))
+    d2 = F.zip_with(q6, arow, lambda x, y: (x - y) * (x - y))
+    ex = asg.select(
+        "cluster_id",
+        F.posexplode(F.arrays_zip(q6.alias("q"), d2.alias("d2"))),
+    ).select(
+        "cluster_id",
+        F.col("pos").cast("bigint").alias("dim"),
+        F.col("col.q").alias("q"),
+        F.col("col.d2").alias("d2"),
+    )
+    per_dim = ex.groupBy("cluster_id", "dim").agg(
+        F.sum("q").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum("d2").alias("sum_d2"),
+    )
+    # per_dim has TWO consumers (the output join and the inertia
+    # rollup); without materialization Spark re-evaluates the whole
+    # quantize+argmax+explode subtree per consumer AND the join's
+    # pushed-down isnotnull(cluster_id) inlines the argmax into the
+    # scan filter (the measured s11 hazard). localCheckpoint'ing the
+    # <= k*dim-row aggregate keeps the corpus scan single-pass.
+    per_dim = per_dim.localCheckpoint()
+    inert = per_dim.groupBy("cluster_id").agg(
+        F.sum("sum_d2").alias("inertia_q")
+    )
+    return (
+        per_dim.join(F.broadcast(inert), "cluster_id")
+        .select("cluster_id", "dim", "sum_q", "n_c", "inertia_q")
+    )

@@ -3820,3 +3820,144 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------
+# g03 — label-propagation community detection over the same
+# customer↔supplier trade graph as g01 (operators/graph.py): 2
+# synchronous rounds, most-frequent-neighbour label, ties to the
+# smallest label — a pure integer function of the edge set, so the
+# oracle unrolls the identical rounds as CTEs and matches bit-exactly.
+# The crawl-curation use: community = content farm / mirror network;
+# cap or downweight by community before text gates run.
+# --------------------------------------------------------------------
+
+_G03_GRAPH_CTES = """pairs AS (
+  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+
+
+def _g03_round(i: int) -> str:
+    """One unrolled LPA round: neighbour-label counts → windowed
+    argmax (count DESC, label ASC) → coalesce for isolated nodes."""
+    return f"""c{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS n
+  FROM e JOIN l{i - 1} l ON e.src = l.node GROUP BY e.dst, l.label
+),
+l{i} AS (
+  SELECT n0.node, COALESCE(b.label, n0.node) AS label
+  FROM nodes n0 LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY n DESC, label) AS rn
+      FROM c{i}) WHERE rn = 1) b USING (node)
+)"""
+
+
+_G03_ITER = 2
+
+G03_ORACLE = f"""
+WITH {_G03_GRAPH_CTES},
+{",".join(_g03_round(i) for i in range(1, _G03_ITER + 1))}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM l{_G03_ITER} GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
+@query("g03_label_propagation", oracle=G03_ORACLE)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    labels = graph.label_propagation(edges, iterations=_G03_ITER)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# s13 — one distributed Lloyd (k-means) iteration over the corpus
+# embeddings (operators/similarity.py): int8-argmax assignment to the
+# same 8 anchors s11/st12 use, then the per-(cluster, dim) component
+# sums that define the NEW centroids plus the per-cluster quantized
+# inertia a convergence loop would watch. The corpus is scanned once;
+# the only shuffle carries <= k*dim integer rows per task (map-side
+# partial combine over the bounded explode). Iterate this step and
+# you have oracle-checkable distributed k-means (kmeans_centroids is
+# the float/driver-loop variant used by IVF).
+# --------------------------------------------------------------------
+
+_S13_SCALE = 1_000_000
+
+S13_ORACLE = f"""
+WITH {{asg}},
+q6 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * {_S13_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM e
+),
+aq AS (SELECT vec_id AS cluster_id, q AS a FROM q6 WHERE vec_id < {_S11_K}),
+ex0 AS (
+  SELECT s.cluster_id, c.q, z.a,
+         unnest(generate_series(1, len(c.q))) AS i
+  FROM asg s JOIN q6 c USING (vec_id)
+  JOIN aq z ON z.cluster_id = s.cluster_id
+),
+ex AS (
+  SELECT cluster_id, i - 1 AS dim, q[i] AS qv,
+         (q[i] - a[i]) * (q[i] - a[i]) AS d2
+  FROM ex0
+),
+pd AS (
+  SELECT cluster_id, dim,
+         CAST(SUM(qv) AS BIGINT) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(d2) AS BIGINT) AS sum_d2
+  FROM ex GROUP BY cluster_id, dim
+)
+SELECT cluster_id, CAST(dim AS BIGINT) AS dim, sum_q, n_c,
+       CAST(SUM(sum_d2) OVER (PARTITION BY cluster_id) AS BIGINT) AS inertia_q
+FROM pd ORDER BY cluster_id, dim
+""".format(asg=S11_ASG_CTES)
+
+
+@query("s13_kmeans_step", oracle=S13_ORACLE)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    anchor_rows = emb.where(F.col("vec_id") < _S11_K).select(
+        "vec_id", "embedding"
+    ).collect()  # 8 rows — anchor literals, the allowed k-row read
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchor_rows
+    )
+    step = similarity.lloyd_step_quantized(
+        dedup._parallelize(emb), anchors, vec_col="embedding",
+        scale=_S13_SCALE,
+    )
+    return step.orderBy("cluster_id", "dim")

@@ -81,6 +81,8 @@ HEADLINE = [
     "t36_bpe_pairs",
     "s12_mmr_rerank",
     "q88_unpivot",
+    "g03_label_propagation",
+    "s13_kmeans_step",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -275,3 +275,30 @@ def test_assign_quantized_cells_rejects_empty_anchors(spark):
     df = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         similarity.assign_quantized_cells(df, [])
+
+
+def test_label_propagation_empty_edges(spark):
+    from arc_jupyter_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = label_propagation(empty, iterations=2)
+    assert out.columns == ["node", "label"]
+    assert out.count() == 0
+
+
+def test_lloyd_step_quantized_rejects_empty_anchors(spark):
+    import pytest
+    from arc_jupyter_spark.operators import similarity
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        similarity.lloyd_step_quantized(df, [])
+
+
+def test_lloyd_step_quantized_empty_corpus(spark):
+    from arc_jupyter_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = similarity.lloyd_step_quantized(empty, [(0, [1.0, 0.0])])
+    assert out.columns == ["cluster_id", "dim", "sum_q", "n_c", "inertia_q"]
+    assert out.count() == 0

@@ -123,3 +123,99 @@ def test_p05_split_covers_all_docs_and_no_leakage(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert total == docs
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_label_propagation_two_cliques(spark):
+    from arc_jupyter_spark.operators.graph import label_propagation
+
+    # two disjoint triangles; synchronous LPA with min-label tie-break
+    # converges each to its minimum node id within 2 rounds
+    tri = lambda base: [
+        (base + a, base + b)
+        for a in range(3)
+        for b in range(3)
+        if a != b
+    ]
+    edges = spark.createDataFrame(tri(0) + tri(10), ["src", "dst"])
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_mode_beats_min(spark):
+    from arc_jupyter_spark.operators.graph import label_propagation
+
+    # node 9's neighbours after round 1 carry labels {5: x2, 0: x1} —
+    # the MOST FREQUENT label must win even though 0 < 5
+    # star around 9: leaves 5,6 form a clique with 5 (so 5,6 keep low
+    # label 5), leaf 0 is isolated-ish
+    edges_u = [(5, 6), (9, 5), (9, 6), (9, 0)]
+    edges = spark.createDataFrame(
+        edges_u + [(b, a) for a, b in edges_u], ["src", "dst"]
+    )
+    one = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=1).collect()}
+    # round 1: 9 sees labels {5, 6, 0} all once -> tie -> min 0;
+    # 5 sees {6, 9} -> 6; 6 sees {5, 9} -> 5; 0 sees {9} -> 9
+    assert one[9] == 0 and one[5] == 6 and one[6] == 5 and one[0] == 9
+    two = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=2).collect()}
+    # round 2: 9 sees labels of 5,6,0 = {6, 5, 9} -> tie -> 5
+    assert two[9] == 5
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from arc_jupyter_spark.operators.graph import label_propagation
+
+    rows = [(i, (i * 7) % 23) for i in range(100)]
+    rows = rows + [(b, a) for a, b in rows]
+    e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+    e2 = spark.createDataFrame(rows, ["src", "dst"]).repartition(13)
+    r1 = sorted((r["node"], r["label"])
+                for r in label_propagation(e1, iterations=2).collect())
+    r2 = sorted((r["node"], r["label"])
+                for r in label_propagation(e2, iterations=2).collect())
+    assert r1 == r2
+
+
+def test_lloyd_step_quantized_hand_values(spark):
+    from arc_jupyter_spark.operators.similarity import lloyd_step_quantized
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {
+        (r["cluster_id"], r["dim"]): (r["sum_q"], r["n_c"], r["inertia_q"])
+        for r in lloyd_step_quantized(df, anchors).collect()
+    }
+    # e6 quantization: [0.9, 0.1] -> [900000, 100000]; squared distance
+    # to anchor0 [1000000, 0] = 1e10 + 1e10 = 2e10 (same for cluster 1)
+    assert out == {
+        (0, 0): (1_900_000, 2, 20_000_000_000),
+        (0, 1): (100_000, 2, 20_000_000_000),
+        (1, 0): (100_000, 2, 20_000_000_000),
+        (1, 1): (1_900_000, 2, 20_000_000_000),
+    }
+
+
+def test_lloyd_step_quantized_noncontiguous_anchor_ids(spark):
+    from arc_jupyter_spark.operators.similarity import lloyd_step_quantized
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    # anchor ids 7 and 42 exercise the id->position map path
+    out = {
+        (r["cluster_id"], r["dim"]): r["sum_q"]
+        for r in lloyd_step_quantized(
+            df, [(7, [1.0, 0.0]), (42, [0.0, 1.0])]
+        ).collect()
+    }
+    assert out == {
+        (7, 0): 1_000_000, (7, 1): 0, (42, 0): 0, (42, 1): 1_000_000,
+    }

@@ -633,3 +633,34 @@ def test_q88_unpivot_shape(spark):
     assert "partial_count" in plan
     assert plan.count("Exchange") <= 2
     assert "l_quantity" not in plan  # pruning: unused columns stay out
+
+
+def test_s13_kmeans_step_shape(spark):
+    """One Lloyd iteration must scan the corpus exactly ONCE: the
+    k*dim-row per-dimension aggregate is materialized before its two
+    consumers (output join + inertia rollup), so neither the parquet
+    scan nor the quantize+argmax map appears in the final plan (the
+    measured s11 re-evaluation hazard), the inertia join is broadcast,
+    and the explode's integer rows partial-aggregate map-side."""
+    plan = plan_of(spark, "s13_kmeans_step")
+    assert "FileScan" not in plan
+    assert "array_max" not in plan  # the argmax ran inside the checkpoint
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_g03_label_propagation_shape(spark):
+    """LPA rounds: equi-joins only (no cartesian / nested-loop), the
+    neighbour-label counts partial-aggregate before their exchange,
+    the per-node argmax uses the rank-limit pushdown
+    (WindowGroupLimit partial+final — per-task top-1, not a full
+    window buffer), and the community report is TakeOrdered."""
+    plan = plan_of(spark, "g03_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "TakeOrderedAndProject" in plan
