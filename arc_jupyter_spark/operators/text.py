@@ -444,6 +444,79 @@ def bigram_surprisal(
     )
 
 
+
+def smoothed_bigram_score(
+    train_df,
+    score_df,
+    id_col: str,
+    text_col: str,
+    broadcast_model: bool = True,
+):
+    """Held-out bigram-LM scoring with add-V smoothing — the
+    perplexity-filter shape CCNet/Gopher-style curation actually runs
+    (train the LM on a reference slice, score candidate documents,
+    drop the tail), where :func:`bigram_surprisal` scores in-corpus
+    only and silently SKIPS transitions it has never seen.
+
+    Integer-exact smoothing: each scored bigram occurrence is charged
+    ``(count_train(w1) + V) div (count_train(w1, w2) + 1)`` — the
+    integer inverse of the add-one-smoothed conditional
+    ``(nab + 1) / (na + V)``, finite for out-of-vocabulary words and
+    unseen transitions alike (an OOV ``w1`` charges exactly ``V``).
+    Returns ``(id, sum_chg, n_bigrams, n_oov)``; callers rank on the
+    mean charge and can gate on the OOV rate separately.
+
+    Scale shape: the two LM tables are partial-aggregated counts
+    (vocab- and bigram-vocab-sized) broadcast into the scored bigram
+    stream (LEFT joins — unseen transitions must survive, not drop);
+    the vocabulary size folds in as a literal, so the corpus shuffles
+    once, for the per-document sum. All BIGINTs — engine- and
+    partition-exact.
+    """
+    def _occ(df):
+        toks = tokens(F.col(text_col))
+        grams = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return (
+            df.where(F.size(toks) >= 2)
+            .select(F.col(id_col), F.explode(grams).alias("g"))
+            .select(id_col, "g.w1", "g.w2")
+        )
+
+    toks = tokens(F.col(text_col))
+    big_model = (
+        _occ(train_df).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nab"))
+    )
+    uni_model = (
+        train_df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    vocab_size = uni_model.count()  # one scalar, the pagerank-n pattern
+    if broadcast_model:
+        big_model = F.broadcast(big_model)
+        uni_model = F.broadcast(uni_model)
+    charge = F.expr(
+        f"(COALESCE(_na, 0) + {vocab_size}) DIV (COALESCE(_nab, 0) + 1)"
+    )
+    return (
+        _occ(score_df)
+        .join(big_model, ["w1", "w2"], "left")
+        .join(uni_model, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(charge).alias("sum_chg"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_nab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+
+
 # PII shapes that behave identically in Java regex (Spark) and RE2
 # (DuckDB) — ASCII classes only, no backreferences or lookarounds.
 PII_PATTERNS: dict[str, str] = {

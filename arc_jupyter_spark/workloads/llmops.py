@@ -3832,10 +3832,12 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cap or downweight by community before text gates run.
 # --------------------------------------------------------------------
 
-_G03_GRAPH_CTES = """pairs AS (
+_TRADE_PAIRS_CTE = """pairs AS (
   SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-),
+)"""
+
+_G03_GRAPH_CTES = _TRADE_PAIRS_CTE + """,
 e AS (
   SELECT c AS src, s AS dst FROM pairs
   UNION
@@ -3961,3 +3963,132 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_S13_SCALE,
     )
     return step.orderBy("cluster_id", "dim")
+
+
+# --------------------------------------------------------------------
+# g04 — frontier BFS hop distances from the lowest customer node over
+# the g01/g03 trade graph (operators/graph.py bfs_levels): per round
+# one edge join + distinct + LEFT ANTI against the visited set (min-
+# distance semantics), capped at 3 hops. Oracle unrolls the identical
+# rounds; every value is an integer so parity is by construction.
+# Distinct from q70's relational chain-follow: the visited-set
+# subtraction is linear in reachable EDGES, not path count.
+# --------------------------------------------------------------------
+
+_G04_DEPTH = 3
+
+
+def _g04_round(i: int) -> str:
+    return f"""n{i} AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN f{i - 1} ON e.src = f{i - 1}.node
+),
+f{i} AS (SELECT node FROM n{i} WHERE node NOT IN (SELECT node FROM v{i - 1})),
+v{i} AS (SELECT * FROM v{i - 1} UNION ALL SELECT node, {i} AS dist FROM f{i})"""
+
+
+G04_ORACLE = f"""
+WITH {_TRADE_PAIRS_CTE},
+e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION
+  SELECT s AS src, c AS dst FROM pairs
+),
+f0 AS (SELECT MIN(c) AS node FROM pairs),
+v0 AS (SELECT node, 0 AS dist FROM f0),
+{",".join(_g04_round(i) for i in range(1, _G04_DEPTH + 1))}
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS id_sum
+FROM v{_G04_DEPTH} GROUP BY dist ORDER BY dist
+"""
+
+
+@query("g04_bfs_frontier", oracle=G04_ORACLE)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    sources = pairs.agg(F.min("c").alias("node"))
+    dists = graph.bfs_levels(edges, sources, max_depth=_G04_DEPTH)
+    return (
+        dists.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("id_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+# --------------------------------------------------------------------
+# t37 — held-out perplexity filter (operators/text.py
+# smoothed_bigram_score): train an add-V-smoothed bigram LM on the
+# even-doc_id half of the corpus, score the odd half — unseen
+# transitions and OOV words get finite integer charges instead of
+# being dropped (t26 scores in-corpus with an inner join). The
+# CCNet/Gopher curation shape: rank scored docs by mean charge, read
+# the OOV rate alongside.
+# --------------------------------------------------------------------
+
+T37_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+trex AS (
+  SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i
+  FROM tr WHERE len(toks) >= 2
+),
+bm AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS nab
+  FROM trex GROUP BY 1, 2
+),
+um AS (
+  SELECT w1, COUNT(*) AS na
+  FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1
+),
+vv AS (SELECT COUNT(*) AS v FROM um),
+scex AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+  FROM toks WHERE doc_id % 2 = 1 AND len(toks) >= 2
+),
+socc AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM scex),
+scored AS (
+  SELECT s.doc_id,
+         SUM((COALESCE(u.na, 0) + vv.v) // (COALESCE(b.nab, 0) + 1)) AS sum_chg,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN b.nab IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM socc s
+  LEFT JOIN bm b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN um u ON s.w1 = u.w1
+  CROSS JOIN vv
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(sum_chg AS BIGINT) AS sum_chg,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_oov AS BIGINT) AS n_oov
+FROM scored
+ORDER BY CAST(sum_chg AS DOUBLE) / n_bigrams DESC, doc_id LIMIT 20
+"""
+
+
+@query("t37_perplexity_filter", oracle=T37_ORACLE)
+def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    scored = text.smoothed_bigram_score(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+    return scored.orderBy(
+        (F.col("sum_chg").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    ).limit(20)

@@ -83,6 +83,8 @@ HEADLINE = [
     "q88_unpivot",
     "g03_label_propagation",
     "s13_kmeans_step",
+    "g04_bfs_frontier",
+    "t37_perplexity_filter",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -302,3 +302,22 @@ def test_lloyd_step_quantized_empty_corpus(spark):
     out = similarity.lloyd_step_quantized(empty, [(0, [1.0, 0.0])])
     assert out.columns == ["cluster_id", "dim", "sum_q", "n_c", "inertia_q"]
     assert out.count() == 0
+
+
+def test_bfs_levels_empty_edges(spark):
+    from arc_jupyter_spark.operators.graph import bfs_levels
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    src = spark.createDataFrame([(7,)], ["node"])
+    out = bfs_levels(empty, src, max_depth=3).collect()
+    assert [(r["node"], r["dist"]) for r in out] == [(7, 0)]
+
+
+def test_smoothed_bigram_score_empty_train(spark):
+    from arc_jupyter_spark.operators.text import smoothed_bigram_score
+
+    train = spark.createDataFrame([], "doc_id bigint, text string")
+    score = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    out = smoothed_bigram_score(train, score, "doc_id", "text").collect()
+    # V=0, everything unseen: charge (0+0) div (0+1) = 0 per bigram
+    assert [(r["doc_id"], r["sum_chg"], r["n_oov"]) for r in out] == [(1, 0, 1)]

@@ -219,3 +219,45 @@ def test_lloyd_step_quantized_noncontiguous_anchor_ids(spark):
     assert out == {
         (7, 0): 1_000_000, (7, 1): 0, (42, 0): 0, (42, 1): 1_000_000,
     }
+
+
+def test_bfs_levels_path_graph(spark):
+    from arc_jupyter_spark.operators.graph import bfs_levels
+
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(0,)], ["node"])
+    out = {r["node"]: r["dist"]
+           for r in bfs_levels(edges, src, max_depth=3).collect()}
+    # nodes 4 and 5 are beyond the 3-hop cap
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_levels_min_distance_on_diamond(spark):
+    from arc_jupyter_spark.operators.graph import bfs_levels
+
+    und = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(0,)], ["node"])
+    rows = bfs_levels(edges, src, max_depth=3).collect()
+    out = {r["node"]: r["dist"] for r in rows}
+    assert len(rows) == 4  # node 3 labelled exactly once, via two parents
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_levels_early_stop(spark):
+    from arc_jupyter_spark.operators.graph import bfs_levels
+
+    und = [(0, 1), (0, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(0,)], ["node"])
+    # graph exhausts at depth 1; depth-50 request must not loop 50x
+    out = {r["node"]: r["dist"]
+           for r in bfs_levels(edges, src, max_depth=50).collect()}
+    assert out == {0: 0, 1: 1, 2: 1}

@@ -664,3 +664,29 @@ def test_g03_label_propagation_shape(spark):
     assert "partial_count" in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_g04_bfs_frontier_shape(spark):
+    """BFS rounds run inside per-round checkpoints; the final plan
+    must only union the materialized frontier levels (no FileScan, no
+    join re-running earlier rounds) and partial-aggregate the level
+    stats before the one hash exchange."""
+    plan = plan_of(spark, "g04_bfs_frontier")
+    assert "FileScan" not in plan
+    assert "Join" not in plan  # all expansion happened in the checkpoints
+    assert "Union" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_t37_perplexity_filter_shape(spark):
+    """Held-out LM scoring: both LM tables broadcast as LEFT outer
+    joins (unseen transitions must survive), the smoothed charge
+    partial-aggregates map-side, the ranking is TakeOrdered, and the
+    held-out split predicate reaches the parquet scan."""
+    plan = plan_of(spark, "t37_perplexity_filter")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("LeftOuter") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan

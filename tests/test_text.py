@@ -286,3 +286,28 @@ def test_bpe_pair_counts_sum_invariant(spark):
     # 'el' and 'he' both appear 3x (hello, help, hell); the pair-asc
     # tiebreak picks 'el'
     assert top["p"] == "el" and top["count"] == 3
+
+
+def test_smoothed_bigram_score_hand_values(spark):
+    from arc_jupyter_spark.operators.text import smoothed_bigram_score
+
+    train = spark.createDataFrame([(0, "a b a b")], ["doc_id", "text"])
+    score = spark.createDataFrame(
+        [(1, "a b c"), (3, "c c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["sum_chg"], r["n_bigrams"], r["n_oov"])
+        for r in smoothed_bigram_score(train, score, "doc_id", "text").collect()
+    }
+    # training counts: nab(a,b)=2, nab(b,a)=1; na(a)=na(b)=2; V=2
+    # doc 1: (a,b) -> (2+2) div (2+1) = 1; (b,c) unseen -> (2+2) div 1 = 4
+    # doc 3: (c,c) unseen, OOV w1 -> (0+2) div 1 = 2
+    assert out == {1: (5, 2, 1), 3: (2, 1, 1)}
+
+
+def test_smoothed_bigram_score_short_docs_excluded(spark):
+    from arc_jupyter_spark.operators.text import smoothed_bigram_score
+
+    train = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    score = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert smoothed_bigram_score(train, score, "doc_id", "text").count() == 0
