@@ -881,3 +881,125 @@ def lloyd_step_quantized(
         per_dim.join(F.broadcast(inert), "cluster_id")
         .select("cluster_id", "dim", "sum_q", "n_c", "inertia_q")
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH
+    Spark SQL's ``DIV`` (Java) and DuckDB's ``//`` implement, unlike
+    Python's floor-division ``//`` which rounds toward -inf for
+    negative numerators."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def lloyd_train_quantized(
+    df: DataFrame,
+    anchors: Sequence[tuple[int, Sequence[float]]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Full distributed k-means TRAINING loop (Lloyd to ``iters``
+    assignment rounds), integer-exact end to end → the final
+    per-dimension centroid table ``[cluster_id, dim, c_e6, n_c]``.
+
+    :func:`lloyd_step_quantized` is ONE iteration; this is the loop a
+    training job actually runs. Everything stays in e6 fixed point so
+    the whole trajectory — not just one step — is engine-reproducible:
+
+    * **Assign** (each round): map-only argmax of the exact BIGINT dot
+      between the e6-quantized row and the e6 centroid *literals*
+      folded into the plan (ties → smallest cluster id). No IEEE
+      ordering hazard, no join, no shuffle for the corpus.
+    * **Update** (rounds 1..iters-1): one ``(cluster_id, dim)``
+      integer aggregate (map-side partial combine collapses each task
+      to ≤ k*dim rows before the only exchange), collected driver-side
+      (k*dim rows — the g01/s13 k-row read pattern) and refreshed as
+      ``c = sum_q DIV n_c`` with truncation toward zero
+      (:func:`_trunc_div`) so an SQL oracle's ``//`` replays it
+      bit-for-bit. Empty clusters keep their previous centroid (the
+      standard Lloyd convention).
+    * **Final round**: the same aggregate is RETURNED as a lazy plan
+      with the division done in-engine (``sum_q DIV n_c``), so the
+      result is distributed, plan-gateable, and never materialized on
+      the driver.
+
+    Scale shape: the corpus is scanned once per round (``iters`` scans
+    total — persist the quantized projection at real scale); per-round
+    driver traffic is k*dim longs. Overflow headroom: per-cluster
+    ``sum_q`` is bounded by ``n_c * max|x| * scale`` — with unit-ish
+    embeddings and e6 scale, ~1.5e12 rows per cluster before the
+    BIGINT bound; shard clusters or drop ``scale`` past that.
+    """
+    import math
+
+    if not anchors:
+        raise ValueError("lloyd_train_quantized: anchors must be non-empty")
+    if iters < 1:
+        raise ValueError("lloyd_train_quantized: iters must be >= 1")
+    ordered = sorted((int(aid), avec) for aid, avec in anchors)
+    # e6-quantize the seed anchors driver-side with the exact engine
+    # formula (FLOOR(x*scale + 0.5) on IEEE doubles)
+    cents: dict[int, list[int]] = {
+        aid: [int(math.floor(float(x) * scale + 0.5)) for x in avec]
+        for aid, avec in ordered
+    }
+    q6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
+    qcol = "__ltq_q"
+    with_q = df.withColumn(qcol, q6)  # quantize ONCE (CollapseProject
+    # keeps the multi-referenced transform out of the anchor folds —
+    # the measured s11 inlining hazard)
+
+    def _assigned() -> DataFrame:
+        entries = []
+        for aid in sorted(cents):
+            clit = F.array(*[F.lit(int(v)) for v in cents[aid]])
+            entries.append(
+                F.struct(
+                    int_dot(F.col(qcol), clit).alias("sim"),
+                    F.lit(-aid).cast("long").alias("neg_id"),
+                )
+            )
+        best = F.array_max(F.array(*entries))
+        return with_q.withColumn(
+            "cluster_id", (-best["neg_id"]).cast("long")
+        )
+
+    def _per_dim(asg: DataFrame) -> DataFrame:
+        return (
+            asg.select("cluster_id", F.posexplode(F.col(qcol)))
+            .select(
+                "cluster_id",
+                F.col("pos").cast("bigint").alias("dim"),
+                F.col("col").alias("qv"),
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n_c"))
+        )
+
+    for _round in range(iters - 1):
+        rows = _per_dim(_assigned()).collect()  # k*dim longs, the
+        # per-iteration model read every Lloyd trainer does
+        by_cd = {
+            (int(r["cluster_id"]), int(r["dim"])): (
+                int(r["sum_q"]), int(r["n_c"])
+            )
+            for r in rows
+        }
+        cents = {
+            aid: (
+                [_trunc_div(*by_cd[(aid, d)]) for d in range(len(vec))]
+                if (aid, 0) in by_cd
+                else list(vec)  # empty cluster keeps its centroid
+            )
+            for aid, vec in cents.items()
+        }
+    return (
+        _per_dim(_assigned())
+        .withColumn("c_e6", F.expr("sum_q DIV n_c"))
+        .select("cluster_id", "dim", "c_e6", "n_c")
+        .orderBy("cluster_id", "dim")
+    )

@@ -4092,3 +4092,95 @@ def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_chg").cast("double") / F.col("n_bigrams")).desc(),
         "doc_id",
     ).limit(20)
+
+
+# --------------------------------------------------------------------
+# s14 — full k-means TRAINING loop (operators/similarity.py
+# lloyd_train_quantized): 3 Lloyd rounds in e6 fixed point, seeded on
+# the first 8 embeddings. Each round is a map-only integer-dot argmax
+# assignment (centroid literals in-plan, ties -> smallest cluster)
+# plus one (cluster, dim) integer aggregate; intermediate centroids
+# refresh driver-side as sum DIV count (truncation toward zero — the
+# semantics Spark's DIV and DuckDB's // share), the FINAL round's
+# centroid division happens in-engine so the result stays
+# distributed. Oracle unrolls the identical three rounds; every value
+# is constructed in integers, so the whole trajectory — not just one
+# step (s13) — is bit-reproducible.
+# --------------------------------------------------------------------
+
+_S14_ITERS = 3
+_S14_SCALE = 1_000_000
+
+
+def _s14_round(i: int, final: bool = False) -> str:
+    score = f"""d{i} AS (
+  SELECT x.vec_id, a.cluster_id, SUM(x.qv * a.c) AS dot
+  FROM qx x JOIN c{i - 1} a ON x.dim = a.dim
+  GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cluster_id) AS rn
+        FROM d{i})
+  WHERE rn = 1
+)"""
+    if final:
+        return score
+    return score + f""",
+u{i} AS (
+  SELECT s.cluster_id, x.dim, SUM(x.qv) AS sq, COUNT(*) AS n
+  FROM a{i} s JOIN qx x USING (vec_id) GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT p.cluster_id, p.dim, COALESCE(u.sq // u.n, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN u{i} u
+    ON u.cluster_id = p.cluster_id AND u.dim = p.dim
+)"""
+
+
+# c{i}'s carry-forward joins from c{i-1} (not c0): an empty cluster
+# must keep its PREVIOUS round's centroid, mirroring the Spark loop.
+S14_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q6 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(FLOOR(x * {_S14_SCALE}.0 + 0.5) AS BIGINT)) AS q
+  FROM e
+),
+qx AS (
+  SELECT vec_id, i - 1 AS dim, q[i] AS qv
+  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q6)
+),
+c0 AS (
+  SELECT vec_id AS cluster_id, i - 1 AS dim, q[i] AS c
+  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i
+        FROM q6 WHERE vec_id < {_S11_K})
+),
+{",".join(_s14_round(i) for i in range(1, _S14_ITERS))},
+{_s14_round(_S14_ITERS, final=True)}
+SELECT s.cluster_id, CAST(x.dim AS BIGINT) AS dim,
+       CAST(SUM(x.qv) // COUNT(*) AS BIGINT) AS c_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_c
+FROM a{_S14_ITERS} s JOIN qx x USING (vec_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("s14_kmeans_train", oracle=S14_ORACLE)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = dedup._parallelize(spark.table("embeddings"))
+    anchor_rows = (
+        spark.table("embeddings")
+        .where(F.col("vec_id") < _S11_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # 8 seed rows — the allowed k-row model read
+    return similarity.lloyd_train_quantized(
+        emb,
+        [(int(r["vec_id"]), list(r["embedding"])) for r in anchor_rows],
+        iters=_S14_ITERS,
+        scale=_S14_SCALE,
+    )

@@ -85,6 +85,7 @@ HEADLINE = [
     "s13_kmeans_step",
     "g04_bfs_frontier",
     "t37_perplexity_filter",
+    "s14_kmeans_train",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

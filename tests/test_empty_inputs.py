@@ -321,3 +321,12 @@ def test_smoothed_bigram_score_empty_train(spark):
     out = smoothed_bigram_score(train, score, "doc_id", "text").collect()
     # V=0, everything unseen: charge (0+0) div (0+1) = 0 per bigram
     assert [(r["doc_id"], r["sum_chg"], r["n_oov"]) for r in out] == [(1, 0, 1)]
+
+
+def test_lloyd_train_empty_corpus(spark):
+    from arc_jupyter_spark.operators.similarity import lloyd_train_quantized
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = lloyd_train_quantized(empty, [(0, [1.0, 0.0])], iters=2)
+    assert out.columns == ["cluster_id", "dim", "c_e6", "n_c"]
+    assert out.count() == 0

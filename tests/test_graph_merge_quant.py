@@ -261,3 +261,53 @@ def test_bfs_levels_early_stop(spark):
     out = {r["node"]: r["dist"]
            for r in bfs_levels(edges, src, max_depth=50).collect()}
     assert out == {0: 0, 1: 1, 2: 1}
+
+
+def test_lloyd_train_hand_trajectory(spark):
+    from arc_jupyter_spark.operators.similarity import lloyd_train_quantized
+
+    # 1-D corpus, scale=10 so q values are exact tenths. Seeds at 0.0
+    # and 1.0; points cluster around them.
+    rows = [(i, [v]) for i, v in enumerate([0.0, 1.0, 0.1, 0.2, 0.9, 0.8])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    anchors = [(0, [0.0]), (1, [1.0])]
+    out = {
+        (r["cluster_id"], r["dim"]): (r["c_e6"], r["n_c"])
+        for r in lloyd_train_quantized(df, anchors, iters=2, scale=10).collect()
+    }
+    # q = [0, 10, 1, 2, 9, 8]. Round 1 vs c0=[0],[10]: dot with 0 is 0
+    # for every row, dot with 10 is 10*q — argmax picks cluster 1 when
+    # q > 0 (dot > 0), ties (q=0) -> smallest id 0. So cluster 0 = {0},
+    # cluster 1 = {1,2,3,4,5}: c1 = [0] and [(10+1+2+9+8) DIV 5 = 6].
+    # Round 2 vs [0],[6]: q=0 ties -> 0; q>0 -> 6q > 0 -> cluster 1.
+    # Same split: c_e6 0 -> 0 (n=1), 1 -> 6 (n=5).
+    assert out == {(0, 0): (0, 1), (1, 0): (6, 5)}
+
+
+def test_lloyd_train_empty_cluster_carries_centroid(spark):
+    from arc_jupyter_spark.operators.similarity import lloyd_train_quantized
+
+    # Both points have positive q; anchor 7 at -1.0 never wins, so its
+    # cluster is empty every round — the loop must not KeyError and the
+    # final output simply has no rows for it.
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [0.5])], ["vec_id", "embedding"]
+    )
+    anchors = [(3, [1.0]), (7, [-1.0])]
+    out = {
+        r["cluster_id"]: (r["c_e6"], r["n_c"])
+        for r in lloyd_train_quantized(df, anchors, iters=3, scale=10).collect()
+    }
+    # q = [10, 5]; both pick anchor 3 every round; centroid (10+5) DIV 2 = 7
+    assert out == {3: (7, 2)}
+
+
+def test_trunc_div_matches_spark_div(spark):
+    from arc_jupyter_spark.operators.similarity import _trunc_div
+
+    cases = [(-7, 2), (7, 2), (-9, 4), (9, 4), (-8, 2), (0, 3)]
+    got = spark.createDataFrame(cases, ["a", "b"]).selectExpr(
+        "a", "b", "a DIV b AS d"
+    ).collect()
+    for r in got:
+        assert _trunc_div(r["a"], r["b"]) == r["d"], (r["a"], r["b"])

@@ -690,3 +690,15 @@ def test_t37_perplexity_filter_shape(spark):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_s14_kmeans_train_shape(spark):
+    """The returned (final-round) plan: map-only argmax assignment —
+    centroids are in-plan literals, so no join anywhere — one hash
+    aggregate with map-side partial combine, division in-engine."""
+    plan = plan_of(spark, "s14_kmeans_train")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("Exchange") <= 3  # parallelize round-robin +
+    # the one aggregate exchange + the output range sort
