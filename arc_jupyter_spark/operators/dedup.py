@@ -508,10 +508,12 @@ def connected_components(
     (≤ ``driver_threshold`` edges, counted with a capped scan) an
     exact union-find labels it in one pass — the standard shape for
     dedup pipelines even at 100 TB corpus scale. Larger graphs fall
-    back to distributed min-label propagation: each round every node
-    takes the minimum of its own label and its neighbors' labels;
-    fixpoint when no label changes; rounds needed = graph diameter
-    (near-dup clusters are shallow). ``localCheckpoint`` truncates the
+    back to distributed min-label propagation with POINTER JUMPING:
+    each round every node takes the minimum of its own and its
+    neighbors' labels, then shortcuts ``label := label(label)`` (one
+    self-join) — the classic Shiloach-Vishkin acceleration, so rounds
+    needed drop from graph diameter to ~log(diameter); fixpoint when
+    no label changes. ``localCheckpoint`` truncates the
     growing lineage each round so plan size stays constant — at
     cluster scale use ``checkpoint`` (HDFS-backed) for fault
     tolerance.
@@ -536,22 +538,41 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl.node)
             .groupBy("src")
             .agg(F.min("label").alias("_nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("src"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        prop = lbl.join(
+            neighbor_min, lbl.node == F.col("src"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nlabel"), F.col("label"))
+            ).alias("label"),
         )
+        # pointer jump: label := label(label) — every label IS a node
+        # id present in the table, so the self-join forwards v straight
+        # to whatever its current label has already learned (coalesce
+        # only guards the join's own null column, not a semantic case)
+        hop = prop.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        return prop.join(hop, prop.label == F.col("_jn"), "left").select(
+            "node",
+            F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+        )
+
+    # ONE step per materialization: composing several steps lazily
+    # between checkpoints looks like a free job-count win, but each
+    # propagate+jump adds 3 self-referencing joins and Catalyst's
+    # size-in-bytes stats MULTIPLY through the join tree — at 4
+    # composed steps the BigInteger estimates overflowed the driver
+    # heap (measured). The checkpoint is lazy, so the fixpoint probe
+    # doubles as the materializing action — one job per round, not two.
+    for _ in range(max_iter):
+        new_labels = _step(labels).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -4184,3 +4184,62 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_S14_ITERS,
         scale=_S14_SCALE,
     )
+
+
+# --------------------------------------------------------------------
+# g05 — connected components on the DISTRIBUTED min-label path
+# (operators/dedup.py connected_components with driver_threshold=0):
+# d06 exercises the capped driver union-find fast path; this query
+# driver-gates the fallback a 100 TB candidate graph actually takes —
+# per round every node takes the min of its own and its neighbors'
+# labels (one equi-join + partial-agg'd min per round, checkpointed
+# lineage, fixpoint when no label changes). Edge set: order—part
+# incidence over high-quantity lineitem rows (8.5k shallow
+# components at sf0.1, the near-dup-cluster shape). Oracle computes
+# exact components via recursive-CTE reachability closure and the
+# same component-size rollup — fixpoint semantics, so the round count
+# never appears in the contract.
+# --------------------------------------------------------------------
+
+G05_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS a, 10000000 + l_partkey AS b
+  FROM lineitem WHERE l_quantity >= 50
+),
+e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+n AS (SELECT DISTINCT src AS v FROM e),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT v, v AS lab FROM n
+    UNION
+    SELECT e.src AS v, r.lab FROM e JOIN r ON e.dst = r.v
+  )
+  SELECT v, MIN(lab) AS label FROM r GROUP BY v
+),
+comps AS (SELECT label, COUNT(*) AS comp_size FROM rec GROUP BY label)
+SELECT CAST(comp_size AS BIGINT) AS comp_size,
+       CAST(COUNT(*) AS BIGINT) AS n_comps,
+       CAST(SUM(label) AS BIGINT) AS label_sum
+FROM comps GROUP BY comp_size ORDER BY comp_size
+"""
+
+
+@query("g05_distributed_cc", oracle=G05_ORACLE)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    pairs = spark.sql(
+        """SELECT DISTINCT l_orderkey AS id_a, 10000000 + l_partkey AS id_b
+           FROM lineitem WHERE l_quantity >= 50"""
+    )
+    labels = dedup.connected_components(pairs, driver_threshold=0)
+    comps = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        comps.groupBy("comp_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_comps"),
+            F.sum("label").alias("label_sum"),
+        )
+        .orderBy("comp_size")
+    )

@@ -86,6 +86,7 @@ HEADLINE = [
     "g04_bfs_frontier",
     "t37_perplexity_filter",
     "s14_kmeans_train",
+    "g05_distributed_cc",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -449,3 +449,20 @@ def test_boilerplate_chunks_threshold(spark):
         df, "doc_id", "text", "source", passage_len=5, min_docs=3
     ).collect()
     assert all(r["n_removed"] == 0 for r in out)
+
+
+def test_connected_components_distributed_long_chain(spark):
+    # a 12-hop chain whose ids are NOT ordered along the path (the
+    # worst layout for label forwarding) must still reach the exact
+    # min-label fixpoint on the distributed path
+    import random
+
+    rng = random.Random(7)
+    perm = list(range(13))
+    rng.shuffle(perm)
+    pairs = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(12)], ["id_a", "id_b"]
+    )
+    dist = dedup.connected_components(pairs, driver_threshold=0)
+    got = {r["node"]: r["label"] for r in dist.collect()}
+    assert got == {n: 0 for n in range(13)}

@@ -702,3 +702,15 @@ def test_s14_kmeans_train_shape(spark):
     assert "partial_sum" in plan and "partial_count" in plan
     assert plan.count("Exchange") <= 3  # parallelize round-robin +
     # the one aggregate exchange + the output range sort
+
+
+def test_g05_distributed_cc_shape(spark):
+    """The distributed-CC result plan: the min-label fixpoint ran
+    inside per-round checkpoints, so the final plan is just the two
+    rollup aggregates over the checkpointed labels — no FileScan, no
+    join, partial aggregation before each exchange."""
+    plan = plan_of(spark, "g05_distributed_cc")
+    assert "FileScan" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
