@@ -330,3 +330,12 @@ def test_lloyd_train_empty_corpus(spark):
     out = lloyd_train_quantized(empty, [(0, [1.0, 0.0])], iters=2)
     assert out.columns == ["cluster_id", "dim", "c_e6", "n_c"]
     assert out.count() == 0
+
+
+def test_connected_components_distributed_empty(spark):
+    from arc_jupyter_spark.operators import dedup
+
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dedup.connected_components(edges, driver_threshold=0)
+    assert out.columns == ["node", "label"]
+    assert out.count() == 0
