@@ -4243,3 +4243,128 @@ def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comp_size")
     )
+
+
+# --------------------------------------------------------------------
+# p08 — semantic curation pipeline: the modern pretraining data-mix
+# recipe in ONE lazy composition — quality gate (n_chars floor) ->
+# lead-fingerprint keep-best dedup (md5 of the first 8 tokens, keep
+# the longest doc, C4-style lead-paragraph dedup; the fixture has 24
+# such dups at sf0.01) -> semantic cluster balancing on the embedded
+# subset (s11's int8 anchor argmax + integer per-cluster quota,
+# budget_den=8) -> deterministic md5 shard assignment (t18 recipe).
+# Every stage is mirrored in one oracle CTE chain; all hashed values
+# are integers.
+# --------------------------------------------------------------------
+
+_P08_DEN = 8
+_P08_SHARDS = 8
+
+
+P08_ORACLE = f"""
+WITH {S11_ASG_CTES},
+g AS (SELECT doc_id, n_chars, text FROM documents WHERE n_chars >= 150),
+fp AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_slice({_DUCK_TOKS}, 1, 8), ' ')) AS lead_fp
+  FROM g
+),
+best AS (
+  SELECT doc_id, n_chars
+  FROM (SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lead_fp
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM fp)
+  WHERE rn = 1
+),
+sub AS (
+  SELECT b.doc_id, b.n_chars, a.cluster_id
+  FROM best b JOIN asg a ON a.vec_id = b.doc_id
+),
+cnt AS (SELECT cluster_id, COUNT(*) AS n_c FROM sub GROUP BY cluster_id),
+thr AS (
+  SELECT cluster_id,
+         LEAST(4096, (4096 * (SUM(n_c) OVER () // {_P08_DEN})) // n_c) AS t
+  FROM cnt
+),
+kept AS (
+  SELECT s.doc_id, s.n_chars, s.cluster_id
+  FROM sub s JOIN thr USING (cluster_id)
+  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        % 4096 < thr.t
+)
+SELECT cluster_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % {_P08_SHARDS} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("p08_semantic_curation", oracle=P08_ORACLE)
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents", "embeddings")
+    docs = dedup._parallelize(spark.table("documents"))
+    # 1. quality gate — a scan-level predicate (pushes to parquet)
+    gated = docs.where(F.col("n_chars") >= 150)
+    # 2. lead-fingerprint keep-best: digest of the first 8 tokens;
+    # struct-max keeps the longest doc, ties -> smallest doc_id —
+    # one partial-agg'd shuffle of (16B digest, 2 longs) per doc
+    toks = text.tokens(F.col("text"))
+    fp = gated.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("lead_fp"),
+    )
+    best = (
+        fp.groupBy("lead_fp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_id")).alias("doc_id"),
+            F.col("b.nc").alias("n_chars"),
+        )
+    )
+    # 3. semantic balance on the embedded subset — the s11 shape:
+    # anchors are the first k embeddings, assignment is a map-only
+    # int8 argmax, the quota is integer arithmetic on subset counts
+    emb = spark.table("embeddings")
+    anchor_rows = emb.where(F.col("vec_id") < _S11_K).select(
+        "vec_id", "embedding"
+    ).collect()  # 8 rows — the allowed k-row model read
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchor_rows
+    )
+    joined = best.join(emb, best.doc_id == emb.vec_id).select(
+        "doc_id", "n_chars", "embedding"
+    )
+    asg = (
+        similarity.assign_quantized_cells(joined, anchors)
+        .select("doc_id", "n_chars", "cluster_id")
+        .localCheckpoint()  # 24B/row; the s11 inlining hazard
+    )
+    kept = sampling.cluster_balanced_sample(
+        asg, "cluster_id", "doc_id", budget_den=_P08_DEN
+    )
+    # 4. shard assignment + the per-(cluster, shard) mix report
+    sharded = sampling.shard_assign(
+        kept, "doc_id", _P08_SHARDS, shard_col="shard_id"
+    )
+    return (
+        sharded.groupBy("cluster_id", F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("cluster_id", "shard_id")
+    )

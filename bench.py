@@ -87,6 +87,7 @@ HEADLINE = [
     "t37_perplexity_filter",
     "s14_kmeans_train",
     "g05_distributed_cc",
+    "p08_semantic_curation",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -714,3 +714,17 @@ def test_g05_distributed_cc_shape(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_p08_semantic_curation_shape(spark):
+    """Pipeline composition gates: gate+dedup+argmax ran inside the
+    checkpoint (the s11 inlining hazard), so the final plan must not
+    re-scan parquet; the quota thresholds broadcast-join onto the
+    checkpointed 24B/row assignment, the mix report partial-aggregates,
+    and no stage introduces a cartesian product."""
+    plan = plan_of(spark, "p08_semantic_curation")
+    assert "CartesianProduct" not in plan
+    assert "FileScan" not in plan  # corpus work happened pre-checkpoint
+    assert "BroadcastHashJoin" in plan  # quota thresholds
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
