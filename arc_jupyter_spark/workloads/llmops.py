@@ -4368,3 +4368,102 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "shard_id")
     )
+
+
+# --------------------------------------------------------------------
+# s15 — hard-negative mining for contrastive embedding training: for
+# each anchor, the top-3 most similar corpus vectors that live in a
+# DIFFERENT cluster (similar-but-not-same — the negatives that teach
+# the model the most). Scores are the same int8-quantized exact
+# BIGINT dots as s11's assignment (no IEEE ordering hazard anywhere);
+# exclusion uses the s11 cluster assignment itself, so the whole
+# query is one quantize + 8 literal folds + a per-anchor top-3.
+# Oracle reuses the shared S11 assignment CTEs verbatim.
+# --------------------------------------------------------------------
+
+_S15_TOPK = 3
+
+S15_ORACLE = f"""
+WITH {S11_ASG_CTES},
+neg AS (
+  SELECT s.anchor_id, s.vec_id, s.qdot
+  FROM scored s JOIN asg a USING (vec_id)
+  WHERE a.cluster_id <> s.anchor_id
+),
+ranked AS (
+  SELECT anchor_id, vec_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY qdot DESC, vec_id ASC) AS rnk
+  FROM neg
+)
+SELECT CAST(anchor_id AS BIGINT) AS anchor_id, CAST(rnk AS BIGINT) AS rnk,
+       vec_id, CAST(qdot AS BIGINT) AS qdot
+FROM ranked WHERE rnk <= {_S15_TOPK}
+ORDER BY anchor_id, rnk
+"""
+
+
+@query("s15_hard_negatives", oracle=S15_ORACLE)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    anchor_rows = emb.where(F.col("vec_id") < _S11_K).select(
+        "vec_id", "embedding"
+    ).collect()  # 8 rows — the allowed k-row model read
+    anchors = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in anchor_rows
+    )
+    # cluster assignment AND the per-anchor score array off ONE int8
+    # quantization: assign_quantized_cells leaves no per-anchor dots,
+    # so fold them here the same way (quantize-once projection; the
+    # explode fans 8 integer rows per vector, partial-agg'd nowhere —
+    # the window's exchange is the only shuffle)
+    asg = (
+        similarity.assign_quantized_cells(
+            dedup._parallelize(emb), anchors, vec_col="embedding"
+        )
+        .withColumn("__q", similarity.quantize_int8(F.col("embedding")))
+        .select("vec_id", "cluster_id", "__q")
+        .localCheckpoint()  # materialize the quantization + argmax
+        # ONCE: downstream the explode fans 8 rows per vector and the
+        # post-explode filter references cluster_id — without the
+        # checkpoint Catalyst inlines the 8-fold argmax (and the
+        # 4-pass HOF quantization under it) into every exploded row
+        # (measured 6.6s -> 2.2s at sf0.1; the s11 hazard, again)
+    )
+    qcol = F.col("__q")
+    scores = F.array(*[
+        F.struct(
+            F.lit(aid).cast("bigint").alias("anchor_id"),
+            similarity.int_dot(
+                qcol,
+                F.array(*[
+                    F.lit(v)
+                    for v in similarity.quantize_vec_py(avec)
+                ]),
+            ).alias("qdot"),
+        )
+        for aid, avec in anchors
+    ])
+    exploded = (
+        asg.select("vec_id", "cluster_id", F.explode(scores).alias("s"))
+        .select("vec_id", "cluster_id", "s.anchor_id", "s.qdot")
+        .where(F.col("cluster_id") != F.col("anchor_id"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("qdot"), F.asc("vec_id")
+    )
+    return (
+        exploded.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _S15_TOPK)
+        .select(
+            "anchor_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "vec_id",
+            "qdot",
+        )
+        .orderBy("anchor_id", "rnk")
+    )

@@ -88,6 +88,7 @@ HEADLINE = [
     "s14_kmeans_train",
     "g05_distributed_cc",
     "p08_semantic_curation",
+    "s15_hard_negatives",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

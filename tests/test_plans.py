@@ -728,3 +728,16 @@ def test_p08_semantic_curation_shape(spark):
     assert "BroadcastHashJoin" in plan  # quota thresholds
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_s15_hard_negatives_shape(spark):
+    """Quantization + argmax ran once inside the checkpoint; the final
+    plan explodes the checkpointed 8-struct score array, filters
+    same-cluster rows, and ranks per anchor — no FileScan, no join,
+    one window."""
+    plan = plan_of(spark, "s15_hard_negatives")
+    assert "FileScan" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("Window") >= 1
