@@ -311,7 +311,11 @@ def bfs_levels(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = nxt.join(visited.select("node"), "node", "left_anti").localCheckpoint()
+        # lazy checkpoint: the emptiness probe is the materializing
+        # action, so each round costs one job, not two
+        new = nxt.join(visited.select("node"), "node", "left_anti").localCheckpoint(
+            eager=False
+        )
         if not new.take(1):
             break
         frontier = new

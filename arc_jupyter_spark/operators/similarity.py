@@ -949,9 +949,13 @@ def lloyd_train_quantized(
         lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
     )
     qcol = "__ltq_q"
-    with_q = df.withColumn(qcol, q6)  # quantize ONCE (CollapseProject
-    # keeps the multi-referenced transform out of the anchor folds —
-    # the measured s11 inlining hazard)
+    # quantize ONCE (CollapseProject keeps the multi-referenced
+    # transform out of the anchor folds — the measured s11 inlining
+    # hazard) and PERSIST the projection: every round re-reads it, so
+    # without the persist each of the `iters` jobs re-scans the corpus
+    # and re-runs the 4-pass HOF quantization (spillable
+    # MEMORY_AND_DISK — the posture a 100 TB trainer needs anyway)
+    with_q = df.withColumn(qcol, q6).persist()
 
     def _assigned() -> DataFrame:
         entries = []
