@@ -951,11 +951,15 @@ def lloyd_train_quantized(
     qcol = "__ltq_q"
     # quantize ONCE (CollapseProject keeps the multi-referenced
     # transform out of the anchor folds — the measured s11 inlining
-    # hazard) and PERSIST the projection: every round re-reads it, so
-    # without the persist each of the `iters` jobs re-scans the corpus
-    # and re-runs the 4-pass HOF quantization (spillable
-    # MEMORY_AND_DISK — the posture a 100 TB trainer needs anyway)
-    with_q = df.withColumn(qcol, q6).persist()
+    # hazard) and materialize the projection lazily: every round
+    # re-reads it, so without this each of the `iters` jobs re-scans
+    # the corpus and re-runs the 4-pass HOF quantization. A lazy
+    # localCheckpoint (first round's job materializes it) is used
+    # instead of persist() because checkpoint blocks are released by
+    # the ContextCleaner when the frame is garbage collected, while
+    # CacheManager entries from persist() pin storage for the whole
+    # session with no handle for the caller to release.
+    with_q = df.withColumn(qcol, q6).localCheckpoint(eager=False)
 
     def _assigned() -> DataFrame:
         entries = []

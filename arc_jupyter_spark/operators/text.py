@@ -394,6 +394,23 @@ def bigram_lift(
     )
 
 
+def _bigram_occurrences(df, id_col: str, text_col: str):
+    """Exploded bigram occurrences ``(id, w1, w2)`` — the shared
+    extraction both LM scorers run (zip of the token stream with its
+    own 1-shift; docs under 2 tokens contribute nothing)."""
+    toks = tokens(F.col(text_col))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.where(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, "g.w1", "g.w2")
+    )
+
+
 def bigram_surprisal(
     df,
     id_col: str,
@@ -413,20 +430,10 @@ def bigram_surprisal(
     into the corpus bigram stream, which shuffles only for the final
     per-document sum. All BIGINTs — engine- and partition-exact.
     """
-    toks = tokens(F.col(text_col))
-    grams = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    occ = (
-        df.where(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(grams).alias("g"))
-        .select(id_col, "g.w1", "g.w2")
-    )
+    occ = _bigram_occurrences(df, id_col, text_col)
     big_model = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nab"))
     uni_model = (
-        df.select(F.explode(toks).alias("w1"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("_na"))
     )
@@ -463,8 +470,11 @@ def smoothed_bigram_score(
     integer inverse of the add-one-smoothed conditional
     ``(nab + 1) / (na + V)``, finite for out-of-vocabulary words and
     unseen transitions alike (an OOV ``w1`` charges exactly ``V``).
-    Returns ``(id, sum_chg, n_bigrams, n_oov)``; callers rank on the
-    mean charge and can gate on the OOV rate separately.
+    Returns ``(id, sum_chg, n_bigrams, n_unseen)`` where ``n_unseen``
+    counts transitions absent from the training bigram table (an
+    OOV ``w1`` is necessarily unseen, but so is a novel pair of
+    in-vocabulary words); callers rank on the mean charge and can
+    gate on the unseen-transition rate separately.
 
     Scale shape: the two LM tables are partial-aggregated counts
     (vocab- and bigram-vocab-sized) broadcast into the scored bigram
@@ -473,25 +483,13 @@ def smoothed_bigram_score(
     once, for the per-document sum. All BIGINTs — engine- and
     partition-exact.
     """
-    def _occ(df):
-        toks = tokens(F.col(text_col))
-        grams = F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-        return (
-            df.where(F.size(toks) >= 2)
-            .select(F.col(id_col), F.explode(grams).alias("g"))
-            .select(id_col, "g.w1", "g.w2")
-        )
-
-    toks = tokens(F.col(text_col))
     big_model = (
-        _occ(train_df).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nab"))
+        _bigram_occurrences(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_nab"))
     )
     uni_model = (
-        train_df.select(F.explode(toks).alias("w1"))
+        train_df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("_na"))
     )
@@ -503,7 +501,7 @@ def smoothed_bigram_score(
         f"(COALESCE(_na, 0) + {vocab_size}) DIV (COALESCE(_nab, 0) + 1)"
     )
     return (
-        _occ(score_df)
+        _bigram_occurrences(score_df, id_col, text_col)
         .join(big_model, ["w1", "w2"], "left")
         .join(uni_model, "w1", "left")
         .groupBy(id_col)
@@ -512,7 +510,7 @@ def smoothed_bigram_score(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(
                 F.when(F.col("_nab").isNull(), 1).otherwise(0)
-            ).alias("n_oov"),
+            ).alias("n_unseen"),
         )
     )
 

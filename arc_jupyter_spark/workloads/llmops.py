@@ -4010,7 +4010,9 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(
         """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-    )
+    ).localCheckpoint()  # the orders x lineitem DISTINCT is the
+    # expensive part and feeds THREE consumers (both edge directions
+    # + the source min) — one materialization, not three evaluations
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
@@ -4035,7 +4037,7 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transitions and OOV words get finite integer charges instead of
 # being dropped (t26 scores in-corpus with an inner join). The
 # CCNet/Gopher curation shape: rank scored docs by mean charge, read
-# the OOV rate alongside.
+# the unseen-transition rate alongside.
 # --------------------------------------------------------------------
 
 T37_ORACLE = f"""
@@ -4063,7 +4065,7 @@ scored AS (
   SELECT s.doc_id,
          SUM((COALESCE(u.na, 0) + vv.v) // (COALESCE(b.nab, 0) + 1)) AS sum_chg,
          COUNT(*) AS n_bigrams,
-         SUM(CASE WHEN b.nab IS NULL THEN 1 ELSE 0 END) AS n_oov
+         SUM(CASE WHEN b.nab IS NULL THEN 1 ELSE 0 END) AS n_unseen
   FROM socc s
   LEFT JOIN bm b ON s.w1 = b.w1 AND s.w2 = b.w2
   LEFT JOIN um u ON s.w1 = u.w1
@@ -4072,7 +4074,7 @@ scored AS (
 )
 SELECT doc_id, CAST(sum_chg AS BIGINT) AS sum_chg,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       CAST(n_oov AS BIGINT) AS n_oov
+       CAST(n_unseen AS BIGINT) AS n_unseen
 FROM scored
 ORDER BY CAST(sum_chg AS DOUBLE) / n_bigrams DESC, doc_id LIMIT 20
 """

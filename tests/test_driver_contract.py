@@ -5,9 +5,6 @@ single query test would catch drifting."""
 from __future__ import annotations
 
 import json
-import sys
-
-sys.path.insert(0, "/root/repo")
 
 
 def test_every_query_has_an_oracle():

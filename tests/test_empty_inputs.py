@@ -320,7 +320,7 @@ def test_smoothed_bigram_score_empty_train(spark):
     score = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     out = smoothed_bigram_score(train, score, "doc_id", "text").collect()
     # V=0, everything unseen: charge (0+0) div (0+1) = 0 per bigram
-    assert [(r["doc_id"], r["sum_chg"], r["n_oov"]) for r in out] == [(1, 0, 1)]
+    assert [(r["doc_id"], r["sum_chg"], r["n_unseen"]) for r in out] == [(1, 0, 1)]
 
 
 def test_lloyd_train_empty_corpus(spark):

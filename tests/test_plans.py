@@ -700,11 +700,12 @@ def test_s14_kmeans_train_shape(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan and "partial_count" in plan
-    assert "InMemoryRelation" in plan  # the quantized projection is
-    # persisted across rounds — later rounds are cache reads
-    assert plan.count("Exchange") <= 4  # parallelize round-robin
-    # (inside the cached child plan) + the aggregate exchange + the
-    # output range sort
+    # the quantized projection is checkpointed across rounds — the
+    # final plan reads the materialized RDD, not parquet
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert plan.count("Exchange") <= 3  # the aggregate exchange +
+    # the output range sort
 
 
 def test_g05_distributed_cc_shape(spark):

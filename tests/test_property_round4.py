@@ -66,7 +66,7 @@ _WORDS = st.sampled_from(["a", "b", "c", "d"])
 )
 @SETTINGS
 def test_smoothed_bigram_matches_python_lm(spark, train, score):
-    """sum_chg/n_bigrams/n_oov == a pure-Python add-V bigram LM with
+    """sum_chg/n_bigrams/n_unseen == a pure-Python add-V bigram LM with
     the integer charge formula (na + V) div (nab + 1)."""
     from arc_jupyter_spark.operators.text import smoothed_bigram_score
 
@@ -77,12 +77,12 @@ def test_smoothed_bigram_matches_python_lm(spark, train, score):
     v = len(uni)
     want = {}
     for i, doc in enumerate(score):
-        chg = n_oov = 0
+        chg = n_unseen = 0
         for j in range(len(doc) - 1):
             pair = (doc[j], doc[j + 1])
             chg += (uni.get(pair[0], 0) + v) // (big.get(pair, 0) + 1)
-            n_oov += pair not in big
-        want[i] = (chg, len(doc) - 1, n_oov)
+            n_unseen += pair not in big
+        want[i] = (chg, len(doc) - 1, n_unseen)
 
     tr = spark.createDataFrame(
         [(i, " ".join(doc)) for i, doc in enumerate(train)],
@@ -93,7 +93,7 @@ def test_smoothed_bigram_matches_python_lm(spark, train, score):
         "doc_id bigint, text string",
     )
     got = {
-        r["doc_id"]: (r["sum_chg"], r["n_bigrams"], r["n_oov"])
+        r["doc_id"]: (r["sum_chg"], r["n_bigrams"], r["n_unseen"])
         for r in smoothed_bigram_score(tr, sc, "doc_id", "text").collect()
     }
     assert got == want, (train, score)

@@ -296,7 +296,7 @@ def test_smoothed_bigram_score_hand_values(spark):
         [(1, "a b c"), (3, "c c")], ["doc_id", "text"]
     )
     out = {
-        r["doc_id"]: (r["sum_chg"], r["n_bigrams"], r["n_oov"])
+        r["doc_id"]: (r["sum_chg"], r["n_bigrams"], r["n_unseen"])
         for r in smoothed_bigram_score(train, score, "doc_id", "text").collect()
     }
     # training counts: nab(a,b)=2, nab(b,a)=1; na(a)=na(b)=2; V=2
