@@ -115,6 +115,8 @@ def bm25_scores(
     crossJoin — scoring then stays map-side. Nothing corpus-sized
     shuffles; the term list rides in the plan.
     """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     feat = df.select(
         F.col(id_col),

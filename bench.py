@@ -207,7 +207,17 @@ def main() -> int:
         "sf": sf_val,
     }
     line = json.dumps(out)
-    assert len(line) < 1400, f"bench summary line too long: {len(line)}B"
+    if len(line) >= 1400:
+        # never crash a multi-minute run at the final print: drop the
+        # per-query detail (it lives in BENCH_DETAIL.json anyway) and
+        # emit a compacted line plus a warning on stderr
+        print(
+            f"WARN: bench summary line {len(line)}B >= 1400B budget; "
+            "dropping per-query detail (see BENCH_DETAIL.json)",
+            file=sys.stderr,
+        )
+        out.pop("queries", None)
+        line = json.dumps(out)
     print(line)
     return 0
 

@@ -53,14 +53,16 @@ def test_d02_no_cartesian(spark):
 def test_d03_no_cartesian_and_counts_shuffle_light(spark):
     plan = plan_of(spark, "d03_ngram_jaccard")
     assert "CartesianProduct" not in plan
-    # capped posting-list shape: pairs come from bounded per-shingle
-    # lists (<= max_doc_freq structs — the size filter must reach the
-    # plan), NOT from a count window over the exploded stream (sorts
-    # every (block, shingle) partition in memory; degraded
-    # superlinearly under memory pressure in the round-3 driver bench)
-    # and NOT from an unbounded collect
+    # capped posting-list shape: hot shingles are pruned BEFORE the
+    # collect (partial-agg'd df count + LEFT SEMI join — the posting
+    # group is bounded at max_doc_freq rows by construction), NOT a
+    # post-collection size filter (O(pre-cap df) group memory), NOT a
+    # count window over the exploded stream (sorts every
+    # (block, shingle) partition in memory; degraded superlinearly
+    # under memory pressure in the round-3 driver bench)
     assert "Window" not in plan
-    assert "size(lst" in plan and "<= 50" in plan
+    assert "LeftSemi" in plan and "<= 50" in plan
+    assert "size(lst" not in plan
 
 
 def test_s01_no_shuffle_before_topk(spark):

@@ -27,10 +27,12 @@ at most shards x nbins counter rows; `q82_exact_median` many-shuffles
 is the two-pass histogram-narrowed plan whose post-histogram shuffles
 move only counters and the single target bin's rows — the trade that
 REMOVES the full-table sort; `d03_ngram_jaccard` unbounded-collect is
-the posting-list pair generation whose `collect_list` is bounded at
-`max_doc_freq` structs per (block, shingle) group by the size filter
-in the same aggregate (plan-asserted in `test_plans.py`), the shape
-that runs the shingling scalar work exactly once;
+the posting-list pair generation whose `collect_list` input is
+pre-pruned to at most `max_doc_freq` rows per (block, shingle) group
+by a partial-agg'd count + LEFT SEMI join BEFORE collection (the
+group never sees a hot shingle's rows; plan-asserted in
+`test_plans.py`), the shape that runs the shingling scalar work
+exactly once;
 `s11_cluster_sample` many-shuffles counts the n_clusters-row quota
 aggregates (8-row exchanges) — the corpus-side work is one
 localCheckpoint'd (vec_id, cluster_id) map (16 B/row, evaluated

@@ -6,10 +6,14 @@ float64 while Spark's side stays int64 — so the driver's value hash
 diverges on representation (`4160` vs `4160.0`) even when values are
 bit-identical.  Round 3 lost 26/50 sampled queries to exactly this.
 
-This tool compares, per query, the Spark result *schema* (lazy — no
-job runs) against the pandas dtypes of the oracle fetched with
-``.df()`` at a small scale factor, and flags any column whose numeric
-family differs (int vs float in either direction).
+This tool compares, per query, the Spark result *schema* (extracted
+without executing the *returned* plan — though individual query
+builders may run Spark jobs during construction: anchor/centroid
+collects in s11/s13/s14/s15/p08, the vocab count in t37, and the
+streaming queries st11/st12 run to completion, so a full sweep is
+heavier than a schema pass) against the pandas dtypes of the oracle
+fetched with ``.df()`` at a small scale factor, and flags any column
+whose numeric family differs (int vs float in either direction).
 
 With ``--emit-map FILE`` it also writes a JSON map
 ``{query: {"columns": [...], "cast_bigint": [...]}}`` (full oracle
