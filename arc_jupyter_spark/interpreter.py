@@ -84,6 +84,21 @@ def _int(value: str | None, default: int) -> int:
         return default
 
 
+def _default_session_factory(master: str):
+    """Stop the active session and build a fresh one on *master* —
+    the reference's `%conf master` behavior (ArcInterpreter.scala:
+    520-526). Only invoked when ``restart_on_master_change`` is set
+    (the kernel frontend); tests inject a fake factory instead."""
+    from pyspark.sql import SparkSession
+
+    from arc_jupyter_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    return build_session(master=master)
+
+
 class Interpreter:
     """Executes cells against an :class:`ArcContext`.
 
@@ -97,6 +112,8 @@ class Interpreter:
         spark=None,
         input_fn: Callable[[str], str] | None = None,
         html: bool = True,
+        restart_on_master_change: bool = False,
+        session_factory: Callable[[str], Any] | None = None,
     ) -> None:
         if ctx is None:
             if spark is None:
@@ -107,6 +124,11 @@ class Interpreter:
         self.ctx = ctx
         self.input_fn = input_fn
         self.html = html
+        # reference parity (ArcInterpreter.scala:520-526): the KERNEL
+        # restarts Spark when %conf master changes; a library session
+        # keeps its JVM unless the embedder opts in
+        self.restart_on_master_change = restart_on_master_change
+        self.session_factory = session_factory or _default_session_factory
         from arc_jupyter_spark.observability import attach_log_buffer
 
         self.log_buffer = attach_log_buffer()
@@ -338,11 +360,14 @@ class Interpreter:
     def magic_conf(self, args: dict[str, str], body: str) -> CellResult:
         """Session conf (reference: ArcInterpreter.scala:519-559).
 
-        ``master`` changes are recorded but — unlike the kernel, which
-        restarts Spark — a library session keeps its JVM; rebuild the
-        session to apply.
+        ``master`` changes restart Spark when the embedder opted in
+        (``restart_on_master_change`` — the kernel frontend does,
+        matching the reference's stop-and-rebuild at
+        ArcInterpreter.scala:520-526); a library session keeps its JVM
+        and only records the value.
         """
         conf = self.ctx.conf
+        old_master = getattr(conf, "master", None)
         mapping: dict[str, Callable[[str], None]] = {
             "master": lambda v: setattr(conf, "master", v),
             "numRows": lambda v: setattr(conf, "num_rows", int(v)),
@@ -366,6 +391,12 @@ class Interpreter:
                     f"unknown storageLevel '{value}'; known: {sorted(STORAGE_LEVELS)}"
                 )
             mapping[key](value)
+        if (
+            self.restart_on_master_change
+            and "master" in args
+            and args["master"] != old_master
+        ):
+            self._restart_session(args["master"])
         shown = "\n".join(
             f"{k}={getattr(conf, a)}"
             for k, a in (
@@ -378,6 +409,25 @@ class Interpreter:
             )
         )
         return CellResult(text=shown)
+
+    def _restart_session(self, master: str) -> None:
+        """Stop and rebuild Spark against the new master, carrying the
+        display conf, env, and secrets into the fresh context
+        (reference: ArcInterpreter.scala:520-526 — `%conf master`
+        tears down the session so the next cell executes on the new
+        cluster). Registered temp views do NOT survive: they belong to
+        the old session, exactly as in the reference.
+        """
+        old = self.ctx
+        spark = self.session_factory(master)
+        self.ctx = ArcContext(
+            spark=spark,
+            env=old.env,
+            secrets=old.secrets,
+            conf=old.conf,
+            immutable_views=old.immutable_views,
+            environment=old.environment,
+        )
 
     def magic_list(self, args: dict[str, str], body: str) -> CellResult:
         """Directory listing as a DataFrame

@@ -58,8 +58,13 @@ def make_kernel_class():
                 # (reference: ArcInterpreter.scala:506-518).
                 # ipykernel's raw_input takes no password kwarg — the
                 # password-masked variant is Kernel.getpass.
+                # restart_on_master_change: the KERNEL mirrors the
+                # reference's stop-and-rebuild on %conf master
+                # (ArcInterpreter.scala:520-526); library embedders
+                # keep their JVM by default.
                 self._interp = Interpreter(
-                    input_fn=lambda key: self.getpass(f"{key}: ")
+                    input_fn=lambda key: self.getpass(f"{key}: "),
+                    restart_on_master_change=True,
                 )
             return self._interp
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+
 
 # -- exact ------------------------------------------------------------
 
@@ -527,9 +529,10 @@ def connected_components(
     neighbors' labels, then shortcuts ``label := label(label)`` (one
     self-join) — the classic Shiloach-Vishkin acceleration, so rounds
     needed drop from graph diameter to ~log(diameter); fixpoint when
-    no label changes. ``localCheckpoint`` truncates the
+    no label changes. ``checkpoint.materialize`` truncates the
     growing lineage each round so plan size stays constant — at
-    cluster scale use ``checkpoint`` (HDFS-backed) for fault
+    cluster scale flip ``spark.arc.checkpoint.mode=reliable``
+    (HDFS/S3-backed ``checkpoint``) for fault
     tolerance.
     """
     base = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -546,11 +549,11 @@ def connected_components(
     edges = base
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
+    ).distinct().transform(materialize)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -586,7 +589,7 @@ def connected_components(
     # heap (measured). The checkpoint is lazy, so the fixpoint probe
     # doubles as the materializing action — one job per round, not two.
     for _ in range(max_iter):
-        new_labels = _step(labels).localCheckpoint(eager=False)
+        new_labels = _step(labels).transform(materialize_lazy)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

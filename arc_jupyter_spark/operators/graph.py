@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+
 #: Fixed-point scale for ranks: rank 1.0 == 10^9.
 RANK_SCALE = 10**9
 
@@ -53,22 +55,28 @@ def pagerank(
     BIGINT contributions) plus a broadcast-size join with the degree
     table when degrees are small, or a co-partitioned join when not —
     Spark's AQE picks per stats. Rank state per node is 8 bytes.
-    ``localCheckpoint`` every few rounds truncates lineage so the plan
-    stays constant-size at high iteration counts (use ``checkpoint``
-    on a real cluster for fault tolerance).
+    Lineage is truncated every few rounds via the session's checkpoint
+    strategy (``checkpoint.materialize``: executor-local by default,
+    ``spark.arc.checkpoint.mode=reliable`` for fault-tolerant cluster
+    runs) so the plan stays constant-size at high iteration counts.
     """
+    # all three loop-invariant frames are LAZY checkpoints: the
+    # nodes.count() below is the one job that materializes e and
+    # nodes, and ed materializes inside the final action — 2 jobs for
+    # the whole call instead of 4 (each eager checkpoint is a separate
+    # job whose fixed overhead dominated g01 at bench scale)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint()
+    e = e.transform(materialize_lazy)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # the (edge, out-degree) pairing is loop-invariant — join it once
     # and checkpoint, so each iteration is ranks-join + one shuffle,
     # not a re-run of the degree aggregation and its join
-    ed = e.join(deg, "src", "inner").localCheckpoint()
+    ed = e.join(deg, "src", "inner").transform(materialize_lazy)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize_lazy)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -100,7 +108,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -124,7 +132,7 @@ def _wedge_closure(
         # the canonical edge set feeds degrees, orientation, closing
         # AND two of the three summary counts — materialize once
         # instead of re-running the upstream dedup shuffle per action
-        .localCheckpoint()
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -148,7 +156,7 @@ def _wedge_closure(
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint()
+    ).transform(materialize)
     # wedges at the low end: pairs (v, w) of out-neighbours of u
     o1 = oriented.select(F.col("u"), F.col("v"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
@@ -229,8 +237,9 @@ def label_propagation(
     partitioned by ``node`` from the count's exchange — Catalyst
     reuses that partitioning, so the window adds a sort but no extra
     exchange. Label state is two BIGINTs per node; the corpus/payload
-    never moves. ``localCheckpoint`` truncates lineage growth across
-    rounds (use ``checkpoint`` on a real cluster).
+    never moves. Lineage growth is truncated across rounds via the session's
+    checkpoint strategy (``checkpoint.materialize`` — flip
+    ``spark.arc.checkpoint.mode=reliable`` for cluster fault tolerance).
 
     Reference parity: no graph surface in the reference
     (`README.md:1` positions it as notebook ETL); this extends the
@@ -238,13 +247,16 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # lazy checkpoints: the final action materializes e/nodes once and
+    # every round reuses the pinned blocks — no separate eager jobs
+    # (the g01 job-overhead lesson; see pagerank above)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint()
+    e = e.transform(materialize_lazy)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize_lazy)
     )
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
@@ -266,7 +278,7 @@ def label_propagation(
             "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            labels = labels.localCheckpoint()
+            labels = labels.transform(materialize)
     return labels
 
 
@@ -292,18 +304,19 @@ def bfs_levels(
     frontier-adjacent edge endpoints (partial-distinct collapses
     duplicates map-side before the exchange), and the visited set
     joins as a plain equi-join that AQE broadcasts only while it is
-    genuinely small. ``localCheckpoint`` pins each frontier so round
-    ``k``'s anti-join does not re-run rounds ``1..k-1`` (use
-    ``checkpoint`` on a real cluster). Unlike q70's chain-follow
+    genuinely small. ``checkpoint.materialize`` pins each frontier so round
+    ``k``'s anti-join does not re-run rounds ``1..k-1``
+    (``spark.arc.checkpoint.mode=reliable`` for cluster fault
+    tolerance). Unlike q70's chain-follow
     (relational path enumeration), the visited-set subtraction makes
     this linear in reachable edges, not in path count.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
-    frontier = sources.select("node").distinct().localCheckpoint()
+    frontier = sources.select("node").distinct().transform(materialize)
     visited = frontier.withColumn("dist", F.lit(0).cast("bigint"))
     for d in range(1, max_depth + 1):
         nxt = (
@@ -313,9 +326,7 @@ def bfs_levels(
         )
         # lazy checkpoint: the emptiness probe is the materializing
         # action, so each round costs one job, not two
-        new = nxt.join(visited.select("node"), "node", "left_anti").localCheckpoint(
-            eager=False
-        )
+        new = nxt.join(visited.select("node"), "node", "left_anti").transform(materialize_lazy)
         if not new.take(1):
             break
         frontier = new

@@ -16,6 +16,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -875,7 +877,7 @@ def lloyd_step_quantized(
     # pushed-down isnotnull(cluster_id) inlines the argmax into the
     # scan filter (the measured s11 hazard). localCheckpoint'ing the
     # <= k*dim-row aggregate keeps the corpus scan single-pass.
-    per_dim = per_dim.localCheckpoint()
+    per_dim = per_dim.transform(materialize)
     inert = per_dim.groupBy("cluster_id").agg(
         F.sum("sum_d2").alias("inertia_q")
     )
@@ -961,7 +963,7 @@ def lloyd_train_quantized(
     # the ContextCleaner when the frame is garbage collected, while
     # CacheManager entries from persist() pin storage for the whole
     # session with no handle for the caller to release.
-    with_q = df.withColumn(qcol, q6).localCheckpoint(eager=False)
+    with_q = df.withColumn(qcol, q6).transform(materialize_lazy)
 
     def _assigned() -> DataFrame:
         entries = []

@@ -190,6 +190,9 @@ def hist_quantile_bins(
     if not quantiles:
         raise ValueError("hist_quantile_bins: quantiles must be non-empty")
     span = hi - lo + 1
+    # unpartitioned running sum over the HISTOGRAM (<= nbins rows, a
+    # fixed constant), never over data rows — the "WindowExec: No
+    # Partition Defined" warning is expected and bounded
     cum = hist.withColumn(
         "cum_n",
         F.sum("n").over(

@@ -116,6 +116,25 @@ def analyze(df: DataFrame) -> list[Finding]:
                 )
             )
             break
+    # global (unpartitioned) window: WindowExec with AllTuples child
+    # distribution funnels every row through ONE task — the source of
+    # Spark's "WindowExec: No Partition Defined" runtime warning.
+    # Acceptable only over provably bounded inputs (top-k limits,
+    # histogram bins, key-domain count tables — the allowlisted s10/
+    # t34/q85 shapes); a data-sized input needs a partitionBy.
+    for seg in plan.split("Window ")[1:]:
+        nxt = seg.find("Exchange")
+        if nxt != -1 and seg[nxt:].startswith("Exchange SinglePartition"):
+            out.append(
+                Finding(
+                    "info",
+                    "global-window",
+                    "unpartitioned window (single-task sort of its whole "
+                    "input) — fine over bounded inputs (top-k, bins, key "
+                    "domains); add a partitionBy for data-sized inputs",
+                )
+            )
+            break
     if "SortAggregate" in plan:
         out.append(
             Finding(

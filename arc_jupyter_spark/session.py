@@ -181,6 +181,17 @@ def build_session(
     for key, value in env_hadoop.items():
         spark.sparkContext._jsc.hadoopConfiguration().set(key, value)
     spark.sparkContext.setLogLevel("WARN")
+    # deployment-posture switch for the iterative operators (see
+    # arc_jupyter_spark/checkpoint.py): local lineage truncation by
+    # default; reliable (fault-tolerant dir) for long cluster runs
+    ckpt_mode = os.environ.get("SPARK_GRAFT_CHECKPOINT_MODE")
+    if ckpt_mode:
+        from arc_jupyter_spark import checkpoint as _ckpt
+
+        spark.conf.set(_ckpt.MODE_KEY, ckpt_mode)
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
     # register the Arc UDF set once per session (reference registers at
     # startup, ArcInterpreter.scala:378-381)
     if not getattr(spark, "_arc_udfs_registered", False):

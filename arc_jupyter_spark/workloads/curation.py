@@ -711,6 +711,12 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table. All integer — engine-exact.
 # --------------------------------------------------------------------
 
+# NOTE: the unpartitioned ROW_NUMBER/COUNT/SUM windows below run over
+# kc — the per-key COUNT table (distinct l_suppkey values, bounded by
+# key-domain cardinality, not row count). The driver-log
+# "WindowExec: No Partition Defined" warning here is expected and not
+# a scale hazard: a skew PROFILE is inherently a single-pass rank over
+# the key-count table.
 _Q85_SQL = """
 WITH kc AS (
   SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
@@ -1341,6 +1347,9 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bm = similarity.bm25_scores(docs, "doc_id", "text", _S10_TERMS)
     bm_top = bm.orderBy(F.col("score_e9").desc(), "doc_id").limit(50)
+    # unpartitioned window over bm_top — a .limit(50) input, so the
+    # "WindowExec: No Partition Defined" warning is expected and
+    # bounded (50 rows on one task), not a scale hazard
     w_bm = Window.orderBy(F.col("score_e9").desc(), "doc_id")
     bm_r = bm_top.select(
         "doc_id", F.row_number().over(w_bm).alias("r_bm")
@@ -1349,6 +1358,7 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_top = similarity.cosine_topk(
         emb, qvec, id_col="vec_id", vec_col="embedding", k=50
     )
+    # same bounded shape: cos_top is a top-k (50-row) input
     w_cos = Window.orderBy(F.col("cosine").desc(), "vec_id")
     cos_r = cos_top.select(
         F.col("vec_id").alias("doc_id"),

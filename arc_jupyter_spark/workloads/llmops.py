@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+
 from arc_jupyter_spark.operators import (
     decontaminate,
     dedup,
@@ -3286,7 +3288,9 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(
         """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-    )
+    ).transform(materialize_lazy)  # both union directions read ONE
+    # materialization of the join+DISTINCT (measured 3.3s -> 2.1s at
+    # sf0.1: the edge build, not the rank loop, was the g01 floor)
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
@@ -3684,7 +3688,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 6.4s -> ~0.4s at sf0.1).
     asg = similarity.assign_quantized_cells(
         dedup._parallelize(emb), anchors, vec_col="embedding"
-    ).select("vec_id", "cluster_id").localCheckpoint()
+    ).select("vec_id", "cluster_id").transform(materialize)
     # one per-cluster count feeds both the sampler's quota math and the
     # reported n_total — 2 corpus scans total, not 3
     counts = asg.groupBy("cluster_id").agg(
@@ -3884,7 +3888,8 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(
         """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-    )
+    ).transform(materialize_lazy)  # one materialization for both
+    # union directions (the g01 edge-build lesson)
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
@@ -4010,7 +4015,7 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(
         """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-    ).localCheckpoint()  # the orders x lineitem DISTINCT is the
+    ).transform(materialize)  # the orders x lineitem DISTINCT is the
     # expensive part and feeds THREE consumers (both edge directions
     # + the source min) — one materialization, not three evaluations
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
@@ -4352,7 +4357,7 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = (
         similarity.assign_quantized_cells(joined, anchors)
         .select("doc_id", "n_chars", "cluster_id")
-        .localCheckpoint()  # 24B/row; the s11 inlining hazard
+        .transform(materialize)  # 24B/row; the s11 inlining hazard
     )
     kept = sampling.cluster_balanced_sample(
         asg, "cluster_id", "doc_id", budget_den=_P08_DEN
@@ -4429,7 +4434,7 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__q", similarity.quantize_int8(F.col("embedding")))
         .select("vec_id", "cluster_id", "__q")
-        .localCheckpoint()  # materialize the quantization + argmax
+        .transform(materialize)  # materialize the quantization + argmax
         # ONCE: downstream the explode fans 8 rows per vector and the
         # post-explode filter references cluster_id — without the
         # checkpoint Catalyst inlines the 8-fold argmax (and the

@@ -21,6 +21,8 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from arc_jupyter_spark.checkpoint import materialize
+
 from arc_jupyter_spark.workloads.base import query, read_events_stream
 
 
@@ -660,7 +662,7 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
         .orderBy("user_id")
-    ).localCheckpoint()
+    ).transform(materialize)
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
 
@@ -756,7 +758,7 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
         .limit(20)
-    ).localCheckpoint()
+    ).transform(materialize)
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
 

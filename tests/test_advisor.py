@@ -57,3 +57,15 @@ def test_plan_magic_renders_findings(spark):
     res = interp.execute("%plan\nadv_view")
     assert "clean" in res.text and "== Physical Plan ==" not in res.text
     assert isinstance(res.data, list) and res.data[0]["code"] == "clean"
+
+
+def test_global_window_flagged_partitioned_not(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    w_global = Window.orderBy("id")
+    flagged = df.withColumn("rn", F.row_number().over(w_global))
+    assert "global-window" in codes(flagged)
+    w_part = Window.partitionBy("k").orderBy("id")
+    ok = df.withColumn("rn", F.row_number().over(w_part))
+    assert "global-window" not in codes(ok)

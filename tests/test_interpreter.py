@@ -180,3 +180,49 @@ def test_format_error_chain():
         full = format_error(exc, extended=True)
     assert short == "ValueError: outer failure"
     assert "caused by: KeyError: 'root cause'" in full
+
+
+def test_conf_master_restarts_kernel_session(spark):
+    """Kernel-frontend parity (reference ArcInterpreter.scala:520-526):
+    with restart_on_master_change the %conf master cell tears down the
+    session and rebuilds on the new master, carrying conf/env/secrets
+    but NOT temp views. A fake factory keeps the shared test JVM
+    alive; the kernel wires Interpreter(restart_on_master_change=True)
+    to the real stop-and-rebuild factory."""
+    from arc_jupyter_spark.context import ArcContext
+    from arc_jupyter_spark.interpreter import Interpreter
+
+    calls = []
+
+    def fake_factory(master):
+        calls.append(master)
+        return spark
+
+    interp = Interpreter(
+        ctx=ArcContext(spark=spark),
+        restart_on_master_change=True,
+        session_factory=fake_factory,
+    )
+    interp.execute("%env K=V")
+    interp.ctx.secrets["tok"] = "s3cr3t-x"
+    interp.execute("%conf numRows=9")
+    old_ctx = interp.ctx
+    interp.execute("%conf master=local[2]")
+    assert calls == ["local[2]"]
+    assert interp.ctx is not old_ctx
+    assert interp.ctx.conf.master == "local[2]"
+    # carried state
+    assert interp.ctx.env["K"] == "V"
+    assert interp.ctx.secrets["tok"] == "s3cr3t-x"
+    assert interp.ctx.conf.num_rows == 9
+    # same master again: no second restart
+    interp.execute("%conf master=local[2]")
+    assert calls == ["local[2]"]
+
+
+def test_conf_master_library_mode_no_restart(interp):
+    """Library sessions only record the master (documented deviation)."""
+    old_ctx = interp.ctx
+    interp.execute("%conf master=local[3]")
+    assert interp.ctx is old_ctx
+    assert interp.ctx.conf.master == "local[3]"

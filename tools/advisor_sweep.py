@@ -33,7 +33,13 @@ by a partial-agg'd count + LEFT SEMI join BEFORE collection (the
 group never sees a hot shingle's rows; plan-asserted in
 `test_plans.py`), the shape that runs the shingling scalar work
 exactly once;
-`s11_cluster_sample` many-shuffles counts the n_clusters-row quota
+`global-window` (info) findings in `s10_hybrid_rrf` (rank over two
+50-row top-k limits), `t34_hist_quantile` (running sum over <= nbins
+histogram rows), and `q85_key_skew_profile` (rank over the per-key
+COUNT table, bounded by key-domain cardinality) are the allowlisted
+bounded shapes — the runtime "WindowExec: No Partition Defined"
+warnings they produce are expected, commented at each site, and not
+scale hazards; `s11_cluster_sample` many-shuffles counts the n_clusters-row quota
 aggregates (8-row exchanges) — the corpus-side work is one
 localCheckpoint'd (vec_id, cluster_id) map (16 B/row, evaluated
 exactly once; a pushed-down join-key isnotnull would otherwise inline

@@ -1,60 +1,117 @@
 """Measure how headline-query wall time scales with data size.
 
-Runs each headline query at sf0.01 and sf0.1 (10× rows) after warmup
-and reports the scaling exponent k where wall ≈ data^k. k ≈ 0-0.3
-means fixed-overhead-dominated at these sizes; k ≈ 1 is linear; k > 1.3
-flags super-linear shapes (quadratic pair blowups, global sorts) that
-would not survive a 100 TB run.
+Times each query (best-of-N, warm) at up to three scale points —
+sf0.01, sf0.1 (driver-generated), and sf1 (replica-shifted 10x of
+sf0.1, built by ``tools/gen_scaled.py``) — and fits the scaling
+exponent k where wall ~ data^k. Two-point fits can hide a quadratic
+term inside fixed overhead; the third point exposes it: for each
+query the report carries the pairwise exponents (k_small: 0.01→0.1,
+k_large: 0.1→1) and the 3-point log-log least-squares k_fit.
+k <= ~0.3 is fixed-overhead-dominated at these sizes, k = 1 linear,
+k > 1.3 flags a super-linear shape (pair blowup, global sort) that
+would not survive a 100 TB run. A healthy query has k_large <= ~1.1:
+at the largest pair the fixed overhead is most amortized, so
+k_large is the most honest upper bound on the asymptotic exponent.
 
-Usage: python tools/scale_probe.py
-Prints one JSON line: {"query": {"small": s, "large": s, "k": x}, ...}
+Usage:
+  python tools/scale_probe.py                 # 2-point, all headline
+  python tools/scale_probe.py --sf1           # 3-point (needs gen_scaled)
+  python tools/scale_probe.py --sf1 q79_interval_range_frame g01_pagerank
+Prints one JSON line:
+  {"query": {"s001": s, "s01": s, "s1": s, "k_small": x,
+             "k_large": x, "k_fit": x}, ...}
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SMALL = "/root/testdata/sf0.01"
-LARGE = "/root/testdata/sf0.1"
-RATIO = 10.0
+POINTS = [
+    ("s001", "/root/testdata/sf0.01", 0.01),
+    ("s01", "/root/testdata/sf0.1", 0.1),
+    ("s1", "/root/repo/.scaledata/sf1", 1.0),
+]
+
+
+def _fit_k(sizes: list[float], times: list[float]) -> float:
+    """Least-squares slope of log(time) on log(size)."""
+    xs = [math.log(s) for s in sizes]
+    ys = [math.log(max(t, 1e-3)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
 
 
 def main() -> int:
-    import math
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", action="store_true",
+                    help="include the replica-shifted sf1 point")
+    ap.add_argument("--best-of", type=int, default=2)
+    ap.add_argument("queries", nargs="*",
+                    help="subset of headline queries (default: all)")
+    args = ap.parse_args()
 
     from arc_jupyter_spark.session import build_session
     from arc_jupyter_spark.workloads import queries
     from bench import HEADLINE
 
+    points = POINTS if args.sf1 else POINTS[:2]
+    if args.sf1 and not os.path.isdir(POINTS[2][1]):
+        print(f"missing {POINTS[2][1]}; run tools/gen_scaled.py first",
+              file=sys.stderr)
+        return 1
+
+    names = args.queries or list(HEADLINE)
     spark = build_session(app_name="scale-probe")
     qs = queries()
 
-    # warm every plan shape at both sizes
-    for sf in (SMALL, LARGE):
-        for name in HEADLINE:
+    # warm every plan shape at every size
+    for _, sf, _r in points:
+        for name in names:
             qs[name](spark, sf).collect()
 
     out: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
-        times = {}
-        for label, sf in (("small", SMALL), ("large", LARGE)):
+    for name in names:
+        times: list[float] = []
+        rec: dict[str, float] = {}
+        for label, sf, _r in points:
             best = None
-            for _ in range(2):
+            for _ in range(args.best_of):
                 t0 = time.perf_counter()
                 qs[name](spark, sf).collect()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            times[label] = round(best, 3)
-        k = math.log(max(times["large"], 1e-3) / max(times["small"], 1e-3)) / math.log(RATIO)
-        out[name] = {**times, "k": round(k, 2)}
+            rec[label] = round(best, 3)
+            times.append(best)
+        sizes = [r for _, _, r in points]
+        rec["k_small"] = round(
+            math.log(max(times[1], 1e-3) / max(times[0], 1e-3))
+            / math.log(sizes[1] / sizes[0]),
+            2,
+        )
+        if len(points) == 3:
+            rec["k_large"] = round(
+                math.log(max(times[2], 1e-3) / max(times[1], 1e-3))
+                / math.log(sizes[2] / sizes[1]),
+                2,
+            )
+            rec["k_fit"] = round(_fit_k(sizes, times), 2)
+        out[name] = rec
 
     print(json.dumps(out))
-    worst = max(out.items(), key=lambda kv: kv[1]["k"])
-    print(f"# worst scaling: {worst[0]} k={worst[1]['k']}", file=sys.stderr)
+    key = "k_large" if len(points) == 3 else "k_small"
+    worst = max(out.items(), key=lambda kv: kv[1][key])
+    print(f"# worst scaling ({key}): {worst[0]} {key}={worst[1][key]}",
+          file=sys.stderr)
     return 0
 
 
