@@ -329,16 +329,20 @@ def minhash_candidates(
     )
 
 
-def jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_len: int = 3,
-    threshold: float = 0.5,
-    block_col: str | None = None,
-    max_doc_freq: int | None = None,
+    shingle_len: int,
+    block_col: str | None,
+    max_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """Shared pair-evidence core for :func:`jaccard_pairs` and
+    :func:`containment_pairs` → ``(id_a, id_b, _inter, _na, _nb)``:
+    the distinct-shingle intersection size and both documents'
+    distinct-shingle counts, for every pair sharing >= 1 surviving
+    shingle. All scale/skew notes below describe THIS core; the public
+    wrappers only differ in the final ratio.
 
     Scale shape: explode distinct shingles, equi-join on the shingle
     value (plus ``block_col``) so intersection sizes come from a
@@ -471,20 +475,77 @@ def jaccard_pairs(
             )
             .groupBy("id_a", "id_b")
         )
-    return (
-        paired.agg(
-            F.count(F.lit(1)).alias("_inter"),
-            # _n is constant per doc — first() is deterministic
-            F.first(F.col("p.a.n")).alias("_na"),
-            F.first(F.col("p.b.n")).alias("_nb"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return paired.agg(
+        F.count(F.lit(1)).alias("_inter"),
+        # _n is constant per doc — first() is deterministic
+        F.first(F.col("p.a.n")).alias("_na"),
+        F.first(F.col("p.b.n")).alias("_nb"),
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs →
+    ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+
+    ``jaccard = |A ∩ B| / |A ∪ B|`` over distinct word shingles; the
+    symmetric whole-document near-dup metric. See
+    :func:`_pair_intersections` for the shuffle/skew design (posting
+    lists, df pruning, the ``max_doc_freq`` stop-shingle cap).
+    """
+    counts = _pair_intersections(
+        df, id_col, text_col, shingle_len, block_col, max_doc_freq
+    )
+    return counts.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("_inter")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 8,
+    threshold: float = 0.6,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs →
+    ``(id_a, id_b, containment)`` with ``containment >= threshold``.
+
+    ``containment = |A ∩ B| / min(|A|, |B|)`` over distinct word
+    shingles — the SUB-document duplication signal Jaccard misses: a
+    short document pasted verbatim inside a long one scores ~1.0 here
+    but near 0 on Jaccard (the union is dominated by the long side).
+    With a long shingle length (default 8 words) a high containment
+    is shared-substring evidence, the distributed stand-in for the
+    suffix-array exact-substring dedup of RefinedWeb-style pipelines
+    (broadcast suffix arrays don't shard; shared fixed-length windows
+    do). Same posting-list core as :func:`jaccard_pairs` — see
+    :func:`_pair_intersections`.
+    """
+    counts = _pair_intersections(
+        df, id_col, text_col, shingle_len, block_col, max_doc_freq
+    )
+    return counts.select(
+        "id_a",
+        "id_b",
+        (F.col("_inter") / F.least(F.col("_na"), F.col("_nb"))).alias(
+            "containment"
+        ),
+    ).where(F.col("containment") >= threshold)
 
 
 def _union_find_labels(edge_rows: list[tuple]) -> list[tuple]:

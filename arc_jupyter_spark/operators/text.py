@@ -515,6 +515,69 @@ def smoothed_bigram_score(
     )
 
 
+def dsir_importance(
+    target_df,
+    raw_df,
+    id_col: str,
+    text_col: str,
+    buckets: int = 4096,
+):
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    public) — score each RAW document by how target-like its hashed
+    bigram distribution is, so a pretraining mixture can resample raw
+    data toward a target domain. Returns
+    ``(id, sum_ratio_e6, n_bigrams)``; callers rank on the mean.
+
+    Integer-exact surrogate: DSIR's per-feature log-ratio
+    ``log p_target(b)/p_raw(b)`` is replaced by the scaled integer
+    ratio ``((n_target(b) + 1) * 1e6) DIV (n_raw(b) + 1)`` summed per
+    document (add-one smoothed, monotone in the same direction;
+    documented deviation — sums of ratios rank slightly differently
+    than sums of logs, but every value is a BIGINT and therefore
+    partition- and engine-exact). Features are bigrams hashed into
+    ``buckets`` buckets with the portable md5-based
+    :func:`~arc_jupyter_spark.operators.dedup.base_hash28` (NOT
+    murmur3 ``hash()`` — oracles must reproduce it).
+
+    Scale shape: the two bucket-count tables are partial-aggregated
+    to at most ``buckets`` rows each and broadcast into the raw
+    bigram stream; the corpus shuffles once, for the per-document
+    sum. n_raw(b) >= 1 for every scored occurrence by construction
+    (the occurrence itself is counted), so the divisor never
+    degenerates.
+    """
+    from arc_jupyter_spark.operators.dedup import base_hash28
+
+    def bucketed(df):
+        occ = _bigram_occurrences(df, id_col, text_col)
+        return occ.select(
+            id_col,
+            (
+                base_hash28(F.concat_ws("|", F.col("w1"), F.col("w2")))
+                % F.lit(buckets)
+            ).alias("_b"),
+        )
+
+    n_target = (
+        bucketed(target_df).groupBy("_b").agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    n_raw = (
+        bucketed(raw_df).groupBy("_b").agg(F.count(F.lit(1)).alias("_nr"))
+    )
+    charge = F.expr("((COALESCE(_nt, 0) + 1) * 1000000) DIV (_nr + 1)")
+    return (
+        bucketed(raw_df)
+        .join(F.broadcast(n_target), "_b", "left")
+        .join(F.broadcast(n_raw), "_b", "inner")
+        .groupBy(id_col)
+        .agg(
+            F.sum(charge).alias("sum_ratio_e6"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 # PII shapes that behave identically in Java regex (Spark) and RE2
 # (DuckDB) — ASCII classes only, no backreferences or lookarounds.
 PII_PATTERNS: dict[str, str] = {

@@ -4474,3 +4474,137 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------
+# d17 — shared-substring containment pairs (sub-document duplication).
+# Jaccard (d03) misses a short document pasted inside a long one (the
+# union is dominated by the long side); containment
+# |A∩B| / min(|A|,|B|) over LONG (8-word) shingles is the distributed
+# stand-in for suffix-array exact-substring dedup (RefinedWeb-style):
+# shared fixed-length windows shard, suffix arrays don't. Same
+# posting-list core as d03 (df-pruned, stop-shingle capped, digest
+# joins) — see operators/dedup.py:_pair_intersections.
+# --------------------------------------------------------------------
+
+_D17_W = 8
+_D17_MAX_DF = 50
+
+D17_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({_duck_shingles(_D17_W)}) AS s FROM t
+),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+dfreq AS (SELECT sg, COUNT(*) AS df FROM ex GROUP BY sg),
+ex2 AS (
+  SELECT e.doc_id, e.sg
+  FROM ex e JOIN dfreq d USING (sg)
+  WHERE d.df BETWEEN 2 AND {_D17_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+  FROM ex2 a JOIN ex2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT i.id_a, i.id_b,
+       CAST(FLOOR(CAST(i.ninter AS DOUBLE) / LEAST(sa.n, sb.n)
+                  * 1000000 + 0.5) AS BIGINT) AS containment_e6
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.ninter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@query("d17_containment_pairs", oracle=D17_ORACLE)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=_D17_W,
+        threshold=0.5,
+        max_doc_freq=_D17_MAX_DF,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("containment") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("containment_e6"),
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------
+# t38 — DSIR importance weights (Xie et al., public): rank the
+# non-English slice of the corpus by how English-target-like its
+# hashed-bigram distribution is — the importance-resampling signal a
+# pretraining mixture uses to upweight target-domain-like raw data.
+# Integer surrogate ratio ((n_target+1)*1e6) DIV (n_raw+1) summed per
+# doc; buckets via the portable md5 hash (base_hash28 % 4096), which
+# the oracle reproduces exactly.
+# --------------------------------------------------------------------
+
+_T38_BUCKETS = 4096
+_DUCK_BIGRAMS = (
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "j -> toks[j] || '|' || toks[j + 1])"
+)
+
+T38_ORACLE = f"""
+WITH tgt AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE lang = 'en'
+),
+raw AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE lang <> 'en'
+),
+bt AS (
+  SELECT ('0x' || substr(md5(bg), 1, 7))::BIGINT % {_T38_BUCKETS} AS b
+  FROM (SELECT unnest({_DUCK_BIGRAMS}) AS bg FROM tgt WHERE len(toks) >= 2)
+),
+nt AS (SELECT b, COUNT(*) AS _nt FROM bt GROUP BY b),
+bro AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(bg), 1, 7))::BIGINT % {_T38_BUCKETS} AS b
+  FROM (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bg
+        FROM raw WHERE len(toks) >= 2)
+),
+nr AS (SELECT b, COUNT(*) AS _nr FROM bro GROUP BY b),
+scored AS (
+  SELECT o.doc_id,
+         CAST(SUM((COALESCE(t._nt, 0) + 1) * 1000000 // (r._nr + 1))
+              AS BIGINT) AS sum_ratio_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bro o
+  LEFT JOIN nt t USING (b)
+  JOIN nr r USING (b)
+  GROUP BY o.doc_id
+)
+SELECT doc_id, sum_ratio_e6, n_bigrams
+FROM scored
+ORDER BY CAST(sum_ratio_e6 AS DOUBLE) / n_bigrams DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("t38_dsir_importance", oracle=T38_ORACLE)
+def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    scored = text.dsir_importance(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        "doc_id",
+        "text",
+        buckets=_T38_BUCKETS,
+    )
+    return scored.orderBy(
+        (F.col("sum_ratio_e6").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    ).limit(20)

@@ -922,3 +922,50 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+# --------------------------------------------------------------------
+# st13 — streaming deduplication via dropDuplicatesWithinWatermark
+# (Spark 3.5+/4 typed streaming dedup — keeps the first row per key,
+# evicting key state once the watermark passes it, so state stays
+# bounded on an unbounded stream). The preview uses a delay larger
+# than the fixture's event-time span, so no state evicts and no row
+# is late: the emitted key set is then exactly the global distinct
+# (user_id, event_type) set REGARDLESS of how the file source batches
+# — deterministic and oracle-checkable. Eviction/late-drop behaviour
+# itself is st11's subject. Only keys are emitted (which duplicate
+# survives is batch-order dependent; the key set is not).
+# --------------------------------------------------------------------
+
+ST13_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("st13_stream_dedup", oracle=ST13_ORACLE)
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_type", "user_id")
+    )
+    name = f"st13_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )

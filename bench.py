@@ -36,6 +36,7 @@ HEADLINE = [
     "d08_span_dedup",
     "d09_keep_best_dedup",
     "d11_passage_dedup",
+    "d17_containment_pairs",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",
@@ -58,6 +59,7 @@ HEADLINE = [
     "q79_interval_range_frame",
     "t29_weighted_sample",
     "t30_hll_shards",
+    "t38_dsir_importance",
     "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",

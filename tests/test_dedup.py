@@ -466,3 +466,35 @@ def test_connected_components_distributed_long_chain(spark):
     dist = dedup.connected_components(pairs, driver_threshold=0)
     got = {r["node"]: r["label"] for r in dist.collect()}
     assert got == {n: 0 for n in range(13)}
+
+
+def test_containment_detects_subdocument(spark):
+    """A short doc pasted inside a long one: containment ~1.0 while
+    jaccard stays small — the signal the operator exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "intro words here now " + short + " then lots of trailing filler "
+        "tokens one two three four five six seven eight nine ten"
+    )
+    df = spark.createDataFrame([(1, short), (2, long)], ["id", "text"])
+    cont = dedup.containment_pairs(
+        df, "id", "text", shingle_len=3, threshold=0.9
+    ).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = dedup.jaccard_pairs(
+        df, "id", "text", shingle_len=3, threshold=0.0
+    ).collect()
+    assert jac[0]["jaccard"] < 0.2
+
+
+def test_containment_capped_and_uncapped_agree(spark):
+    df = docs_df(spark)
+    def rows(cap):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["containment"], 9))
+            for r in dedup.containment_pairs(
+                df, "id", "text", shingle_len=2, threshold=0.0,
+                max_doc_freq=cap,
+            ).collect()
+        )
+    assert rows(None) == rows(10_000)

@@ -339,3 +339,12 @@ def test_connected_components_distributed_empty(spark):
     out = dedup.connected_components(edges, driver_threshold=0)
     assert out.columns == ["node", "label"]
     assert out.count() == 0
+
+
+def test_containment_pairs_empty_both_paths(empty_docs):
+    for cap in (None, 50):
+        out = dedup.containment_pairs(
+            empty_docs, "doc_id", "text", shingle_len=2, max_doc_freq=cap
+        )
+        assert out.count() == 0
+        assert out.columns == ["id_a", "id_b", "containment"]

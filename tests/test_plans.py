@@ -747,3 +747,23 @@ def test_s15_hard_negatives_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
     assert plan.count("Window") >= 1
+
+
+def test_d17_no_cartesian_semi_prune(spark):
+    plan = plan_of(spark, "d17_containment_pairs")
+    assert "CartesianProduct" not in plan
+    # same pre-collection df prune as d03 (partial-agg count + LEFT
+    # SEMI before the posting-list collect); no count window
+    assert "Window" not in plan
+    assert "LeftSemi" in plan and "<= 50" in plan
+    assert "size(lst" not in plan
+
+
+def test_t38_models_broadcast_corpus_shuffles_once(spark):
+    plan = plan_of(spark, "t38_dsir_importance")
+    # the two bucket-count model tables must broadcast into the raw
+    # bigram stream; the only hash exchanges are the model aggregates
+    # and the final per-doc sum — never a corpus-sized join shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -458,3 +458,26 @@ def test_st12_stream_assignment_equals_batch(spark):
         .collect()
     }
     assert out == want
+
+
+def test_st13_stream_dedup_matches_batch_distinct(spark):
+    """Streaming dropDuplicatesWithinWatermark with an over-span delay
+    must emit exactly the batch-distinct key set."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.workloads import queries
+    from arc_jupyter_spark.workloads.base import read_events
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["event_type"], r["n_users"])
+        for r in queries()["st13_stream_dedup"](spark, SF_DIR).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in read_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -311,3 +311,62 @@ def test_smoothed_bigram_score_short_docs_excluded(spark):
     train = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     score = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
     assert smoothed_bigram_score(train, score, "doc_id", "text").count() == 0
+
+
+def test_dsir_importance_favors_targetlike(spark):
+    """Docs sharing the target's bigrams must outrank docs that don't:
+    the target-frequency numerator raises their per-occurrence ratio."""
+    from arc_jupyter_spark.operators.text import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat ran")],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(1, "the cat sat quietly"), (2, "zq xv qqq zzz www vvv")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance(target, raw, "doc_id", "text").collect()
+    }
+    mean_1 = rows[1]["sum_ratio_e6"] / rows[1]["n_bigrams"]
+    mean_2 = rows[2]["sum_ratio_e6"] / rows[2]["n_bigrams"]
+    assert mean_1 > mean_2
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 5
+
+
+def test_dsir_importance_exact_charges(spark):
+    """Hand-computed charges on a bucket-collision-free example:
+    charge = ((n_target(b)+1)*1e6) DIV (n_raw(b)+1)."""
+    from arc_jupyter_spark.operators.text import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100, "a b a b")], ["doc_id", "text"]
+    )  # target bigrams: (a,b)x2, (b,a)x1
+    raw = spark.createDataFrame(
+        [(1, "a b c")], ["doc_id", "text"]
+    )  # raw bigrams: (a,b), (b,c) — each raw bucket count 1
+    [r] = dsir_importance(target, raw, "doc_id", "text").collect()
+    # (a,b): ((2+1)*1e6) DIV (1+1) = 1_500_000
+    # (b,c): ((0+1)*1e6) DIV (1+1) =   500_000
+    assert r["n_bigrams"] == 2
+    assert r["sum_ratio_e6"] == 1_500_000 + 500_000
+
+
+def test_dsir_importance_empty_raw(spark):
+    from pyspark.sql import types as T
+
+    from arc_jupyter_spark.operators.text import dsir_importance
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    target = spark.createDataFrame([(1, "a b")], schema=schema)
+    empty = spark.createDataFrame([], schema=schema)
+    out = dsir_importance(target, empty, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "sum_ratio_e6", "n_bigrams"]
