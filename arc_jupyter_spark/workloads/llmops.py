@@ -4557,8 +4557,7 @@ _DUCK_BIGRAMS = (
     "j -> toks[j] || '|' || toks[j + 1])"
 )
 
-T38_ORACLE = f"""
-WITH tgt AS (
+_T38_CTES = f"""tgt AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE lang = 'en'
 ),
 raw AS (
@@ -4586,6 +4585,10 @@ scored AS (
   JOIN nr r USING (b)
   GROUP BY o.doc_id
 )
+"""
+
+T38_ORACLE = f"""
+WITH {_T38_CTES}
 SELECT doc_id, sum_ratio_e6, n_bigrams
 FROM scored
 ORDER BY CAST(sum_ratio_e6 AS DOUBLE) / n_bigrams DESC, doc_id
@@ -4608,3 +4611,84 @@ def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_ratio_e6").cast("double") / F.col("n_bigrams")).desc(),
         "doc_id",
     ).limit(20)
+
+
+# --------------------------------------------------------------------
+# p09 — DSIR importance RESAMPLING (the second half of Xie et al.:
+# t38 computes the weights; this pipeline actually selects). Each
+# non-English doc's acceptance percentage is its mean importance
+# ratio scaled to [0, 100] (mean_e6 DIV 10_000, capped), and a
+# deterministic md5 hash of the doc id plays the uniform draw — so
+# target-like docs are kept proportionally more often, reproducibly
+# (no RNG; the standard hash-as-uniform trick every sampler in this
+# repo uses). Output: per-lang selection profile. Everything integer.
+# --------------------------------------------------------------------
+
+P09_ORACLE = f"""
+WITH {_T38_CTES},
+sel AS (
+  SELECT d.doc_id, d.lang,
+         LEAST(s.sum_ratio_e6 // s.n_bigrams // 10000, 100) AS acc,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % 100 AS draw,
+         s.n_bigrams
+  FROM documents d JOIN scored s USING (doc_id)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN draw < acc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN draw < acc THEN n_bigrams ELSE 0 END)
+            AS BIGINT) AS selected_bigrams
+FROM sel
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("p09_dsir_resample", oracle=P09_ORACLE)
+def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    scored = text.dsir_importance(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        "doc_id",
+        "text",
+        buckets=_T38_BUCKETS,
+    )
+    sel = (
+        spark.table("documents")
+        .join(scored, "doc_id")
+        .select(
+            "lang",
+            "n_bigrams",
+            F.least(
+                F.expr("sum_ratio_e6 DIV n_bigrams DIV 10000"), F.lit(100)
+            ).alias("acc"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string").cast("binary")),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100
+            ).alias("draw"),
+        )
+    )
+    keep = F.col("draw") < F.col("acc")
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("bigint")).alias("n_selected"),
+            F.sum(
+                F.when(keep, F.col("n_bigrams")).otherwise(0)
+            ).alias("selected_bigrams"),
+        )
+        .orderBy("lang")
+    )

@@ -1893,6 +1893,13 @@ GROUP BY len ORDER BY len
 @query("q70_recursive_chains", oracle=Q70_ORACLE)
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders")
+    # cteRecursionRowLimit is a runaway-recursion safety valve, not a
+    # result limit; the chain walk accumulates O(|orders|) rows total
+    # (every order appears in at most one chain suffix), so the 1M
+    # default rejects the query above ~sf0.5 even though the
+    # recursion terminates. Size it to the data like a deployment
+    # would (sticky on the session — it only raises a guard).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = spark.table("orders").select(
         "o_orderkey",
@@ -2506,4 +2513,61 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key_value").cast("bigint").alias("key_sum"),
         )
         .orderBy("l_returnflag", "key_kind")
+    )
+
+
+# --------------------------------------------------------------------
+# q89 — SCD2 validity intervals (warehouse slowly-changing-dimension
+# build): per user, each event opens a validity interval [ts, next_ts)
+# closed by that user's NEXT event (LEAD over (ts, event_id) — the
+# event_id tiebreak makes equal-timestamp ordering deterministic in
+# both engines); the last interval stays open. Profile per opening
+# event_type: interval counts, open count, total closed duration in
+# exact integer MICROSECONDS (unix_micros/epoch_us — second-level
+# truncation could disagree across engines, microsecond arithmetic
+# cannot). One shuffle (the user window); the aggregate is
+# partial-agg'd counters.
+# --------------------------------------------------------------------
+
+Q89_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                     THEN epoch_us(valid_to) - epoch_us(ts)
+                     ELSE 0 END) AS BIGINT) AS closed_us
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q89_scd2_intervals", oracle=Q89_ORACLE)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("events").withColumn(
+        "valid_to", F.lead("ts").over(w)
+    )
+    closed = F.when(
+        F.col("valid_to").isNotNull(),
+        F.unix_micros("valid_to") - F.unix_micros("ts"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(
+                F.col("valid_to").isNull().cast("bigint")
+            ).alias("n_open"),
+            F.sum(closed).alias("closed_us"),
+        )
+        .orderBy("event_type")
     )

@@ -83,6 +83,7 @@ HEADLINE = [
     "t36_bpe_pairs",
     "s12_mmr_rerank",
     "q88_unpivot",
+    "q89_scd2_intervals",
     "g03_label_propagation",
     "s13_kmeans_step",
     "g04_bfs_frontier",
@@ -90,6 +91,7 @@ HEADLINE = [
     "s14_kmeans_train",
     "g05_distributed_cc",
     "p08_semantic_curation",
+    "p09_dsir_resample",
     "s15_hard_negatives",
 ]
 

@@ -253,3 +253,49 @@ def test_asof_join_rejects_gapless_on():
         joins.asof_join(left, right, on="t", by="k", tolerance=1.0)
     with pytest.raises(ValueError, match="tolerance/nearest"):
         joins.asof_join(left, right, on="t", by="k", direction="nearest")
+
+
+def test_q89_scd2_intervals_hand_example(spark):
+    """Tiny SCD2 fixture: intervals close at the user's next event,
+    the last stays open, durations are exact microseconds."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a"),
+        (2, "2024-01-01 10:00:10", 7, "b"),
+        (3, "2024-01-01 10:01:10", 7, "a"),
+        (4, "2024-01-01 09:00:00", 8, "b"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    ).createOrReplaceTempView("q89_fixture")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("q89_fixture").withColumn(
+        "valid_to", F.lead("ts").over(w)
+    )
+    closed = F.when(
+        F.col("valid_to").isNotNull(),
+        F.unix_micros("valid_to") - F.unix_micros("ts"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    got = {
+        r["event_type"]: (r["n_intervals"], r["n_open"], r["closed_us"])
+        for r in seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("valid_to").isNull().cast("bigint")).alias("n_open"),
+            F.sum(closed).alias("closed_us"),
+        )
+        .collect()
+    }
+    # user 7: a@10:00:00 closed by b (+10s), b@10:00:10 closed by a
+    # (+60s), a@10:01:10 open; user 8: b open
+    assert got["a"] == (2, 1, 10_000_000)
+    assert got["b"] == (2, 1, 60_000_000)

@@ -767,3 +767,18 @@ def test_t38_models_broadcast_corpus_shuffles_once(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q89_single_window_exchange(spark):
+    plan = plan_of(spark, "q89_scd2_intervals")
+    # one hash exchange for the user window; the profile aggregate is
+    # partial-agg'd counters (no second data-sized shuffle)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial" in plan.lower()
+
+
+def test_p09_models_broadcast(spark):
+    plan = plan_of(spark, "p09_dsir_resample")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

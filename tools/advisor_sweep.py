@@ -26,7 +26,7 @@ the allowlisted 1-row histogram-total crossJoin and its shuffles move
 at most shards x nbins counter rows; `q82_exact_median` many-shuffles
 is the two-pass histogram-narrowed plan whose post-histogram shuffles
 move only counters and the single target bin's rows — the trade that
-REMOVES the full-table sort; `d03_ngram_jaccard` unbounded-collect is
+REMOVES the full-table sort; `d03_ngram_jaccard` / `d17_containment_pairs` unbounded-collect is
 the posting-list pair generation whose `collect_list` input is
 pre-pruned to at most `max_doc_freq` rows per (block, shingle) group
 by a partial-agg'd count + LEFT SEMI join BEFORE collection (the
