@@ -578,6 +578,61 @@ def dsir_importance(
     )
 
 
+def vocab_growth(
+    df,
+    id_col: str,
+    text_col: str,
+    shards: int = 8,
+):
+    """Heaps-law vocabulary growth curve → one row per shard
+    ``(shard, n_tokens, vocab_new, vocab_cum)``: how many NEW distinct
+    words each successive corpus shard contributes if ingested in
+    shard order — the tokenizer-budget / corpus-diversity diagnostic
+    (vocabulary that keeps growing linearly signals unbounded token
+    sprawl; flattening means coverage).
+
+    Determinism: shards are a portable md5 hash of the doc id (1-based
+    so the curve reads naturally); a word's contributing shard is the
+    MINIMUM shard that contains it — an aggregate, not an ingest-order
+    scan, so the curve is a pure function of the corpus. The
+    cumulative sum runs over the ``shards``-row profile (bounded
+    domain — the unpartitioned window is deliberate and cannot grow
+    with data).
+
+    Scale shape: one shuffle of (word) for the min-shard vocabulary
+    aggregate (partial-agg'd map-side), one count per shard for
+    token totals; everything else operates on ``shards`` rows.
+    """
+    from pyspark.sql import Window
+
+    from arc_jupyter_spark.operators.dedup import base_hash28
+
+    shard = (
+        base_hash28(F.col(id_col).cast("string")) % F.lit(shards) + 1
+    ).alias("shard")
+    occ = df.select(shard, F.explode(tokens(F.col(text_col))).alias("w"))
+    tokens_by = occ.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    first = occ.groupBy("w").agg(F.min("shard").alias("shard"))
+    new_by = first.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("vocab_new")
+    )
+    # unpartitioned running sum over <= `shards` rows (bounded domain;
+    # the "WindowExec: No Partition Defined" warning is expected here)
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_by.join(new_by, "shard", "left")
+        .select(
+            "shard",
+            "n_tokens",
+            F.coalesce(F.col("vocab_new"), F.lit(0)).alias("vocab_new"),
+        )
+        .withColumn("vocab_cum", F.sum("vocab_new").over(w))
+        .orderBy("shard")
+    )
+
+
 # PII shapes that behave identically in Java regex (Spark) and RE2
 # (DuckDB) — ASCII classes only, no backreferences or lookarounds.
 PII_PATTERNS: dict[str, str] = {

@@ -4692,3 +4692,46 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------
+# t39 — Heaps-law vocabulary growth curve (operators/text.py
+# vocab_growth): new-vs-cumulative distinct words per md5 doc shard —
+# the tokenizer-budget diagnostic. A word's contributing shard is the
+# MIN shard containing it (an aggregate — ingest-order-free); the
+# cumulative sum runs over the 8-row profile (bounded-domain window,
+# deliberately unpartitioned).
+# --------------------------------------------------------------------
+
+_T39_SHARDS = 8
+
+T39_ORACLE = f"""
+WITH occ AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+           % {_T39_SHARDS} + 1 AS shard,
+         unnest({_DUCK_TOKS}) AS w
+  FROM documents
+),
+tokens_by AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM occ GROUP BY shard
+),
+first AS (SELECT w, MIN(shard) AS shard FROM occ GROUP BY w),
+new_by AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS vocab_new FROM first GROUP BY shard
+)
+SELECT t.shard, t.n_tokens,
+       CAST(COALESCE(n.vocab_new, 0) AS BIGINT) AS vocab_new,
+       CAST(SUM(COALESCE(n.vocab_new, 0))
+            OVER (ORDER BY t.shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_cum
+FROM tokens_by t LEFT JOIN new_by n USING (shard)
+ORDER BY t.shard
+"""
+
+
+@query("t39_vocab_growth", oracle=T39_ORACLE)
+def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    return text.vocab_growth(docs, "doc_id", "text", shards=_T39_SHARDS)

@@ -60,6 +60,7 @@ HEADLINE = [
     "t29_weighted_sample",
     "t30_hll_shards",
     "t38_dsir_importance",
+    "t39_vocab_growth",
     "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",

@@ -370,3 +370,39 @@ def test_dsir_importance_empty_raw(spark):
     out = dsir_importance(target, empty, "doc_id", "text")
     assert out.count() == 0
     assert out.columns == ["doc_id", "sum_ratio_e6", "n_bigrams"]
+
+
+def test_vocab_growth_matches_python(spark):
+    """vocab_growth == a pure-Python recompute: md5 shards, min-shard
+    word attribution, cumulative = total distinct so far."""
+    import hashlib
+
+    from arc_jupyter_spark.operators.text import vocab_growth
+
+    rows = [(i, f"w{i % 3} common tok{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r["shard"], r["n_tokens"], r["vocab_new"], r["vocab_cum"])
+        for r in vocab_growth(df, "doc_id", "text", shards=3).collect()
+    ]
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 3 + 1
+
+    occ = []
+    for i, t in rows:
+        occ.extend((shard_of(i), w) for w in t.lower().split())
+    toks = {}
+    first = {}
+    for s, w in occ:
+        toks[s] = toks.get(s, 0) + 1
+        first[w] = min(first.get(w, s), s)
+    new = {}
+    for w, s in first.items():
+        new[s] = new.get(s, 0) + 1
+    cum, want = 0, []
+    for s in sorted(toks):
+        cum += new.get(s, 0)
+        want.append((s, toks[s], new.get(s, 0), cum))
+    assert got == want
+    assert got[-1][3] == len(first)

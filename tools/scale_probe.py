@@ -80,7 +80,16 @@ def main() -> int:
             qs[name](spark, sf).collect()
 
     out: dict[str, dict[str, float]] = {}
+    import gc
+
     for name in names:
+        # drop dead DataFrames' (local)checkpoint blocks between
+        # queries: across a 70+-query sweep at sf1 they otherwise
+        # accumulate in storage memory and the resulting GC/eviction
+        # pressure inflated later queries up to 8x (q54: 20.1s under
+        # pressure vs 2.56s fresh — measured round 5)
+        gc.collect()
+        spark.catalog.clearCache()
         times: list[float] = []
         rec: dict[str, float] = {}
         for label, sf, _r in points:
