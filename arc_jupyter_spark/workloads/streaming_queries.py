@@ -925,16 +925,17 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# st13 — streaming deduplication via dropDuplicatesWithinWatermark
-# (Spark 3.5+/4 typed streaming dedup — keeps the first row per key,
-# evicting key state once the watermark passes it, so state stays
-# bounded on an unbounded stream). The preview uses a delay larger
-# than the fixture's event-time span, so no state evicts and no row
-# is late: the emitted key set is then exactly the global distinct
-# (user_id, event_type) set REGARDLESS of how the file source batches
-# — deterministic and oracle-checkable. Eviction/late-drop behaviour
-# itself is st11's subject. Only keys are emitted (which duplicate
-# survives is batch-order dependent; the key set is not).
+# st13 — EXACTLY-ONCE emission contract of streaming dedup. st05
+# already runs dropDuplicatesWithinWatermark with a realistic 1-hour
+# delay — but must re-distinct the drained sink, because once the
+# watermark evicts a key's state a late duplicate re-emits it. st13
+# pins the complementary contract: with a delay longer than the
+# event-time span NOTHING evicts, so the raw append output carries
+# each (user_id, event_type) key EXACTLY once regardless of how the
+# file source batches — the per-type COUNT(*) over raw sink rows
+# (no distinct guard!) only matches COUNT(DISTINCT user_id) if no key
+# was emitted twice, so the oracle check IS the exactly-once
+# assertion. Eviction/late-drop behaviour itself is st11's subject.
 # --------------------------------------------------------------------
 
 ST13_ORACLE = """

@@ -165,6 +165,12 @@ def main() -> int:
     # best-of-3: this machine shows intermittent multi-second stalls
     # on otherwise-warm queries; a third pass makes the per-query min
     # a stable steady-state number.
+    # NOTE: unlike tools/scale_probe.py, NO per-query gc/clearCache
+    # here — an A/B at round 5 showed it does not help at this data
+    # volume (107.5s with vs 98.3s without, ambient load dominating),
+    # and changing the harness would break the r1→r5 comparability of
+    # the shared-18 subtotal. The accumulated-checkpoint-block artifact
+    # matters at the sf1 sweep's volume, not at sf0.1.
     for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
