@@ -233,10 +233,11 @@ def label_propagation(
     Scale shape: per round, ONE shuffle join of the 16 B/row label
     state onto edges (AQE broadcasts the label table only while it is
     genuinely small), one partial-agg'd ``groupBy(node, label)``
-    count, and one per-node window argmax whose input is already
-    partitioned by ``node`` from the count's exchange — Catalyst
-    reuses that partitioning, so the window adds a sort but no extra
-    exchange. Label state is two BIGINTs per node; the corpus/payload
+    count, and one per-node sort-free ``max_by`` argmax (struct
+    key ``(n, -label)`` — total order, so most-frequent with
+    smallest-label tiebreak) whose input is already partitioned by
+    ``node`` from the count's exchange — Catalyst reuses that
+    partitioning, so the argmax adds neither a sort nor an exchange. Label state is two BIGINTs per node; the corpus/payload
     never moves. Lineage growth is truncated across rounds via the session's
     checkpoint strategy (``checkpoint.materialize`` — flip
     ``spark.arc.checkpoint.mode=reliable`` for cluster fault tolerance).
@@ -245,8 +246,6 @@ def label_propagation(
     (`README.md:1` positions it as notebook ETL); this extends the
     corpus-forensics family alongside :func:`pagerank`.
     """
-    from pyspark.sql import Window
-
     # lazy checkpoints: the final action materializes e/nodes once and
     # every round reuses the pinned blocks — no separate eager jobs
     # (the g01 job-overhead lesson; see pagerank above)
@@ -259,7 +258,6 @@ def label_propagation(
         .transform(materialize_lazy)
     )
     labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
     for i in range(iterations):
         counts = (
             e.join(labels, e.src == labels.node, "inner")
@@ -267,10 +265,17 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+        # argmax by (count DESC, label ASC) as a sort-free max_by over
+        # struct(n, -label): lexicographic struct comparison gives the
+        # most frequent label with smallest-label tiebreak, and -label
+        # makes the key total (no equal structs — max_by is then
+        # deterministic). Replaces a row_number window whose per-node
+        # sort cost a full extra sort stage per round; the second
+        # groupBy reuses the count's hash partitioning on `node`.
+        best = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
         # isolated nodes (none here: every node of an undirected edge
         # set has an in-edge) keep their current label

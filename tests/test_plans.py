@@ -657,14 +657,15 @@ def test_s13_kmeans_step_shape(spark):
 def test_g03_label_propagation_shape(spark):
     """LPA rounds: equi-joins only (no cartesian / nested-loop), the
     neighbour-label counts partial-aggregate before their exchange,
-    the per-node argmax uses the rank-limit pushdown
-    (WindowGroupLimit partial+final — per-task top-1, not a full
-    window buffer), and the community report is TakeOrdered."""
+    the per-node argmax is a SORT-FREE max_by hash aggregate over the
+    total (n, -label) struct key (replaced the row_number window —
+    its per-node sort cost a full extra sort stage per round), and
+    the community report is TakeOrdered."""
     plan = plan_of(spark, "g03_label_propagation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
-    assert plan.count("WindowGroupLimit") >= 2
+    assert "max_by" in plan and "Window" not in plan
     assert "TakeOrderedAndProject" in plan
 
 
