@@ -23,7 +23,16 @@ def _rows(df):
 
 
 @pytest.mark.parametrize(
-    "qname", ["g01_pagerank", "g05_distributed_cc", "s14_kmeans_train"]
+    "qname",
+    [
+        "g01_pagerank",
+        "g05_distributed_cc",
+        "s14_kmeans_train",
+        "g03_label_propagation",
+        "g04_bfs_frontier",
+        "d06_cc_dedup",
+        "q70_recursive_chains",
+    ],
 )
 def test_reliable_checkpoint_result_identical(spark, tmp_path, qname):
     import __spark_entry__ as e
