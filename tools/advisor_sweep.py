@@ -39,7 +39,11 @@ histogram rows), and `q85_key_skew_profile` (rank over the per-key
 COUNT table, bounded by key-domain cardinality) are the allowlisted
 bounded shapes — the runtime "WindowExec: No Partition Defined"
 warnings they produce are expected, commented at each site, and not
-scale hazards; `s11_cluster_sample` many-shuffles counts the n_clusters-row quota
+scale hazards; `p09_dsir_resample` many-shuffles counts the two <=4096-row
+hashed-bucket model aggregates, the per-doc weight sum, the
+weights-back join, and the 5-row language profile — only the weight
+sum and the join move document-count-sized rows (ids + three longs),
+never text; `s11_cluster_sample` many-shuffles counts the n_clusters-row quota
 aggregates (8-row exchanges) — the corpus-side work is one
 localCheckpoint'd (vec_id, cluster_id) map (16 B/row, evaluated
 exactly once; a pushed-down join-key isnotnull would otherwise inline
