@@ -84,9 +84,21 @@ def test_example_5_streaming_toggle(interp):
     assert interp.ctx.conf.streaming is False
 
 
+def test_example_5b_master_change_library_mode(interp):
+    """The master-restart block (MIGRATION §5b): a library-mode
+    interpreter records the master without restarting (the kernel
+    restart path is tested in test_interpreter.py)."""
+    cell = _strip(_blocks()[6])
+    assert cell.startswith("%conf master=")
+    old_ctx = interp.ctx
+    interp.execute(cell)
+    assert interp.ctx is old_ctx
+    assert interp.ctx.conf.master == "spark://cluster:7077"
+
+
 def test_example_6_plan_advisor(interp, spark):
     spark.range(10).createOrReplaceTempView("revenue_by_flag")
-    cell = _strip(_blocks()[6])
+    cell = _strip(_blocks()[7])
     assert cell.startswith("%plan")
     res = interp.execute(cell)
     assert "clean" in res.text or "no-pushdown" in res.text
