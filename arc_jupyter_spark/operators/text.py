@@ -633,6 +633,60 @@ def vocab_growth(
     )
 
 
+def calibration_report(
+    df,
+    score: Column,
+    label: Column,
+    bins: int = 8,
+):
+    """Reliability table for a [0,1] classifier score against a 0/1
+    label → one row per score bin
+    ``(bin, n, n_pos, pos_rate_e6, mean_conf_e6, gap_e6)`` — the
+    table a pipeline reads to SET its quality-filter threshold (and
+    the per-bin |accuracy - confidence| gaps whose weighted sum is
+    the expected calibration error).
+
+    Integer-exact: the score is quantized ONCE per row with the
+    repo-standard ``FLOOR(x*1e8 + 0.5)`` (identical IEEE ops in both
+    engines); binning, rates, and gaps are then pure BIGINT
+    arithmetic (truncating DIV), so bin membership cannot flip on
+    summation order or libm differences. ``bins`` must divide 1e8.
+
+    Scale shape: one map-side projection + one partial-aggregated
+    ``groupBy(bin)`` — a ``bins``-row result; nothing else shuffles.
+    """
+    if 100_000_000 % bins:
+        raise ValueError("calibration_report: bins must divide 1e8")
+    width = 100_000_000 // bins
+    q = F.floor(score * F.lit(100_000_000.0) + F.lit(0.5)).cast("bigint")
+    binned = df.select(
+        q.alias("_q"), label.cast("bigint").alias("_y")
+    ).select(
+        # integer bin: _q DIV width, score exactly 1.0 capped into the
+        # top bin (bin count stays `bins`, not bins+1)
+        F.least(
+            F.expr(f"_q DIV {width}"), F.lit(bins - 1).cast("bigint")
+        ).alias("bin"),
+        "_q",
+        "_y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum("_q").alias("_sq"),
+    )
+    pos_rate = F.expr("(n_pos * 1000000) DIV n")
+    conf = F.expr("(_sq DIV n) DIV 100")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        pos_rate.alias("pos_rate_e6"),
+        conf.alias("mean_conf_e6"),
+        F.abs(pos_rate - conf).alias("gap_e6"),
+    ).orderBy("bin")
+
+
 # PII shapes that behave identically in Java regex (Spark) and RE2
 # (DuckDB) — ASCII classes only, no backreferences or lookarounds.
 PII_PATTERNS: dict[str, str] = {

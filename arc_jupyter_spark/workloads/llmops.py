@@ -4735,3 +4735,67 @@ def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "documents")
     docs = dedup._parallelize(spark.table("documents"))
     return text.vocab_growth(docs, "doc_id", "text", shards=_T39_SHARDS)
+
+
+# --------------------------------------------------------------------
+# t40 — quality-filter calibration (operators/text.py
+# calibration_report): the reliability table of the t01 quality score
+# against an "is English" label — the table a pipeline reads to SET
+# its filter threshold, with per-bin |accuracy - confidence| gaps
+# (their weighted sum is the expected calibration error). Score
+# quantized once (FLOOR(x*1e8+0.5), the t01 idiom); everything after
+# is BIGINT arithmetic, so bin membership is engine-exact.
+# --------------------------------------------------------------------
+
+_T40_BINS = 8
+
+T40_ORACLE = f"""
+WITH t AS (
+  SELECT lang, {_DUCK_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(len(toks) AS DOUBLE) AS wc,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr
+  FROM t
+),
+qz AS (
+  SELECT y,
+         CAST(FLOOR((
+           0.5 * LEAST(ln(1 + wc) / ln(1001.0), 1.0)
+           + 0.25 * (1.0 - LEAST(abs(mwl - 5.0) / 5.0, 1.0))
+           + 0.25 * (1.0 - LEAST(pr * 4.0, 1.0))
+         ) * 100000000 + 0.5) AS BIGINT) AS q
+  FROM m
+),
+agg AS (
+  SELECT LEAST(q // {100_000_000 // _T40_BINS}, {_T40_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(q) AS BIGINT) AS sq
+  FROM qz GROUP BY 1
+)
+SELECT bin, n, n_pos,
+       (n_pos * 1000000) // n AS pos_rate_e6,
+       (sq // n) // 100 AS mean_conf_e6,
+       ABS((n_pos * 1000000) // n - (sq // n) // 100) AS gap_e6
+FROM agg ORDER BY bin
+"""
+
+
+@query("t40_quality_calibration", oracle=T40_ORACLE)
+def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = dedup._parallelize(spark.table("documents"))
+    return text.calibration_report(
+        docs,
+        score=text.quality_score(F.col("text")),
+        label=(F.col("lang") == "en"),
+        bins=_T40_BINS,
+    )

@@ -61,6 +61,7 @@ HEADLINE = [
     "t30_hll_shards",
     "t38_dsir_importance",
     "t39_vocab_growth",
+    "t40_quality_calibration",
     "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",

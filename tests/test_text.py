@@ -406,3 +406,36 @@ def test_vocab_growth_matches_python(spark):
         want.append((s, toks[s], new.get(s, 0), cum))
     assert got == want
     assert got[-1][3] == len(first)
+
+
+def test_calibration_report_hand_example(spark):
+    """Two bins' worth of hand-placed scores and labels."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.text import calibration_report
+
+    rows = [  # (score, label): two low-bin rows, two top-bin rows
+        (0.10, 0), (0.15, 1), (0.95, 1), (1.00, 1),
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["pos_rate_e6"],
+                   r["mean_conf_e6"], r["gap_e6"])
+        for r in calibration_report(
+            df, score=F.col("s"), label=F.col("y") == 1, bins=4
+        ).collect()
+    }
+    # bin 0 = [0, .25): n=2, pos=1, rate 500000, conf (12.5e6)/100=125000
+    assert got[0] == (2, 1, 500_000, 125_000, 375_000)
+    # score 1.0 caps into bin 3: n=2, pos=2, conf mean of .95 and 1.0
+    assert got[3] == (2, 2, 1_000_000, 975_000, 25_000)
+
+
+def test_calibration_report_bins_must_divide(spark):
+    import pytest as _pytest
+
+    from arc_jupyter_spark.operators.text import calibration_report
+
+    df = spark.createDataFrame([(0.5, 1)], ["s", "y"])
+    with _pytest.raises(ValueError, match="divide"):
+        calibration_report(df, F.col("s"), F.col("y") == 1, bins=3)
