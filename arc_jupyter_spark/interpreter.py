@@ -84,18 +84,22 @@ def _int(value: str | None, default: int) -> int:
         return default
 
 
-def _default_session_factory(master: str):
-    """Stop the active session and build a fresh one on *master* —
-    the reference's `%conf master` behavior (ArcInterpreter.scala:
+def _default_session_factory(master: str, old_session=None):
+    """Stop *old_session* and build a fresh one on *master* — the
+    reference's `%conf master` behavior (ArcInterpreter.scala:
     520-526). Only invoked when ``restart_on_master_change`` is set
-    (the kernel frontend); tests inject a fake factory instead."""
-    from pyspark.sql import SparkSession
+    (the kernel frontend); tests inject a fake factory instead.
 
+    The interpreter passes its OWN ``ctx.spark`` as *old_session*;
+    stopping ``SparkSession.getActiveSession()`` instead would be
+    wrong in multi-session embedders (the thread-local active session
+    may be a different — or already cleared — session, so the restart
+    would silently return the old JVM session via getOrCreate or stop
+    an unrelated one)."""
     from arc_jupyter_spark.session import build_session
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
+    if old_session is not None:
+        old_session.stop()
     return build_session(master=master)
 
 
@@ -416,10 +420,28 @@ class Interpreter:
         (reference: ArcInterpreter.scala:520-526 — `%conf master`
         tears down the session so the next cell executes on the new
         cluster). Registered temp views do NOT survive: they belong to
-        the old session, exactly as in the reference.
+        the old session, exactly as in the reference. Neither does
+        ``user_data`` (lastView, log_messages): it describes state of
+        the torn-down session. Tracked streaming queries are stopped
+        FIRST — with an injected factory that keeps the JVM alive,
+        they would otherwise keep running untracked after the swap.
+
+        The factory receives ``(master, old_session)`` so it can stop
+        exactly this interpreter's session; legacy single-argument
+        factories (tests predating the contract) still work.
         """
+        import inspect
+
         old = self.ctx
-        spark = self.session_factory(master)
+        old.stop_streams()
+        try:
+            n_params = len(inspect.signature(self.session_factory).parameters)
+        except (TypeError, ValueError):  # builtins / C callables
+            n_params = 2
+        if n_params >= 2:
+            spark = self.session_factory(master, old.spark)
+        else:
+            spark = self.session_factory(master)
         self.ctx = ArcContext(
             spark=spark,
             env=old.env,

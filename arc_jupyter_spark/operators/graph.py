@@ -265,16 +265,18 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        # argmax by (count DESC, label ASC) as a sort-free max_by over
-        # struct(n, -label): lexicographic struct comparison gives the
-        # most frequent label with smallest-label tiebreak, and -label
-        # makes the key total (no equal structs — max_by is then
-        # deterministic). Replaces a row_number window whose per-node
-        # sort cost a full extra sort stage per round; the second
-        # groupBy reuses the count's hash partitioning on `node`.
+        # argmax by (count DESC, label ASC) as a sort-free min_by over
+        # struct(-n, label): lexicographic struct comparison gives the
+        # most frequent label with smallest-label tiebreak, and the
+        # label field makes the key total (no equal structs — min_by
+        # is then deterministic). Negating the COUNT (always a bigint)
+        # rather than the label keeps the key valid for string node
+        # ids too. Replaces a row_number window whose per-node sort
+        # cost a full extra sort stage per round; the second groupBy
+        # reuses the count's hash partitioning on `node`.
         best = counts.groupBy("node").agg(
-            F.max_by(
-                "label", F.struct(F.col("n"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                "label", F.struct((-F.col("n")).alias("nn"), F.col("label"))
             ).alias("label")
         )
         # isolated nodes (none here: every node of an undirected edge

@@ -659,13 +659,29 @@ def calibration_report(
         raise ValueError("calibration_report: bins must divide 1e8")
     width = 100_000_000 // bins
     q = F.floor(score * F.lit(100_000_000.0) + F.lit(0.5)).cast("bigint")
+    # NaN scores must surface, not fold: Spark's non-ANSI double→bigint
+    # cast maps NaN to 0, which would silently place NaN rows in bin 0.
+    # Map them to NULL so they aggregate into one visible NULL-bin row.
+    q = F.when(~F.isnan(score.cast("double")), q)
     binned = df.select(
         q.alias("_q"), label.cast("bigint").alias("_y")
     ).select(
-        # integer bin: _q DIV width, score exactly 1.0 capped into the
-        # top bin (bin count stays `bins`, not bins+1)
-        F.least(
-            F.expr(f"_q DIV {width}"), F.lit(bins - 1).cast("bigint")
+        # integer bin: _q DIV width, clamped into [0, bins-1] — score
+        # exactly 1.0 caps into the top bin (bin count stays `bins`,
+        # not bins+1) and a score < 0 clamps into bin 0 instead of
+        # producing a negative bin row. NaN scores carry a NULL _q and
+        # surface as one NULL-bin row rather than silently folding
+        # into a real bin; the isNotNull guard is required because
+        # Spark's least/greatest SKIP nulls (least(NULL, 3) = 3).
+        F.when(
+            F.col("_q").isNotNull(),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.expr(f"_q DIV {width}"),
+                    F.lit(bins - 1).cast("bigint"),
+                ),
+            ),
         ).alias("bin"),
         "_q",
         "_y",

@@ -311,3 +311,20 @@ def test_trunc_div_matches_spark_div(spark):
     ).collect()
     for r in got:
         assert _trunc_div(r["a"], r["b"]) == r["d"], (r["a"], r["b"])
+
+
+def test_label_propagation_string_node_ids(spark):
+    """The argmax key must stay total for NON-numeric ids: min_by over
+    struct(-n, label) negates the count, not the label, so string ids
+    keep the (count DESC, label ASC) semantics instead of casting to
+    null (ADVICE r5: the earlier -label key assumed numeric ids)."""
+    from arc_jupyter_spark.operators.graph import label_propagation
+
+    tri = lambda p: [
+        (f"{p}{a}", f"{p}{b}") for a in range(3) for b in range(3) if a != b
+    ]
+    edges = spark.createDataFrame(tri("a") + tri("x"), ["src", "dst"])
+    out = {r["node"]: r["label"]
+           for r in label_propagation(edges, iterations=2).collect()}
+    assert out == {"a0": "a0", "a1": "a0", "a2": "a0",
+                   "x0": "x0", "x1": "x0", "x2": "x0"}

@@ -226,3 +226,41 @@ def test_conf_master_library_mode_no_restart(interp):
     interp.execute("%conf master=local[3]")
     assert interp.ctx is old_ctx
     assert interp.ctx.conf.master == "local[3]"
+
+
+def test_conf_master_restart_stops_streams_and_old_session(spark):
+    """ADVICE r5: the restart must (1) stop the interpreter's OWN
+    session via the factory's old_session argument — not whatever
+    getActiveSession() holds — and (2) stop tracked streaming queries
+    BEFORE the context swap, so a JVM-preserving factory cannot leave
+    them running untracked."""
+    from arc_jupyter_spark.context import ArcContext
+    from arc_jupyter_spark.interpreter import Interpreter
+
+    seen = {}
+
+    def fake_factory(master, old_session):
+        seen["master"] = master
+        seen["old"] = old_session
+        return spark
+
+    class FakeQuery:
+        name, id, isActive = "q", "1", True
+
+        def stop(self):
+            self.isActive = False
+            seen["stream_stopped"] = True
+
+    ctx = ArcContext(spark=spark)
+    q = FakeQuery()
+    ctx.track_stream(q)
+    interp = Interpreter(
+        ctx=ctx, restart_on_master_change=True, session_factory=fake_factory
+    )
+    interp.execute("%conf master=local[7]")
+    assert seen["master"] == "local[7]"
+    assert seen["old"] is spark  # the ctx's session, passed explicitly
+    assert seen.get("stream_stopped") is True
+    assert not q.isActive
+    # user_data (lastView, stream registry) does not survive a restart
+    assert "streaming_queries" not in interp.ctx.user_data

@@ -657,15 +657,16 @@ def test_s13_kmeans_step_shape(spark):
 def test_g03_label_propagation_shape(spark):
     """LPA rounds: equi-joins only (no cartesian / nested-loop), the
     neighbour-label counts partial-aggregate before their exchange,
-    the per-node argmax is a SORT-FREE max_by hash aggregate over the
-    total (n, -label) struct key (replaced the row_number window —
-    its per-node sort cost a full extra sort stage per round), and
-    the community report is TakeOrdered."""
+    the per-node argmax is a SORT-FREE min_by hash aggregate over the
+    total (-n, label) struct key (replaced the row_number window —
+    its per-node sort cost a full extra sort stage per round; -n
+    rather than -label so string node ids stay valid), and the
+    community report is TakeOrdered."""
     plan = plan_of(spark, "g03_label_propagation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
-    assert "max_by" in plan and "Window" not in plan
+    assert "min_by" in plan and "Window" not in plan
     assert "TakeOrderedAndProject" in plan
 
 

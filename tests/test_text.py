@@ -439,3 +439,23 @@ def test_calibration_report_bins_must_divide(spark):
     df = spark.createDataFrame([(0.5, 1)], ["s", "y"])
     with _pytest.raises(ValueError, match="divide"):
         calibration_report(df, F.col("s"), F.col("y") == 1, bins=3)
+
+
+def test_calibration_report_clamps_out_of_range_scores(spark):
+    """A score below 0 clamps into bin 0 (symmetric with the 1.0 top-bin
+    cap); a NaN score surfaces as one NULL-bin row, never a real bin."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.text import calibration_report
+
+    rows = [(-0.25, 0), (0.10, 1), (float("nan"), 1)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = {
+        r["bin"]: (r["n"], r["n_pos"])
+        for r in calibration_report(
+            df, score=F.col("s"), label=F.col("y") == 1, bins=4
+        ).collect()
+    }
+    assert got[0] == (2, 1)  # the -0.25 row clamped in with the 0.10 row
+    assert got[None] == (1, 1)  # the NaN row, isolated
+    assert set(got) == {0, None}

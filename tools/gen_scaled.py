@@ -30,6 +30,8 @@ documented distortions. Output dir defaults to
 ``/root/repo/.scaledata/sf1`` (never writes to /root/testdata).
 
 Usage: python tools/gen_scaled.py [--replicas 10] [--out DIR]
+``--replicas`` is bounded to 1..26: the per-replica Caesar text
+rotation cycles mod 26, so replica 26 would repeat replica 0's text.
 """
 
 from __future__ import annotations
@@ -61,7 +63,11 @@ SHIFT_COLS = {
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--replicas", type=int, default=10)
+    # <= 26: the per-replica Caesar rotation is i % 26, so replica 26
+    # would reproduce replica-0 text verbatim and recreate exactly the
+    # cross-replica near-dup blowup the rotation exists to prevent
+    ap.add_argument("--replicas", type=int, default=10, choices=range(1, 27),
+                    metavar="N (1..26)")
     ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
     args = ap.parse_args()
 
