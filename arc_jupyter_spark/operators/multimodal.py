@@ -1,12 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata, with Arrow-batched decode/feature plumbing.
 
-The decode libraries (PIL, ffmpeg, librosa…) are NOT in this
-container, so the decode kernels are STUBBED behind
-``DecoderUnavailable``/deterministic fakes — but the Spark-side
-plumbing (schemas, mapInPandas batch shape, partition sizing) is real
-and tested. Swap ``_decode_image_stub`` for a real decoder in
-production; nothing else changes.
+Metadata decode is REAL for PNG/GIF/BMP/JPEG and RIFF/WAV payloads —
+pure-stdlib header parsers in ``media_codecs.py``, no PIL required —
+and ``resize_images`` has a real pure-Python path for 8-bit PNG.
+Payloads in formats beyond those (webp, mp3, …) use PIL when
+installed; otherwise the deterministic digest FAKES take over, which
+keeps the synthetic-corpus oracles exact and the Arrow plumbing
+(schemas, mapInPandas batch shape, partition sizing) fully exercised.
+Video demux (ffmpeg/pyav) remains honestly stubbed behind
+``DecoderUnavailable``.
 
 Scale notes: binary payloads ride in parquet/binaryFile splits; decode
 is a ``mapInPandas`` map-only stage (no shuffle), so it scales linearly
@@ -98,10 +101,17 @@ def extract_audio_metadata(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import decode_wav_header
+
         for pdf in batches:
             metas = []
             for payload in pdf[binary_col]:
-                rate, n, ch = _decode_audio_stub(bytes(payload or b""))
+                data = bytes(payload or b"")
+                # REAL decode first (stdlib RIFF/WAVE parse); the
+                # digest stub remains the path for non-audio payloads
+                # (and the oracle channel for the synthetic corpus)
+                real = decode_wav_header(data)
+                rate, n, ch = real if real is not None else _decode_audio_stub(data)
                 metas.append(
                     {"sample_rate": rate, "n_samples": n, "channels": ch}
                 )
@@ -123,10 +133,26 @@ def extract_image_metadata(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from arc_jupyter_spark.operators.media_codecs import (
+            decode_image_header,
+        )
+
         for pdf in batches:
             metas = []
             for payload in pdf[binary_col]:
                 data = bytes(payload) if payload is not None else b""
+                # REAL decode first: pure-stdlib PNG/GIF/BMP/JPEG
+                # header parse (no PIL needed); PIL — when installed —
+                # covers the remaining formats; the digest stub stays
+                # the path for unrecognized payloads (and the oracle
+                # channel for the synthetic text-as-binary corpus)
+                real = decode_image_header(data)
+                if real is not None:
+                    w, h, c, fmt = real
+                    metas.append(
+                        {"width": w, "height": h, "channels": c, "format": fmt}
+                    )
+                    continue
                 if pil is not None:
                     try:
                         with pil.open(io.BytesIO(data)) as img:
@@ -210,23 +236,40 @@ def sample_frames_stub(
 
 
 def resize_images(df: DataFrame, width: int, height: int, binary_col: str = "value") -> DataFrame:
-    """Real image resize — requires PIL; raises DecoderUnavailable otherwise."""
-    if _try_import_pil() is None:
-        raise DecoderUnavailable(
-            "image resize requires Pillow; install it or use the *_stub operators"
-        )
+    """Real image resize. PIL when installed (all formats, fast);
+    otherwise the pure-stdlib PNG pixel path (``media_codecs.resize_png``,
+    8-bit non-paletted PNG only). Payloads neither path can decode
+    raise ``DecoderUnavailable`` AT EXECUTION — the operator itself
+    always constructs, since PNG is always supported."""
     pil = _try_import_pil()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
+        from arc_jupyter_spark.operators.media_codecs import resize_png
+
         for pdf in batches:
             out = []
             for payload in pdf[binary_col]:
-                with pil.open(io.BytesIO(bytes(payload))) as img:
-                    buf = io.BytesIO()
-                    img.resize((width, height)).save(buf, format=img.format or "PNG")
-                    out.append(buf.getvalue())
+                data = bytes(payload)
+                if pil is not None:
+                    try:
+                        with pil.open(io.BytesIO(data)) as img:
+                            buf = io.BytesIO()
+                            img.resize((width, height)).save(
+                                buf, format=img.format or "PNG"
+                            )
+                            out.append(buf.getvalue())
+                            continue
+                    except Exception:  # noqa: BLE001 - fall to stdlib path
+                        pass
+                resized = resize_png(data, width, height)
+                if resized is None:
+                    raise DecoderUnavailable(
+                        "payload is not an 8-bit PNG and Pillow is not "
+                        "installed; install Pillow for other formats"
+                    )
+                out.append(resized)
             yield pdf.assign(**{binary_col: out})
 
     return df.mapInPandas(run, schema=df.schema)

@@ -183,6 +183,13 @@ def main() -> int:
                 timings[name] = elapsed
             del rows
 
+    # streaming micro-bench (VERDICT r5 item 5): rate-source windowed
+    # aggregate, engine-reported rows/s + trigger latency. Recorded in
+    # BENCH_DETAIL only — the compact final line has a 1.4 KB budget.
+    from arc_jupyter_spark.streaming.probe import rate_throughput_probe
+
+    streaming_probe = rate_throughput_probe(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -199,6 +206,7 @@ def main() -> int:
         # comparisons can line up like-for-like with best-of-2.
         "value_first_pass": round(sum(first_pass.values()), 3),
         "queries_first_pass": first_pass,
+        "streaming": streaming_probe,
         "sf": sf_val,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

