@@ -1097,6 +1097,113 @@ def scrub_duplicated_spans(
     )
 
 
+def maximal_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_len: int = 5,
+    min_len: int = 10,
+    max_doc_freq: int | None = 50,
+    cache_grams: bool = True,
+) -> DataFrame:
+    """Maximal cross-document token matches — suffix-array semantics,
+    distributed as a sorted-ngram run-merge (seed-and-chain).
+
+    Returns one row per MAXIMAL shared token run of length >=
+    ``min_len`` between an ordered document pair:
+    ``(id_a, id_b, start_a, start_b, match_len)``, positions 1-based.
+    "Maximal" = the run cannot be extended on either side (the MEM of
+    suffix-array literature): a common substring of token length
+    M >= ``seed_len`` appears as exactly M - seed_len + 1 consecutive
+    seed hits on one ``(id_a, id_b, start_a - start_b)`` diagonal, so
+    per-diagonal gaps-and-islands reconstructs every maximal match
+    exactly — the seed-and-chain of MUMmer/Vmatch, reshaped for a
+    shuffle engine (a suffix array itself doesn't shard; diagonal
+    runs do).
+
+    Completes the substring-dedup family: d08/:func:`duplicated_spans`
+    reports fixed-gram COVERAGE, d17/:func:`containment_pairs` reports
+    shared-window RATIOS; this returns the actual maximal repeats that
+    RefinedWeb-style exact-substring dedup removes (Penedo et al. 2023
+    §3.3; Lee et al. 2021).
+
+    Scale shape:
+    - seeds: map-side ``(id, pos, digest8)`` projection — 8-byte
+      digests shuffle, text never does; the gram table is persisted
+      once for its two consumers (doc-frequency + seed join), same
+      trade as :func:`duplicated_spans`;
+    - doc-frequency prune: only digests seen in ``2..max_doc_freq``
+      DISTINCT docs survive (partial-agg'd count + LEFT SEMI back on
+      the same key). df=1 seeds cannot cross documents (free exact
+      prune); the upper cap stops a boilerplate seed from creating a
+      quadratic join key at corpus scale — the same skew bound as
+      d03/d17, mirrored by the oracle, so capped runs split
+      deterministically rather than silently diverging;
+    - seed pairs: digest equi-join with ``id_a < id_b`` — rows are
+      (two ids, two ints) wide, never text;
+    - run-merge: gaps-and-islands per ``(id_a, id_b, diagonal)`` — a
+      PARTITIONED window (pair x diagonal keys, no global sort; each
+      partition is at most one document's positions), then one
+      partial-agg'd groupBy per island.
+
+    ``min_len`` must be >= ``seed_len``: matches shorter than the seed
+    produce no seed hit and are invisible by construction.
+    """
+    if min_len < seed_len:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= seed_len ({seed_len}): "
+            "matches shorter than the seed produce no seed hits"
+        )
+    grams = positional_shingles(_parallelize(df), id_col, text_col, seed_len)
+    if cache_grams:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = (
+        grams.select("_digest", id_col)
+        .distinct()
+        .groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    cond = F.col("_nd") >= 2
+    if max_doc_freq is not None:
+        cond = cond & (F.col("_nd") <= max_doc_freq)
+    keep_digests = freq.where(cond).select("_digest")
+    occ = grams.join(keep_digests, "_digest", "left_semi")
+    a = occ.alias("a")
+    b = occ.alias("b")
+    seeds = (
+        a.join(b, F.col("a._digest") == F.col("b._digest"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._pos").alias("pos_a"),
+            (F.col("a._pos") - F.col("b._pos")).alias("_diag"),
+        )
+    )
+    # (id_a, id_b, _diag, pos_a) is unique by construction — one gram
+    # per position, one row per occurrence pair — so row_number is
+    # deterministic and pos_a - row_number is constant per island
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("pos_a")
+    isl = seeds.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(seed_len - 1)).alias("match_len"),
+        )
+        .where(F.col("match_len") >= min_len)
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            (F.col("start_a") - F.col("_diag")).alias("start_b"),
+            "match_len",
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

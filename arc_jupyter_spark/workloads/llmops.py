@@ -4542,6 +4542,87 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# d18 — true substring dedup (suffix-array semantics): the MAXIMAL
+# cross-document token matches >= 12 tokens, via seed-and-chain
+# diagonal run-merge (operators/dedup.py:maximal_match_pairs). d17's
+# fixed-window containment is the ratio stand-in; this returns the
+# actual maximal repeats RefinedWeb-style exact-substring dedup
+# removes. Seeds are df-pruned (2..cap distinct docs) exactly as the
+# oracle mirrors, so capped runs split identically in both engines.
+# --------------------------------------------------------------------
+
+_D18_SEED = 5
+_D18_MIN_LEN = 12
+_D18_MAX_DF = 50
+
+D18_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D18_SEED - 1})) AS pos
+  FROM t WHERE len(toks) >= {_D18_SEED}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D18_SEED - 1}], ' ') AS gram
+  FROM ex
+),
+dfq AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd BETWEEN 2 AND {_D18_MAX_DF}
+),
+occ AS (SELECT doc_id, pos, gram FROM g WHERE gram IN (SELECT gram FROM dfq)),
+seeds AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM seeds
+),
+runs AS (
+  SELECT id_a, id_b, COUNT(*) + {_D18_SEED - 1} AS match_len
+  FROM isl GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b,
+       COUNT(*) AS n_matches,
+       MAX(match_len) AS max_len,
+       CAST(SUM(match_len) AS BIGINT) AS sum_len
+FROM runs WHERE match_len >= {_D18_MIN_LEN}
+GROUP BY id_a, id_b
+ORDER BY id_a, id_b
+"""
+
+
+@query("d18_substring_dedup", oracle=D18_ORACLE)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    runs = dedup.maximal_match_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        seed_len=_D18_SEED,
+        min_len=_D18_MIN_LEN,
+        max_doc_freq=_D18_MAX_DF,
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("match_len").alias("max_len"),
+            F.sum("match_len").alias("sum_len"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

@@ -37,6 +37,7 @@ HEADLINE = [
     "d09_keep_best_dedup",
     "d11_passage_dedup",
     "d17_containment_pairs",
+    "d18_substring_dedup",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",

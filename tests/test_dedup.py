@@ -498,3 +498,60 @@ def test_containment_capped_and_uncapped_agree(spark):
             ).collect()
         )
     assert rows(None) == rows(10_000)
+
+
+# -- d18: maximal cross-document matches (suffix-array semantics) -----
+
+def _matches(spark, docs, **kw):
+    df = spark.createDataFrame(docs, ["id", "text"])
+    return sorted(
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["match_len"])
+        for r in dedup.maximal_match_pairs(df, "id", "text", **kw).collect()
+    )
+
+
+def test_maximal_match_single_embedded_run(spark):
+    # doc 2 embeds doc 1's full 10-token text at token position 3
+    rows = _matches(
+        spark,
+        [(1, "a b c d e f g h i j"), (2, "x x a b c d e f g h i j y y")],
+        seed_len=3, min_len=5,
+    )
+    assert rows == [(1, 2, 1, 3, 10)]
+
+
+def test_maximal_match_split_runs(spark):
+    # one inserted token splits the match into two maximal 5-token runs
+    rows = _matches(
+        spark,
+        [(1, "a b c d e f g h i j"), (2, "a b c d e q f g h i j")],
+        seed_len=3, min_len=5,
+    )
+    assert rows == [(1, 2, 1, 1, 5), (1, 2, 6, 7, 5)]
+
+
+def test_maximal_match_min_len_filters(spark):
+    rows = _matches(
+        spark,
+        [(1, "a b c d e f g h i j"), (2, "a b c d e q f g h i j")],
+        seed_len=3, min_len=6,
+    )
+    assert rows == []
+
+
+def test_maximal_match_doc_freq_cap_drops_boilerplate(spark):
+    # the shared 6-token run appears in 5 docs; cap=3 prunes every seed
+    boiler = "alpha beta gamma delta epsilon zeta"
+    docs = [(i, f"u{i} v{i} {boiler} w{i}") for i in range(1, 6)]
+    assert _matches(spark, docs, seed_len=3, min_len=6) != []
+    assert _matches(spark, docs, seed_len=3, min_len=6, max_doc_freq=3) == []
+
+
+def test_maximal_match_min_len_below_seed_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.maximal_match_pairs(
+            spark.createDataFrame([(1, "a b c")], ["id", "text"]),
+            "id", "text", seed_len=5, min_len=3,
+        )

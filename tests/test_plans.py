@@ -784,3 +784,16 @@ def test_p09_models_broadcast(spark):
     plan = plan_of(spark, "p09_dsir_resample")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_d18_semi_prune_partitioned_window_no_cartesian(spark):
+    plan = plan_of(spark, "d18_substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # df prune is a partial-agg'd count + LEFT SEMI before the seed
+    # self-join, same core as d08/d17
+    assert "LeftSemi" in plan and "<= 50" in plan
+    # the run-merge window is PARTITIONED on (pair, diagonal) — never
+    # a global sort
+    assert "Window" in plan
+    assert "windowspecdefinition(id_a" in plan
