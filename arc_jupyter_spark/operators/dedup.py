@@ -1204,6 +1204,79 @@ def maximal_match_pairs(
     )
 
 
+def scrub_maximal_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_len: int = 5,
+    min_len: int = 10,
+    max_doc_freq: int | None = 50,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Keep-first exact-substring scrub (the removal half of d18 —
+    :func:`maximal_match_pairs` detects, this scrubs).
+
+    RefinedWeb-style substring dedup keeps ONE copy of every long
+    repeat: for each maximal cross-document match of >= ``min_len``
+    tokens, the LOWER-id document keeps its text and the covered
+    tokens are removed from the higher-id side. Contrast with
+    :func:`scrub_duplicated_spans`, which removes duplicated grams
+    from EVERY occurrence — that is decontamination; this is
+    dedup (the corpus still contains each repeat exactly once).
+
+    One-pass policy (as in suffix-array implementations): matches are
+    computed on the ORIGINAL corpus, then all removals apply at once —
+    scrubbing b against a does not re-expose b's text to c.
+
+    Output = input plus ``out_col`` (kept tokens, lowercased,
+    single-spaced; documents with no match pass through modulo
+    tokenization normalization).
+
+    Scale shape: on top of d18's digest-only shuffles, the removal
+    side aggregates matches to ONE sorted (start, len) interval array
+    per affected document (partial ``collect_list`` of two ints per
+    match), LEFT-joins back to the corpus, and the scrub itself is a
+    map-side HOF filter — O(tokens x intervals) per doc, same bound
+    as :func:`scrub_duplicated_spans`.
+    """
+    runs = maximal_match_pairs(
+        df, id_col, text_col,
+        seed_len=seed_len, min_len=min_len, max_doc_freq=max_doc_freq,
+    )
+    ivs = (
+        runs.groupBy(F.col("id_b").alias(id_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("start_b").alias("s"),
+                        F.col("match_len").alias("l"),
+                    )
+                )
+            ).alias("_ivs")
+        )
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    iv = F.coalesce(
+        F.col("_ivs"), F.array().cast("array<struct<s:int,l:bigint>>")
+    )
+
+    def keep(x: Column, i: Column) -> Column:
+        j = i + F.lit(1)  # 1-based token positions, like the matches
+        return ~F.exists(
+            iv, lambda r: (r["s"] <= j) & (j < r["s"] + r["l"])
+        )
+
+    cleaned = F.concat_ws(" ", F.filter(toks, keep))
+    return (
+        df.join(ivs, id_col, "left")
+        .withColumn(out_col, cleaned)
+        .drop("_ivs")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -4623,6 +4623,104 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# d19 — keep-first substring scrub (the removal half of d18, the full
+# RefinedWeb exact-substring dedup step): every maximal cross-doc
+# match keeps its lower-id copy; covered tokens are removed from the
+# higher-id side only. One pass: matches computed on the original
+# corpus, removals applied at once. Output is per-doc token counts +
+# an md5 digest of the cleaned text (strings never shuffle twice).
+# --------------------------------------------------------------------
+
+D19_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D18_SEED - 1})) AS pos
+  FROM t WHERE len(toks) >= {_D18_SEED}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D18_SEED - 1}], ' ') AS gram
+  FROM ex
+),
+dfq AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd BETWEEN 2 AND {_D18_MAX_DF}
+),
+occ AS (SELECT doc_id, pos, gram FROM g WHERE gram IN (SELECT gram FROM dfq)),
+seeds AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM seeds
+),
+runs AS (
+  SELECT id_b, MIN(pos_a) - diag AS start_b,
+         COUNT(*) + {_D18_SEED - 1} AS len
+  FROM isl GROUP BY id_a, id_b, diag, grp
+),
+cov AS (
+  SELECT DISTINCT id_b AS doc_id,
+         unnest(generate_series(start_b, start_b + len - 1)) AS pos
+  FROM runs WHERE len >= {_D18_MIN_LEN}
+),
+tp AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM t WHERE len(toks) >= 1
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.toks[tp.pos] AS tok
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(a.clean, '')) AS clean_digest
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("d19_substring_scrub", oracle=D19_ORACLE)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    out = dedup.scrub_maximal_matches(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        seed_len=_D18_SEED,
+        min_len=_D18_MIN_LEN,
+        max_doc_freq=_D18_MAX_DF,
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    ktoks = F.filter(
+        F.split(F.col("clean_text"), r"\s+"), lambda t: t != ""
+    )
+    return out.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(ktoks)).cast("bigint").alias("n_removed"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

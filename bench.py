@@ -38,6 +38,7 @@ HEADLINE = [
     "d11_passage_dedup",
     "d17_containment_pairs",
     "d18_substring_dedup",
+    "d19_substring_scrub",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",

@@ -555,3 +555,57 @@ def test_maximal_match_min_len_below_seed_raises(spark):
             spark.createDataFrame([(1, "a b c")], ["id", "text"]),
             "id", "text", seed_len=5, min_len=3,
         )
+
+
+# -- d19: keep-first substring scrub ----------------------------------
+
+def test_scrub_maximal_keeps_first_copy(spark):
+    # doc 2 embeds doc 1's text: doc 1 must stay verbatim, doc 2 loses
+    # exactly the embedded run
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x x a b c d e f g h i j y y")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["clean_text"]
+        for r in dedup.scrub_maximal_matches(
+            df, "id", "text", seed_len=3, min_len=5
+        ).collect()
+    }
+    assert out[1] == "a b c d e f g h i j"
+    assert out[2] == "x x y y"
+
+
+def test_scrub_maximal_one_pass_no_reexposure(spark):
+    # docs 2 and 3 both copy doc 1: matches are computed on the
+    # ORIGINAL corpus, so both higher-id copies are scrubbed (the
+    # 2-vs-3 match also exists but its coverage coincides)
+    base = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, base), (2, "p p " + base), (3, base + " q q")], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["clean_text"]
+        for r in dedup.scrub_maximal_matches(
+            df, "id", "text", seed_len=3, min_len=5
+        ).collect()
+    }
+    assert out[1] == base
+    assert out[2] == "p p"
+    assert out[3] == "q q"
+
+
+def test_scrub_maximal_untouched_doc_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "Completely   Unrelated Words here")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["clean_text"]
+        for r in dedup.scrub_maximal_matches(
+            df, "id", "text", seed_len=3, min_len=5
+        ).collect()
+    }
+    # pass-through modulo tokenization normalization (lowercase,
+    # single-space)
+    assert out[2] == "completely unrelated words here"

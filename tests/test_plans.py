@@ -797,3 +797,14 @@ def test_d18_semi_prune_partitioned_window_no_cartesian(spark):
     # a global sort
     assert "Window" in plan
     assert "windowspecdefinition(id_a" in plan
+
+
+def test_d19_scrub_is_map_side_after_interval_join(spark):
+    plan = plan_of(spark, "d19_substring_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # d18's df prune is still in the pipeline
+    assert "LeftSemi" in plan and "<= 50" in plan
+    # match intervals aggregate partially (collect_list of 2-int
+    # structs, map-side) before joining back to the corpus
+    assert "partial_collect_list" in plan

@@ -78,3 +78,36 @@ def test_maximal_matches_equal_pure_python_suffix_scan(
             for sa, sb, ln in _brute_maximal_pair(toks[a], toks[b], min_len):
                 want.add((a, b, sa, sb, ln))
     assert got == want
+
+
+@given(
+    texts=st.lists(doc_text, min_size=2, max_size=5),
+    seed_len=st.integers(2, 3),
+    extra=st.integers(0, 2),
+)
+@SETTINGS
+def test_scrub_equals_pure_python_coverage(spark, texts, seed_len, extra):
+    """d19 invariant: a token survives iff no maximal run >= min_len
+    against ANY lower-id document covers it (keep-first semantics,
+    one pass over the original corpus)."""
+    from arc_jupyter_spark.operators.dedup import scrub_maximal_matches
+
+    min_len = seed_len + extra
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    got = {
+        r["id"]: r["clean_text"]
+        for r in scrub_maximal_matches(
+            df, "id", "text",
+            seed_len=seed_len, min_len=min_len, max_doc_freq=None,
+        ).collect()
+    }
+    toks = [t.lower().split() for t in texts]
+    for k in range(len(texts)):
+        covered = set()
+        for j in range(k):
+            for _, sb, ln in _brute_maximal_pair(toks[j], toks[k], min_len):
+                covered.update(range(sb, sb + ln))  # 1-based positions
+        want = " ".join(
+            tok for i, tok in enumerate(toks[k], start=1) if i not in covered
+        )
+        assert got[k] == want
