@@ -1204,6 +1204,116 @@ def maximal_match_pairs(
     )
 
 
+def self_repeat_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_len: int = 5,
+    min_len: int = 10,
+    max_gram_occ: int | None = 50,
+) -> DataFrame:
+    """Maximal WITHIN-document repeats (intra-doc substring dedup).
+
+    The self-match variant of :func:`maximal_match_pairs`: for each
+    document, every maximal pair of equal token runs of length >=
+    ``min_len`` at positions ``p < q`` inside the SAME text — the
+    exact form of the repetition signal Gopher/CCNet-style filters
+    approximate with ratio heuristics (degenerate generation loops,
+    templated boilerplate, chorus-like structure). Returns one row
+    per document with at least one repeat:
+    ``(id, n_rep_matches, max_len, rep_tokens)`` where ``rep_tokens``
+    is the union coverage of the LATER occurrence of every repeat
+    (the tokens a keep-first intra-doc scrub would remove).
+
+    Same diagonal run-merge as d18, restricted to ``id_a == id_b``:
+    a repeat of length M at offset d = q - p appears as M -
+    seed_len + 1 consecutive self-seed hits on the (id, d) diagonal.
+    Overlapping periodic repeats ("a a a a …") chain into the long
+    diagonal-1 run, which is the correct maximal semantics.
+
+    Scale shape: seed table is the same digest-only projection as
+    d18 (8-byte digests shuffle, text never); per-(doc, digest)
+    occurrence counts are partial-agg'd and digests with occurrence
+    count outside ``2..max_gram_occ`` are LEFT-SEMI pruned BEFORE the
+    self-join — a degenerate document repeating one gram m times
+    would otherwise create m^2/2 seed pairs (the cap is the intra-doc
+    analogue of d18's doc-frequency cap, mirrored by the oracle).
+    Variable-length interval union uses the classic running-max-end
+    sweep over a window PARTITIONED by document.
+    """
+    if min_len < seed_len:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= seed_len ({seed_len}): "
+            "repeats shorter than the seed produce no seed hits"
+        )
+    grams = positional_shingles(_parallelize(df), id_col, text_col, seed_len)
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    occ_cond = F.col("_occ") >= 2
+    if max_gram_occ is not None:
+        occ_cond = occ_cond & (F.col("_occ") <= max_gram_occ)
+    keep = (
+        grams.groupBy(id_col, "_digest")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .where(occ_cond)
+        .select(id_col, "_digest")
+    )
+    occ = grams.join(keep, [id_col, "_digest"], "left_semi")
+    a = occ.alias("a")
+    b = occ.alias("b")
+    seeds = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("a._digest") == F.col("b._digest"))
+            & (F.col("b._pos") > F.col("a._pos")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col("a._pos").alias("pos_a"),
+            (F.col("b._pos") - F.col("a._pos")).alias("_diag"),
+        )
+    )
+    w = Window.partitionBy(id_col, "_diag").orderBy("pos_a")
+    isl = seeds.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+    runs = (
+        isl.groupBy(id_col, "_diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count(F.lit(1)) + F.lit(seed_len - 1)).alias("match_len"),
+        )
+        .where(F.col("match_len") >= min_len)
+        .select(
+            F.col(id_col),
+            (F.col("start_a") + F.col("_diag")).alias("_start_q"),
+            (F.col("start_a") + F.col("_diag") + F.col("match_len")).alias(
+                "_end_q"
+            ),
+            "match_len",
+        )
+    )
+    # variable-length interval union (running max end): a token of the
+    # later occurrence counts once even when repeats overlap
+    uw = Window.partitionBy(id_col).orderBy("_start_q", "_end_q")
+    prev_end = F.max("_end_q").over(
+        uw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("_end_q") - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("_start_q")),
+    )
+    return (
+        runs.withColumn("_new", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rep_matches"),
+            F.max("match_len").alias("max_len"),
+            F.sum("_new").alias("rep_tokens"),
+        )
+    )
+
+
 def scrub_maximal_matches(
     df: DataFrame,
     id_col: str,

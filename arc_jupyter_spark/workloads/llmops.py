@@ -4721,6 +4721,110 @@ def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# d20 — intra-document maximal self-repeats: the exact form of the
+# repetition signal t07 approximates with ratio heuristics. Same
+# diagonal run-merge as d18 restricted to one document (p < q pairs);
+# rep_tokens is the interval-union coverage of each repeat's LATER
+# occurrence — what a keep-first intra-doc scrub would remove.
+# Per-(doc, gram) occurrence cap mirrors d18's df cap (a degenerate
+# doc repeating one gram m times would otherwise seed m^2/2 pairs).
+# --------------------------------------------------------------------
+
+_D20_SEED = 4
+_D20_MIN_LEN = 8
+_D20_MAX_OCC = 50
+
+# The synthetic corpus has no natural >= 8-token intra-doc repeats
+# (probed at sf0.01: zero), so the QUERY manufactures a controlled
+# one per document — each doc's own first 8 tokens appended at the
+# end, built identically in both engines — giving a full-corpus
+# result with document-dependent positions/lengths. The operator
+# itself is general; the unit/property tests cover organic shapes.
+
+D20_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {_DUCK_TOKS} AS rt FROM documents
+),
+t AS (
+  SELECT doc_id, list_concat(rt, rt[1:8]) AS toks FROM raw
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D20_SEED - 1})) AS pos
+  FROM t WHERE len(toks) >= {_D20_SEED}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D20_SEED - 1}], ' ') AS gram
+  FROM ex
+),
+occk AS (
+  SELECT doc_id, gram FROM g
+  GROUP BY doc_id, gram
+  HAVING COUNT(*) BETWEEN 2 AND {_D20_MAX_OCC}
+),
+occ AS (
+  SELECT g.doc_id, g.pos, g.gram FROM g JOIN occk USING (doc_id, gram)
+),
+seeds AS (
+  SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS diag
+  FROM occ a JOIN occ b
+    ON a.doc_id = b.doc_id AND a.gram = b.gram AND b.pos > a.pos
+),
+isl AS (
+  SELECT doc_id, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_id, diag ORDER BY pos_a) AS grp
+  FROM seeds
+),
+runs AS (
+  SELECT doc_id,
+         MIN(pos_a) + diag AS start_q,
+         MIN(pos_a) + diag + COUNT(*) + {_D20_SEED - 1} AS end_q,
+         COUNT(*) + {_D20_SEED - 1} AS match_len
+  FROM isl GROUP BY doc_id, diag, grp
+),
+fr AS (SELECT * FROM runs WHERE match_len >= {_D20_MIN_LEN}),
+sweep AS (
+  SELECT doc_id, start_q, end_q, match_len,
+         MAX(end_q) OVER (
+           PARTITION BY doc_id ORDER BY start_q, end_q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM fr
+)
+SELECT doc_id,
+       COUNT(*) AS n_rep_matches,
+       MAX(match_len) AS max_len,
+       CAST(SUM(GREATEST(0, end_q - GREATEST(COALESCE(prev_end, 0), start_q)))
+            AS BIGINT) AS rep_tokens
+FROM sweep GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("d20_self_repeats", oracle=D20_ORACLE)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    chorus = spark.table("documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), F.concat_ws(" ", F.slice(toks, 1, 8))
+        ).alias("text"),
+    )
+    return dedup.self_repeat_stats(
+        chorus,
+        id_col="doc_id",
+        text_col="text",
+        seed_len=_D20_SEED,
+        min_len=_D20_MIN_LEN,
+        max_gram_occ=_D20_MAX_OCC,
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

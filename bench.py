@@ -39,6 +39,7 @@ HEADLINE = [
     "d17_containment_pairs",
     "d18_substring_dedup",
     "d19_substring_scrub",
+    "d20_self_repeats",
     "s01_cosine_topk",
     "s04_lsh_topk",
     "t01_quality_score",

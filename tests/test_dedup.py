@@ -609,3 +609,46 @@ def test_scrub_maximal_untouched_doc_passthrough(spark):
     # pass-through modulo tokenization normalization (lowercase,
     # single-space)
     assert out[2] == "completely unrelated words here"
+
+
+# -- d20: intra-document maximal self-repeats --------------------------
+
+def _self_stats(spark, docs, **kw):
+    df = spark.createDataFrame(docs, ["id", "text"])
+    return {
+        r["id"]: (r["n_rep_matches"], r["max_len"], r["rep_tokens"])
+        for r in dedup.self_repeat_stats(df, "id", "text", **kw).collect()
+    }
+
+
+def test_self_repeats_single_block(spark):
+    # "a b c d" repeated once with a separator: one maximal 4-run
+    out = _self_stats(
+        spark, [(1, "a b c d x a b c d")], seed_len=2, min_len=4
+    )
+    assert out == {1: (1, 4, 4)}
+
+
+def test_self_repeats_periodic_chains(spark):
+    # six identical tokens: diag-1 run of len 5 and diag-2 run of
+    # len 4 (diag >= 3 falls under min_len); later-occurrence union
+    # covers positions 2..6
+    out = _self_stats(spark, [(1, "a a a a a a")], seed_len=2, min_len=4)
+    assert out == {1: (2, 5, 5)}
+
+
+def test_self_repeats_no_repeat_doc_absent(spark):
+    out = _self_stats(
+        spark, [(1, "all tokens here are distinct words")],
+        seed_len=2, min_len=4,
+    )
+    assert out == {}
+
+
+def test_self_repeats_occurrence_cap(spark):
+    # "a b" occurs 4x: with the cap at 2 every seed is pruned
+    docs = [(1, "x a b a b a b a b y")]
+    assert _self_stats(spark, docs, seed_len=2, min_len=4) != {}
+    assert _self_stats(
+        spark, docs, seed_len=2, min_len=4, max_gram_occ=2
+    ) == {}

@@ -808,3 +808,15 @@ def test_d19_scrub_is_map_side_after_interval_join(spark):
     # match intervals aggregate partially (collect_list of 2-int
     # structs, map-side) before joining back to the corpus
     assert "partial_collect_list" in plan
+
+
+def test_d20_occ_prune_partitioned_windows_no_cartesian(spark):
+    plan = plan_of(spark, "d20_self_repeats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # per-(doc, gram) occurrence cap prunes before the self-join
+    assert "LeftSemi" in plan and "<= 50" in plan
+    # both windows are PARTITIONED (pair-diagonal islands, per-doc
+    # interval-union sweep) — never a global sort
+    assert "windowspecdefinition(id" in plan or "windowspecdefinition(doc_id" in plan

@@ -111,3 +111,54 @@ def test_scrub_equals_pure_python_coverage(spark, texts, seed_len, extra):
             tok for i, tok in enumerate(toks[k], start=1) if i not in covered
         )
         assert got[k] == want
+
+
+def _brute_self_repeats(toks, min_len):
+    """Maximal within-doc equal runs (1-based later-occurrence start,
+    length), by direct per-offset scan."""
+    out = []
+    n = len(toks)
+    for d in range(1, n):
+        run = 0
+        start = 0
+        for i in range(0, n - d):
+            if toks[i] == toks[i + d]:
+                if run == 0:
+                    start = i
+                run += 1
+            else:
+                if run >= min_len:
+                    out.append((start + 1 + d, run))
+                run = 0
+        if run >= min_len:
+            out.append((start + 1 + d, run))
+    return out
+
+
+@given(
+    texts=st.lists(doc_text, min_size=1, max_size=4),
+    seed_len=st.integers(2, 3),
+    extra=st.integers(0, 2),
+)
+@SETTINGS
+def test_self_repeats_equal_pure_python_scan(spark, texts, seed_len, extra):
+    from arc_jupyter_spark.operators.dedup import self_repeat_stats
+
+    min_len = seed_len + extra
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    got = {
+        r["id"]: (r["n_rep_matches"], r["max_len"], r["rep_tokens"])
+        for r in self_repeat_stats(
+            df, "id", "text",
+            seed_len=seed_len, min_len=min_len, max_gram_occ=None,
+        ).collect()
+    }
+    want = {}
+    for k, t in enumerate(texts):
+        runs = _brute_self_repeats(t.lower().split(), min_len)
+        if runs:
+            covered = set()
+            for s, ln in runs:
+                covered.update(range(s, s + ln))
+            want[k] = (len(runs), max(ln for _, ln in runs), len(covered))
+    assert got == want

@@ -1,19 +1,32 @@
-"""Measure skew resilience: wall time AND per-task straggler ratio
-under the zipfian fixture (tools/gen_skewed.py).
+"""Measure skew resilience: wall time, per-task straggler ratio AND
+per-task shuffle-read-bytes ratio under the zipfian fixture
+(tools/gen_skewed.py).
 
 For each skew-relevant query the probe runs the query on the uniform
-sf0.1 data and on the skewed variant, and — via the Spark UI REST
-API — pulls the task ``duration`` quantiles of every stage the run
-executed. The headline number per query is the worst stage's
-max/median task-duration ratio over stages whose median is >= 100 ms
-(sub-100 ms stages are scheduling noise; a 40 ms max over a 5 ms
-median is not a straggler). The bar (VERDICT r5): no single-task
-straggler > 4x median, and skewed wall <= ~2x uniform wall for the
-mitigated operators.
+data and on the skewed variant, and — via the Spark UI REST API —
+pulls per-stage task quantiles. Two skew signals per run:
+
+- duration straggler: worst max/median task duration over stages
+  whose MAX is >= 500 ms (qualifying by max, not median — a skewed
+  reducer stage has a tiny median and one huge task, which a
+  median-based guard filters out, hiding exactly the signal this
+  probe exists for; sub-500 ms maxima are scheduling noise). Load
+  sensitive on this noisy-neighbor host — record loadavg.
+- bytes ratio: worst max/median task SHUFFLE READ BYTES over stages
+  whose max read is >= 1 MiB. Deterministic (data placement, not
+  timing) — the trustworthy partition-skew evidence when the host is
+  noisy. An unmitigated 40%-hot join key shows up here as one
+  reducer reading ~13x its peers regardless of CPU weather.
+
+The bar (VERDICT r5): no single-task straggler > 4x median, and
+skewed wall <= ~2x uniform wall for the mitigated operators —
+applied to the BYTES ratio and quiet-window durations.
 
 What each target exercises:
-- q42_salted_agg  — salted two-phase agg (3-value group domain), at
-  the sf1-scale skew fixture;
+- q42_identical_input_control — q42 reads LINEITEM, which the skew
+  fixture copies byte-identically, so uniform-vs-skew deltas on this
+  entry measure the HOST NOISE FLOOR, not skew. Keep it first: it
+  calibrates how much wall-time spread to discount elsewhere.
 - q55_salted_join — content-salted fact-dim join vs a 40%-hot user.
   Measured at sf1 scale with ``autoBroadcastJoinThreshold=-1`` AND
   AQE skew-join mitigation OFF: in local mode the 150k-row dim always
@@ -21,16 +34,17 @@ What each target exercises:
   forcing the shuffle join simulates exactly the 100 TB case the salt
   exists for (dim too big to broadcast, one reducer owns the hot key);
 - q55_unsalted    — the SAME join WITHOUT salting under the same
-  forced-shuffle confs (A/B evidence that the salt is load-bearing);
-- d03_ngram_jaccard / d17_containment_pairs — the max_doc_freq
-  stop-shingle cap vs a shingle present in ~50% of all docs (sf0.1
-  documents — the multi-second family);
+  forced-shuffle confs (A/B evidence that the salt is load-bearing:
+  its skewed-run bytes ratio should blow out where the salted one
+  stays flat);
+- d03_ngram_jaccard / d17_containment_pairs / d18_substring_dedup —
+  the max_doc_freq stop-shingle/seed cap vs a shingle present in
+  ~50% of all docs (sf0.1 documents — the multi-second family);
 - t17_source_cap  — WindowGroupLimit vs one source holding ~60% of
   docs.
 
-Prints one JSON line per query and writes SKEW.json; merge the table
-into SCALING.md's skew section by hand (the numbers are host-load
-sensitive — record loadavg when publishing).
+Prints one JSON line per query and writes SKEW.json (loadavg
+embedded); merge the table into SCALING.md's skew section by hand.
 
 Usage: python tools/skew_probe.py
 (fixtures: tools/gen_skewed.py writes .scaledata/skew01 from sf0.1,
@@ -62,27 +76,46 @@ def _completed_stage_keys(app_id: str) -> set[tuple[int, int]]:
     }
 
 
-def _worst_straggler(app_id: str, new_stages: set[tuple[int, int]]) -> dict:
-    """Max over qualifying stages of max/median task duration."""
-    worst = {"ratio": 0.0, "stage": None, "median_ms": 0, "max_ms": 0}
+def _worst_skew(app_id: str, new_stages: set[tuple[int, int]]) -> dict:
+    """Worst max/median task duration AND worst max/median shuffle
+    read bytes across the run's stages.
+
+    Durations qualify by MAX >= 500 ms (a skewed reducer stage has a
+    tiny median and one huge task — a median guard hides it); bytes
+    qualify by max read >= 1 MiB and are timing-independent, so they
+    stay meaningful on a loaded host.
+    """
+    dur = {"ratio": 0.0, "stage": None, "median_ms": 0, "max_ms": 0}
+    byt = {"ratio": 0.0, "stage": None, "median_mb": 0.0, "max_mb": 0.0}
     for sid, att in new_stages:
         try:
             q = _get(
                 f"{API}/{app_id}/stages/{sid}/{att}/taskSummary"
                 "?quantiles=0.0,0.5,1.0"
-            )["duration"]
+            )
         except Exception:  # noqa: BLE001 - 1-task stages have no summary
             continue
-        median, mx = q[1], q[2]
-        if median < 100:  # scheduling noise, not data skew
-            continue
-        ratio = mx / median
-        if ratio > worst["ratio"]:
-            worst = {
-                "ratio": round(ratio, 2), "stage": sid,
-                "median_ms": int(median), "max_ms": int(mx),
-            }
-    return worst
+        median, mx = q["duration"][1], q["duration"][2]
+        if mx >= 500:
+            ratio = mx / max(median, 1.0)
+            if ratio > dur["ratio"]:
+                dur = {
+                    "ratio": round(ratio, 2), "stage": sid,
+                    "median_ms": int(median), "max_ms": int(mx),
+                }
+        sr = q.get("shuffleReadMetrics") or {}
+        rb = sr.get("readBytes")
+        if rb:
+            bmed, bmax = rb[1], rb[2]
+            if bmax >= 1 << 20:
+                bratio = bmax / max(bmed, 1.0)
+                if bratio > byt["ratio"]:
+                    byt = {
+                        "ratio": round(bratio, 2), "stage": sid,
+                        "median_mb": round(bmed / 2**20, 2),
+                        "max_mb": round(bmax / 2**20, 2),
+                    }
+    return {"straggler": dur, "bytes_skew": byt}
 
 
 def q55_unsalted(spark, sf_dir: str):
@@ -126,28 +159,32 @@ def main() -> int:
     SF1, SKEW1 = "/root/repo/.scaledata/sf1", "/root/repo/.scaledata/skew1"
     # (name, fn, uniform_dir, skew_dir, force_shuffle_join)
     targets = [
-        ("q42_salted_agg", qs["q42_salted_agg"], SF1, SKEW1, False),
+        # q42's input (lineitem) is byte-identical in both dirs: this
+        # entry measures the host noise floor, not skew (see module
+        # docstring)
+        ("q42_identical_input_control", qs["q42_salted_agg"], SF1, SKEW1, False),
         ("q55_salted_join", qs["q55_salted_join"], SF1, SKEW1, True),
         ("q55_unsalted", q55_unsalted, SF1, SKEW1, True),
         ("d03_ngram_jaccard", qs["d03_ngram_jaccard"], SF01, SKEW01, False),
         ("d17_containment_pairs", qs["d17_containment_pairs"], SF01, SKEW01, False),
+        ("d18_substring_dedup", qs["d18_substring_dedup"], SF01, SKEW01, False),
         ("t17_source_cap", qs["t17_source_cap"], SF01, SKEW01, False),
     ]
 
     def run_one(fn, sf_dir):
-        best_wall, best_straggler = None, None
+        best_wall, best_skew = None, None
         for _ in range(args.best_of):
             spark.catalog.clearCache()
             before = _completed_stage_keys(app_id)
             t0 = time.time()
             fn(spark, sf_dir).collect()
             wall = time.time() - t0
-            strag = _worst_straggler(
+            skew = _worst_skew(
                 app_id, _completed_stage_keys(app_id) - before
             )
             if best_wall is None or wall < best_wall:
-                best_wall, best_straggler = wall, strag
-        return {"wall_s": round(best_wall, 3), "straggler": best_straggler}
+                best_wall, best_skew = wall, skew
+        return {"wall_s": round(best_wall, 3), **best_skew}
 
     report = {}
     for name, fn, uni_dir, skew_dir, force_shuffle in targets:
@@ -176,6 +213,12 @@ def main() -> int:
         report[name] = entry
         print(json.dumps({name: entry}))
 
+    import os
+
+    report["_env"] = {
+        "loadavg": os.getloadavg(),
+        "best_of": args.best_of,
+    }
     with open("/root/repo/SKEW.json", "w") as fh:
         json.dump(report, fh, indent=1)
     print("wrote SKEW.json")
