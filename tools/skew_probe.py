@@ -147,6 +147,9 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--best-of", type=int, default=2)
+    ap.add_argument("targets", nargs="*",
+                    help="optional target-name filter (default: all); "
+                         "partial SKEW.json is merged over the existing file")
     args = ap.parse_args()
 
     spark = build_session(app_name="skew-probe", extra_conf={
@@ -186,6 +189,9 @@ def main() -> int:
                 best_wall, best_skew = wall, skew
         return {"wall_s": round(best_wall, 3), **best_skew}
 
+    if args.targets:
+        targets = [t for t in targets if t[0] in args.targets]
+
     report = {}
     for name, fn, uni_dir, skew_dir, force_shuffle in targets:
         if force_shuffle:
@@ -193,6 +199,16 @@ def main() -> int:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+            # AQE coalescing merges toy-scale reducers toward the
+            # advisory size, BLENDING the hot key's partition with its
+            # neighbours and masking the bytes ratio (measured: 3.3x
+            # with coalescing vs the true per-key concentration). At
+            # 100 TB every partition already exceeds the advisory size
+            # so the hot one never blends — disable to see the real
+            # per-key layout.
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
             )
         try:
             entry = {
@@ -207,6 +223,9 @@ def main() -> int:
                 spark.conf.unset(
                     "spark.sql.adaptive.autoBroadcastJoinThreshold"
                 )
+                spark.conf.unset(
+                    "spark.sql.adaptive.coalescePartitions.enabled"
+                )
         entry["skew_factor"] = round(
             entry["skew"]["wall_s"] / max(entry["uniform"]["wall_s"], 1e-3), 2
         )
@@ -215,12 +234,17 @@ def main() -> int:
 
     import os
 
-    report["_env"] = {
+    out = {}
+    if args.targets and os.path.exists("/root/repo/SKEW.json"):
+        with open("/root/repo/SKEW.json") as fh:  # partial run: merge
+            out = json.load(fh)
+    out.update(report)
+    out["_env"] = {
         "loadavg": os.getloadavg(),
         "best_of": args.best_of,
     }
     with open("/root/repo/SKEW.json", "w") as fh:
-        json.dump(report, fh, indent=1)
+        json.dump(out, fh, indent=1)
     print("wrote SKEW.json")
     return 0
 
