@@ -1314,6 +1314,67 @@ def self_repeat_stats(
     )
 
 
+def _interval_union_sum(
+    runs: DataFrame, id_col: str, start_col: str, end_col: str, out_col: str
+) -> DataFrame:
+    """Per-id total length of the union of half-open [start, end)
+    integer intervals — the classic running-max-end sweep, over a
+    window PARTITIONED by id (each partition is one document's
+    intervals; nothing global sorts). Exact under duplicates: an
+    interval identical to a predecessor contributes 0."""
+    uw = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_end = F.max(end_col).over(
+        uw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col(end_col)
+        - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col(start_col)),
+    )
+    return (
+        runs.withColumn("_new", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("_new").alias(out_col))
+    )
+
+
+def substring_removal_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_len: int = 5,
+    min_len: int = 10,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Keep-first substring-removal ACCOUNTING — d19's metrics without
+    rebuilding any text: one row per document,
+    ``(id, n_tokens, removed_tokens)``, where ``removed_tokens`` is
+    the union coverage of the higher-id side of every maximal
+    cross-document match (what :func:`scrub_maximal_matches` would
+    cut). For pipeline reporting this skips the string reassembly —
+    only digests, positions and counts ever shuffle."""
+    runs = maximal_match_pairs(
+        df, id_col, text_col,
+        seed_len=seed_len, min_len=min_len, max_doc_freq=max_doc_freq,
+    )
+    iv = runs.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").alias("_s"),
+        (F.col("start_b") + F.col("match_len")).alias("_e"),
+    )
+    removed = _interval_union_sum(iv, id_col, "_s", "_e", "removed_tokens")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    per_doc = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return per_doc.join(removed, id_col, "left").withColumn(
+        "removed_tokens",
+        F.coalesce(F.col("removed_tokens"), F.lit(0).cast("bigint")),
+    )
+
+
 def scrub_maximal_matches(
     df: DataFrame,
     id_col: str,

@@ -4825,6 +4825,202 @@ def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# p10 — composed RefinedWeb-style curation pipeline (Penedo et al.
+# 2023 MacroData Refinement, public): quality gate -> exact dedup ->
+# fuzzy (jaccard) dedup -> exact-substring removal accounting, one
+# lazy composition, reported per source. Each stage is one of the
+# repo's first-class operators (text.tokens gate, d01 digest dedup,
+# d03 capped posting-list jaccard, d18/d19 maximal-match coverage);
+# the oracle replays the whole chain as a single CTE pipeline.
+# Fuzzy drop rule: a doc is dropped if ANY smaller-id doc pairs with
+# it at jaccard >= 0.8 (independent of whether that doc itself
+# survived) — deterministic, one pass, no chained re-evaluation.
+# --------------------------------------------------------------------
+
+_P10_MIN_TOKS = 20
+_P10_DIVERSITY = 0.3
+_P10_JACC = 0.8
+_P10_MAX_DF = 50
+
+P10_ORACLE = f"""
+WITH raw AS (
+  SELECT source, doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+),
+q AS (
+  SELECT * FROM raw
+  WHERE len(toks) >= {_P10_MIN_TOKS}
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        >= {_P10_DIVERSITY}
+),
+ex AS (
+  SELECT source, doc_id, text, toks FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+sh AS (SELECT doc_id, list_distinct({_duck_shingles(3)}) AS s FROM ex),
+shx AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+dfreq AS (SELECT sg, COUNT(*) AS df FROM shx GROUP BY sg),
+shx2 AS (
+  SELECT e.doc_id, e.sg FROM shx e JOIN dfreq d USING (sg)
+  WHERE d.df BETWEEN 2 AND {_P10_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+  FROM shx2 a JOIN shx2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+dropped AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= {_P10_JACC}
+),
+fz AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+gx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_D18_SEED - 1})) AS pos
+  FROM fz WHERE len(toks) >= {_D18_SEED}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_D18_SEED - 1}], ' ') AS gram
+  FROM gx
+),
+dfq AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+  ) WHERE nd BETWEEN 2 AND {_D18_MAX_DF}
+),
+occ AS (SELECT doc_id, pos, gram FROM g WHERE gram IN (SELECT gram FROM dfq)),
+seeds AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT id_a, id_b, diag, pos_a,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+  FROM seeds
+),
+runs AS (
+  SELECT id_b, MIN(pos_a) - diag AS s,
+         MIN(pos_a) - diag + COUNT(*) + {_D18_SEED - 1} AS e,
+         COUNT(*) + {_D18_SEED - 1} AS match_len
+  FROM isl GROUP BY id_a, id_b, diag, grp
+),
+fr AS (SELECT id_b AS doc_id, s, e FROM runs WHERE match_len >= {_D18_MIN_LEN}),
+sweep AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_e
+  FROM fr
+),
+removed AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, e - GREATEST(COALESCE(prev_e, 0), s))) AS rm
+  FROM sweep GROUP BY doc_id
+),
+rawc AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source),
+qc AS (SELECT source, COUNT(*) AS n_gated FROM q GROUP BY source),
+exc AS (SELECT source, COUNT(*) AS n_exact FROM ex GROUP BY source),
+fzs AS (
+  SELECT f.source, COUNT(*) AS n_fuzzy,
+         CAST(SUM(len(f.toks) - COALESCE(r.rm, 0)) AS BIGINT) AS kept_tokens,
+         CAST(SUM(COALESCE(r.rm, 0)) AS BIGINT) AS removed_tokens
+  FROM fz f LEFT JOIN removed r USING (doc_id) GROUP BY f.source
+)
+SELECT rawc.source, rawc.n_raw,
+       COALESCE(qc.n_gated, 0) AS n_gated,
+       COALESCE(exc.n_exact, 0) AS n_exact,
+       COALESCE(fzs.n_fuzzy, 0) AS n_fuzzy,
+       COALESCE(fzs.kept_tokens, 0) AS kept_tokens,
+       COALESCE(fzs.removed_tokens, 0) AS removed_tokens
+FROM rawc
+LEFT JOIN qc USING (source)
+LEFT JOIN exc USING (source)
+LEFT JOIN fzs USING (source)
+ORDER BY source
+"""
+
+
+@query("p10_refinedweb_pipeline", oracle=P10_ORACLE)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.text import tokens
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    toks = tokens(F.col("text"))
+    gated = docs.where(
+        (F.size(toks) >= _P10_MIN_TOKS)
+        & (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            >= _P10_DIVERSITY
+        )
+    ).select("source", "doc_id", "text")
+    exact = dedup.exact_dedup_by_digest(gated, "text", "doc_id")
+    pairs = dedup.jaccard_pairs(
+        exact,
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=3,
+        threshold=_P10_JACC,
+        max_doc_freq=_P10_MAX_DF,
+    )
+    fuzzy = exact.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    counts = dedup.substring_removal_counts(
+        fuzzy,
+        id_col="doc_id",
+        text_col="text",
+        seed_len=_D18_SEED,
+        min_len=_D18_MIN_LEN,
+        max_doc_freq=_D18_MAX_DF,
+    )
+    fzs = (
+        fuzzy.select("source", "doc_id")
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy"),
+            F.sum(F.col("n_tokens") - F.col("removed_tokens")).alias(
+                "kept_tokens"
+            ),
+            F.sum("removed_tokens").alias("removed_tokens"),
+        )
+    )
+    rawc = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    qc = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
+    exc = exact.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        rawc.join(qc, "source", "left")
+        .join(exc, "source", "left")
+        .join(fzs, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_gated", zero).alias("n_gated"),
+            F.coalesce("n_exact", zero).alias("n_exact"),
+            F.coalesce("n_fuzzy", zero).alias("n_fuzzy"),
+            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+            F.coalesce("removed_tokens", zero).alias("removed_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

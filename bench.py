@@ -57,6 +57,7 @@ HEADLINE = [
     "p02_media_pack_pipeline",
     "p04_privacy_pipeline",
     "p05_split_leakage_safe",
+    "p10_refinedweb_pipeline",
     "g01_pagerank",
     "q78_merge_upsert",
     "q79_interval_range_frame",

@@ -652,3 +652,30 @@ def test_self_repeats_occurrence_cap(spark):
     assert _self_stats(
         spark, docs, seed_len=2, min_len=4, max_gram_occ=2
     ) == {}
+
+
+def test_substring_removal_counts_match_scrub(spark):
+    # the accounting variant must agree with counting the scrubbed text
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f g h i j y y"),
+        (3, "p q r s t u v w"),
+        (4, "a b c d e f g h i j p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    kw = dict(seed_len=3, min_len=5, max_doc_freq=None)
+    counts = {
+        r["id"]: (r["n_tokens"], r["removed_tokens"])
+        for r in dedup.substring_removal_counts(df, "id", "text", **kw).collect()
+    }
+    scrub = {
+        r["id"]: (
+            len(r["text"].lower().split()),
+            len(r["text"].lower().split()) - len(r["clean_text"].split()),
+        )
+        for r in dedup.scrub_maximal_matches(df, "id", "text", **kw).collect()
+    }
+    assert counts == scrub
+    assert counts[1][1] == 0          # lowest id keeps everything
+    assert counts[2][1] == 10         # embedded copy fully removed
+    assert counts[4][1] == 18         # both runs removed

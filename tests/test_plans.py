@@ -820,3 +820,15 @@ def test_d20_occ_prune_partitioned_windows_no_cartesian(spark):
     # both windows are PARTITIONED (pair-diagonal islands, per-doc
     # interval-union sweep) — never a global sort
     assert "windowspecdefinition(id" in plan or "windowspecdefinition(doc_id" in plan
+
+
+def test_p10_composed_pipeline_no_scale_killers(spark):
+    plan = plan_of(spark, "p10_refinedweb_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # both df caps (jaccard posting lists, d18 seeds) prune via
+    # partial-agg count + LEFT SEMI before any pair join
+    assert plan.count("LeftSemi") >= 2 and "<= 50" in plan
+    # fuzzy drop set applies as LEFT ANTI (no row multiplication)
+    assert "LeftAnti" in plan
