@@ -1314,6 +1314,92 @@ def self_repeat_stats(
     )
 
 
+def cross_match_pairs(
+    df_probe: DataFrame,
+    df_corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed_len: int = 5,
+    min_len: int = 10,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Maximal token matches ACROSS two corpora — substring-level
+    contamination detection (probe = eval/benchmark set, corpus =
+    training data). Returns one row per maximal shared run >=
+    ``min_len``: ``(id_probe, id_corpus, start_probe, start_corpus,
+    match_len)``, positions 1-based.
+
+    The cross-table variant of :func:`maximal_match_pairs`: instead
+    of ordered pairs within one table, seeds pair every probe-side
+    gram occurrence with every corpus-side occurrence of the same
+    digest; diagonal run-merge reconstructs the maximal matches. This
+    is the substring-exact strengthening of fixed-n-gram
+    decontamination (Lee et al. 2021; GPT-3 appendix C): a 13-gram
+    check misses a 12-token verbatim leak, a maximal-match check
+    reports exactly what leaked and where.
+
+    Scale shape: both gram tables are map-side digest projections
+    (8-byte digests shuffle, never text). The doc-frequency cap
+    applies to the CORPUS side only (a boilerplate gram in thousands
+    of training docs would blow up the probe join; eval sets are
+    small, so the probe side needs no cap), partial-agg'd and
+    LEFT-SEMI pruned before the join — mirrored by the oracle. The
+    probe-side gram table is typically tiny; at scale Catalyst
+    broadcasts it into the corpus stream.
+    """
+    if min_len < seed_len:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= seed_len ({seed_len})"
+        )
+    probe = positional_shingles(
+        _parallelize(df_probe), id_col, text_col, seed_len
+    )
+    corpus = positional_shingles(
+        _parallelize(df_corpus), id_col, text_col, seed_len
+    )
+    if max_doc_freq is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        keep = (
+            corpus.select("_digest", id_col)
+            .distinct()
+            .groupBy("_digest")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") <= max_doc_freq)
+            .select("_digest")
+        )
+        corpus = corpus.join(keep, "_digest", "left_semi")
+    a = probe.alias("a")
+    b = corpus.alias("b")
+    seeds = (
+        a.join(b, F.col("a._digest") == F.col("b._digest"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_probe"),
+            F.col(f"b.{id_col}").alias("id_corpus"),
+            F.col("a._pos").alias("pos_p"),
+            (F.col("a._pos") - F.col("b._pos")).alias("_diag"),
+        )
+    )
+    w = Window.partitionBy("id_probe", "id_corpus", "_diag").orderBy("pos_p")
+    isl = seeds.withColumn("_grp", F.col("pos_p") - F.row_number().over(w))
+    return (
+        isl.groupBy("id_probe", "id_corpus", "_diag", "_grp")
+        .agg(
+            F.min("pos_p").alias("start_probe"),
+            (F.count(F.lit(1)) + F.lit(seed_len - 1)).alias("match_len"),
+        )
+        .where(F.col("match_len") >= min_len)
+        .select(
+            "id_probe",
+            "id_corpus",
+            "start_probe",
+            (F.col("start_probe") - F.col("_diag")).alias("start_corpus"),
+            "match_len",
+        )
+    )
+
+
 def _interval_union_sum(
     runs: DataFrame, id_col: str, start_col: str, end_col: str, out_col: str
 ) -> DataFrame:

@@ -5021,6 +5021,93 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# t41 — substring-level eval contamination audit. t11 checks fixed
+# 13-gram membership; this reports the MAXIMAL verbatim leaks between
+# a held-out eval slice (doc_id % 20 == 0, the deterministic
+# benchmark stand-in) and the training corpus (the rest), via the
+# cross-table diagonal run-merge (operators/dedup.py:
+# cross_match_pairs). Per eval doc: how many maximal leaked spans,
+# the longest, and how many distinct corpus docs carry one.
+# --------------------------------------------------------------------
+
+_T41_SEED = 5
+_T41_MIN_LEN = 10
+_T41_MAX_DF = 50
+
+T41_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+ex AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_T41_SEED - 1})) AS pos
+  FROM t WHERE len(toks) >= {_T41_SEED}
+),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_T41_SEED - 1}], ' ') AS gram
+  FROM ex
+),
+gp AS (SELECT * FROM g WHERE doc_id % 20 = 0),
+gc0 AS (SELECT * FROM g WHERE doc_id % 20 <> 0),
+dfq AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gc0 GROUP BY gram
+  ) WHERE nd <= {_T41_MAX_DF}
+),
+gc AS (SELECT * FROM gc0 WHERE gram IN (SELECT gram FROM dfq)),
+seeds AS (
+  SELECT a.doc_id AS id_probe, b.doc_id AS id_corpus, a.pos AS pos_p,
+         a.pos - b.pos AS diag
+  FROM gp a JOIN gc b ON a.gram = b.gram
+),
+isl AS (
+  SELECT id_probe, id_corpus, diag, pos_p,
+         pos_p - ROW_NUMBER() OVER (
+           PARTITION BY id_probe, id_corpus, diag ORDER BY pos_p) AS grp
+  FROM seeds
+),
+runs AS (
+  SELECT id_probe, id_corpus, COUNT(*) + {_T41_SEED - 1} AS match_len
+  FROM isl GROUP BY id_probe, id_corpus, diag, grp
+),
+fr AS (SELECT * FROM runs WHERE match_len >= {_T41_MIN_LEN})
+SELECT id_probe,
+       COUNT(*) AS n_leaked_spans,
+       MAX(match_len) AS max_len,
+       COUNT(DISTINCT id_corpus) AS n_corpus_docs
+FROM fr GROUP BY id_probe
+ORDER BY id_probe
+"""
+
+
+@query("t41_substring_contamination", oracle=T41_ORACLE)
+def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    probe = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    runs = dedup.cross_match_pairs(
+        probe,
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        seed_len=_T41_SEED,
+        min_len=_T41_MIN_LEN,
+        max_doc_freq=_T41_MAX_DF,
+    )
+    return (
+        runs.groupBy(F.col("id_probe"))
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_spans"),
+            F.max("match_len").alias("max_len"),
+            F.countDistinct("id_corpus").alias("n_corpus_docs"),
+        )
+        .orderBy("id_probe")
+    )
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

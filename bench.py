@@ -51,6 +51,7 @@ HEADLINE = [
     "t18_shard_assign",
     "t22_inverted_index",
     "t25_count_min",
+    "t41_substring_contamination",
     "t27_pii_scrub",
     "m07_scene_change",
     "p01_corpus_pipeline",

@@ -679,3 +679,49 @@ def test_substring_removal_counts_match_scrub(spark):
     assert counts[1][1] == 0          # lowest id keeps everything
     assert counts[2][1] == 10         # embedded copy fully removed
     assert counts[4][1] == 18         # both runs removed
+
+
+# -- t41: cross-corpus maximal matches (contamination) ------------------
+
+def _cross(spark, probe, corpus, **kw):
+    pa = spark.createDataFrame(probe, ["id", "text"])
+    ca = spark.createDataFrame(corpus, ["id", "text"])
+    return sorted(
+        (r["id_probe"], r["id_corpus"], r["start_probe"],
+         r["start_corpus"], r["match_len"])
+        for r in dedup.cross_match_pairs(pa, ca, "id", "text", **kw).collect()
+    )
+
+
+def test_cross_match_detects_leak(spark):
+    # corpus doc 10 embeds eval doc 1's full text at token position 3
+    rows = _cross(
+        spark,
+        [(1, "a b c d e f g h i j")],
+        [(10, "x x a b c d e f g h i j y y"), (11, "unrelated words only")],
+        seed_len=3, min_len=5,
+    )
+    assert rows == [(1, 10, 1, 3, 10)]
+
+
+def test_cross_match_no_id_ordering_requirement(spark):
+    # probe id LARGER than corpus id still pairs (cross-table, not
+    # ordered-pair, semantics)
+    rows = _cross(
+        spark,
+        [(99, "a b c d e f")],
+        [(1, "a b c d e f")],
+        seed_len=3, min_len=5,
+    )
+    assert rows == [(99, 1, 1, 1, 6)]
+
+
+def test_cross_match_corpus_df_cap(spark):
+    # the shared run sits in 4 corpus docs; cap=3 prunes every seed
+    probe = [(1, "alpha beta gamma delta epsilon zeta")]
+    corpus = [(i, f"u{i} alpha beta gamma delta epsilon zeta w{i}")
+              for i in range(10, 14)]
+    assert _cross(spark, probe, corpus, seed_len=3, min_len=6) != []
+    assert _cross(
+        spark, probe, corpus, seed_len=3, min_len=6, max_doc_freq=3
+    ) == []

@@ -832,3 +832,13 @@ def test_p10_composed_pipeline_no_scale_killers(spark):
     assert plan.count("LeftSemi") >= 2 and "<= 50" in plan
     # fuzzy drop set applies as LEFT ANTI (no row multiplication)
     assert "LeftAnti" in plan
+
+
+def test_t41_probe_broadcasts_corpus_df_capped(spark):
+    plan = plan_of(spark, "t41_substring_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # corpus-side boilerplate cap prunes before the cross join
+    assert "LeftSemi" in plan and "<= 50" in plan
+    # the tiny probe gram table broadcasts into the corpus stream
+    assert "BroadcastHashJoin" in plan

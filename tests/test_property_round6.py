@@ -162,3 +162,37 @@ def test_self_repeats_equal_pure_python_scan(spark, texts, seed_len, extra):
                 covered.update(range(s, s + ln))
             want[k] = (len(runs), max(ln for _, ln in runs), len(covered))
     assert got == want
+
+
+@given(
+    probe=st.lists(doc_text, min_size=1, max_size=3),
+    corpus=st.lists(doc_text, min_size=1, max_size=3),
+    seed_len=st.integers(2, 3),
+)
+@SETTINGS
+def test_cross_match_equals_pure_python_suffix_scan(
+    spark, probe, corpus, seed_len
+):
+    from arc_jupyter_spark.operators.dedup import cross_match_pairs
+
+    min_len = seed_len + 1
+    pa = spark.createDataFrame(list(enumerate(probe)), ["id", "text"])
+    ca = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus)], ["id", "text"]
+    )
+    got = {
+        (r["id_probe"], r["id_corpus"], r["start_probe"],
+         r["start_corpus"], r["match_len"])
+        for r in cross_match_pairs(
+            pa, ca, "id", "text",
+            seed_len=seed_len, min_len=min_len, max_doc_freq=None,
+        ).collect()
+    }
+    want = set()
+    for i, pt in enumerate(probe):
+        for j, ct in enumerate(corpus):
+            for sp, sc, ln in _brute_maximal_pair(
+                pt.lower().split(), ct.lower().split(), min_len
+            ):
+                want.add((i, 100 + j, sp, sc, ln))
+    assert got == want

@@ -60,9 +60,17 @@ def classify(plan: str) -> dict:
     scans_no_pushdown = 0
     scans_pushed = 0
     n_scans = 0
+    seen: set[str] = set()
     for seg in plan.split("Scan parquet")[1:]:
-        n_scans += 1
         head = seg[:500]
+        # count DISTINCT scan specs: a persisted relation's plan text
+        # embeds the same FileScan once per AQE initial/final copy and
+        # once per consumer branch — raw occurrence counts then drift
+        # with plan-text layout across scales, not with actual I/O
+        if head in seen:
+            continue
+        seen.add(head)
+        n_scans += 1
         if "PushedFilters: [" in head and "PushedFilters: []" not in head:
             scans_pushed += 1
         if (
