@@ -235,6 +235,85 @@ def sample_frames_stub(
     return df.mapInPandas(run, schema=schema)
 
 
+def synthesize_png(
+    df: DataFrame, id_col: str, binary_col: str = "value"
+) -> DataFrame:
+    """Append a deterministic REAL RGB PNG per row (fixture
+    synthesizer for pixel-exact pipeline tests): width = 4 + id % 5,
+    height = 3 + id % 4, pixel byte k = (id*7 + 13*k) % 256. The
+    payloads are standards-compliant files (zlib IDAT, CRCs), so any
+    decoder — this repo's pure-stdlib one or PIL — round-trips them;
+    an oracle can reproduce the pixel arithmetic algebraically
+    without decoding anything. Arrow-batched, map-only."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                w, h = 4 + i % 5, 3 + i % 4
+                rgb = bytes((i * 7 + 13 * k) % 256 for k in range(w * h * 3))
+                payloads.append(encode_png(w, h, rgb))
+            yield pdf.assign(**{binary_col: payloads})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, binary_col: str = "value", out_col: str = "pixel_stats"
+) -> DataFrame:
+    """Append REAL decoded pixel statistics (width, height, channels,
+    exact byte sum) via the pure-stdlib PNG pixel decoder — all five
+    RFC 2083 filter types unfiltered, zlib inflated. Payloads the
+    decoder does not recognize yield a null struct (callers that
+    require decodability should filter on it). Arrow-batched,
+    map-only — the 100 TB shape for media feature extraction."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, PIXEL_STATS_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import (
+            decode_png_pixels,
+        )
+
+        for pdf in batches:
+            stats = []
+            for payload in pdf[binary_col]:
+                data = bytes(payload) if payload is not None else b""
+                out = decode_png_pixels(data)
+                if out is None:
+                    stats.append(None)
+                    continue
+                w, h, c, px = out
+                stats.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixel_sum": sum(px),
+                    }
+                )
+            yield pdf.assign(**{out_col: stats})
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int, binary_col: str = "value") -> DataFrame:
     """Real image resize. PIL when installed (all formats, fast);
     otherwise the pure-stdlib PNG pixel path (``media_codecs.resize_png``,

@@ -5108,6 +5108,52 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# m09 — REAL pixel round trip: per doc a standards-compliant RGB PNG
+# is synthesized (deterministic bytes from doc_id), decoded back by
+# the pure-stdlib pixel decoder (zlib inflate + all five RFC 2083
+# filters), and the exact byte sum is reported. The oracle never
+# decodes anything — it recomputes the pixel arithmetic
+# algebraically — so a single flipped bit anywhere in the
+# encode → Arrow → inflate → unfilter path breaks the hash. Closes
+# the loop the m01-m04 digest stubs could not: real codec bytes, not
+# digest arithmetic, across the Arrow batch boundary.
+# --------------------------------------------------------------------
+
+M09_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, w * h * 3 - 1)) AS k
+  FROM d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM((doc_id * 7 + 13 * k) % 256) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
+@query("m09_png_pixel_roundtrip", oracle=M09_ORACLE)
+def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    ids = spark.table("documents").select("doc_id")
+    pngs = multimodal.synthesize_png(ids, id_col="doc_id")
+    stats = multimodal.image_pixel_stats(pngs, binary_col="value")
+    return stats.select(
+        "doc_id",
+        F.col("pixel_stats.width").alias("width"),
+        F.col("pixel_stats.height").alias("height"),
+        F.col("pixel_stats.pixel_sum").alias("pixel_sum"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
 # t38 — DSIR importance weights (Xie et al., public): rank the
 # non-English slice of the corpus by how English-target-like its
 # hashed-bigram distribution is — the importance-resampling signal a

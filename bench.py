@@ -54,6 +54,7 @@ HEADLINE = [
     "t41_substring_contamination",
     "t27_pii_scrub",
     "m07_scene_change",
+    "m09_png_pixel_roundtrip",
     "p01_corpus_pipeline",
     "p02_media_pack_pipeline",
     "p04_privacy_pipeline",

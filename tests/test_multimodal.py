@@ -170,3 +170,32 @@ def test_resize_images_pure_stdlib_png(spark):
     w, h, ch, pix = decode_png_pixels(bytes(out))
     # nearest-neighbor: output pixel (0,0) is input pixel (0,0)
     assert pix[:3] == rgb[:3]
+
+
+def test_synthesize_png_roundtrips_real_decoder(spark):
+    from arc_jupyter_spark.operators import multimodal
+    from arc_jupyter_spark.operators.media_codecs import decode_png_pixels
+
+    ids = spark.createDataFrame([(0,), (3,), (17,)], ["doc_id"])
+    rows = multimodal.synthesize_png(ids, "doc_id").collect()
+    for r in rows:
+        i = r["doc_id"]
+        w, h = 4 + i % 5, 3 + i % 4
+        out = decode_png_pixels(bytes(r["value"]))
+        assert out is not None
+        dw, dh, dc, px = out
+        assert (dw, dh, dc) == (w, h, 3)
+        assert px == bytes((i * 7 + 13 * k) % 256 for k in range(w * h * 3))
+
+
+def test_image_pixel_stats_null_struct_for_undecodable(spark):
+    from arc_jupyter_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a png")), (2, None)], ["id", "value"]
+    )
+    rows = {
+        r["id"]: r["pixel_stats"]
+        for r in multimodal.image_pixel_stats(df).collect()
+    }
+    assert rows[1] is None and rows[2] is None

@@ -842,3 +842,12 @@ def test_t41_probe_broadcasts_corpus_df_capped(spark):
     assert "LeftSemi" in plan and "<= 50" in plan
     # the tiny probe gram table broadcasts into the corpus stream
     assert "BroadcastHashJoin" in plan
+
+
+def test_m09_decode_chain_is_map_only(spark):
+    plan = plan_of(spark, "m09_png_pixel_roundtrip")
+    # encode and decode are Arrow-batched (never row-Python), fused
+    # map-side: the only exchange is the final presentation sort
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2
