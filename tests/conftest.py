@@ -23,6 +23,11 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the sf1 plan-gate sweep (tests/test_plans_scale.py) plans
+        # every headline query against the generated 10x point; the
+        # queries whose CONSTRUCTION runs jobs (bloom builds, k-row
+        # centroid collects) OOM the 1g default heap at that scale
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     yield s
