@@ -970,3 +970,93 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# st14 — streaming contamination guard (round-6 theme in the stream
+# path): the training corpus arrives as a file stream; each
+# micro-batch explodes word 5-gram digests map-side and LEFT
+# SEMI-joins a STATIC eval-slice digest set (stream-static joins are
+# stateless — the eval set behaves as a broadcast filter), then a
+# stateful complete-mode aggregation keeps per-(source, doc) leak
+# counts. The drained sink aggregates to per-source totals that a
+# batch CTE reproduces exactly — the guard a training-data ingest
+# keeps running so a benchmark leak is caught at arrival time, not
+# at audit time.
+# --------------------------------------------------------------------
+
+from arc_jupyter_spark.workloads.llmops import _DUCK_TOKS as _ST14_TOKS
+from arc_jupyter_spark.workloads.llmops import _duck_shingles as _st14_sh
+
+ST14_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, {_ST14_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT source, doc_id, unnest({_st14_sh(5)}) AS gram FROM t
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT source, doc_id, COUNT(*) AS n
+  FROM g
+  WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM ev)
+  GROUP BY source, doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_leaked_grams
+FROM hits GROUP BY source ORDER BY source
+"""
+
+
+@query("st14_stream_contamination", oracle=ST14_ORACLE)
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.dedup import word_shingles
+
+    def digests(col):
+        return F.transform(
+            word_shingles(col, 5),
+            lambda s: F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_digests = (
+        batch.where(F.col("doc_id") % 20 == 0)
+        .select(F.explode(digests(F.col("text"))).alias("_d"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hits = (
+        stream.where(F.col("doc_id") % 20 != 0)
+        .select(
+            "source", "doc_id", F.explode(digests(F.col("text"))).alias("_d")
+        )
+        .join(eval_digests, "_d", "left_semi")
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"st14_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            hits.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_leaked_grams"),
+        )
+        .orderBy("source")
+    )

@@ -71,6 +71,7 @@ HEADLINE = [
     "t31_domain_blocklist",
     "s08_quantized_topk",
     "st01_stream_window",
+    "st14_stream_contamination",
     "d14_url_dedup",
     "t32_html_clean",
     "t33_code_detect",
