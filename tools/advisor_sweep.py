@@ -49,7 +49,17 @@ localCheckpoint'd (vec_id, cluster_id) map (16 B/row, evaluated
 exactly once; a pushed-down join-key isnotnull would otherwise inline
 the quantize+argmax into the scan filter per consumer — measured 3x),
 and the keep test is a map-side broadcast-join filter (plan-asserted
-in `test_plans.py::test_s11_cluster_sample_shape`)."""
+in `test_plans.py::test_s11_cluster_sample_shape`);
+the round-6 substring family (`d18`/`d19`/`d20`/`t41`/`p10`)
+many-shuffles counts the seed digest-frequency prune, the seed pair
+join, the per-diagonal window and the island groupBy — every shuffled
+payload is (ids, two ints), never gram text, and the df/occurrence
+caps bound any hot key BEFORE the pair join (plan-asserted LEFT SEMI
+`<= 50` in `test_plans.py`); `d19_substring_scrub` /
+`p10_refinedweb_pipeline` unbounded-collect is the per-document
+scrub-interval `collect_list` — two ints per maximal match, grouped
+per document (bounded by that document's token count, not by corpus
+size), the same per-doc-array shape as `scrub_duplicated_spans`."""
 
 
 def main() -> int:
