@@ -69,6 +69,36 @@ def _parallelize(df: DataFrame) -> DataFrame:
     return df
 
 
+# Gram tables are persisted because two branches (doc frequency +
+# membership/seed join) consume them within ONE operator's plan. A
+# long-lived session calling these operators repeatedly would
+# otherwise accumulate pinned blocks until session end. Correctness
+# never depends on a persist (unpersist only forces recompute), so we
+# keep at most the MOST RECENT gram table pinned and release prior
+# ones on the next call; release_gram_cache() drops that one too.
+_GRAM_CACHE: list[DataFrame] = []
+
+
+def _persist_grams(grams: DataFrame) -> DataFrame:
+    """Persist a gram table MEMORY_AND_DISK, releasing any gram table
+    pinned by a previous operator call in this session."""
+    from pyspark.storagelevel import StorageLevel
+
+    release_gram_cache()
+    g = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    _GRAM_CACHE.append(g)
+    return g
+
+
+def release_gram_cache() -> None:
+    """Unpersist any gram table pinned by the substring-dedup family
+    (duplicated_spans / scrub / maximal_match_pairs / self_repeat_stats
+    / cross_match_pairs). Safe anytime: a consumer still holding the
+    lazy result just recomputes the projection."""
+    while _GRAM_CACHE:
+        _GRAM_CACHE.pop().unpersist()
+
+
 # -- shingling --------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -1026,14 +1056,14 @@ def duplicated_spans(
     shingle+md5 projection twice (measured ~30% of wall at sf0.1).
     At 24 bytes/row the cache is ~5% of corpus text size; disable for
     corpora where even that doesn't fit the cluster's storage tier —
-    recompute is then the right trade. Spark's ContextCleaner
-    reclaims the block when the plan is garbage-collected.
+    recompute is then the right trade. The session keeps at most ONE
+    gram table pinned across the whole substring-dedup family (the
+    next operator call releases the previous one); call
+    :func:`release_gram_cache` to drop it eagerly.
     """
     grams = positional_shingles(_parallelize(df), id_col, text_col, gram_len)
     if cache_grams:
-        from pyspark.storagelevel import StorageLevel
-
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = _persist_grams(grams)
     dup_digests = (
         grams.select("_digest", id_col)
         .distinct()
@@ -1106,9 +1136,7 @@ def scrub_duplicated_spans(
     """
     grams = positional_shingles(_parallelize(df), id_col, text_col, gram_len)
     if cache_grams:
-        from pyspark.storagelevel import StorageLevel
-
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = _persist_grams(grams)
     dup_digests = (
         grams.select("_digest", id_col)
         .distinct()
@@ -1190,6 +1218,15 @@ def maximal_match_pairs(
 
     ``min_len`` must be >= ``seed_len``: matches shorter than the seed
     produce no seed hit and are invisible by construction.
+
+    Collision sensitivity: seed chaining trusts the 60-bit gram
+    digests of :func:`positional_shingles` more strongly than the set
+    operators do — a digest collision INSIDE a run doesn't just
+    overcount one set element (the d03/d17 failure mode), it can
+    bridge two separate runs on the same diagonal into one false
+    "maximal" match, silently diverging from suffix-array semantics.
+    Acceptable at 2^-60 per-pair scale; verify with the property test
+    against the pure-Python suffix scan if the digest width changes.
     """
     if min_len < seed_len:
         raise ValueError(
@@ -1198,9 +1235,7 @@ def maximal_match_pairs(
         )
     grams = positional_shingles(_parallelize(df), id_col, text_col, seed_len)
     if cache_grams:
-        from pyspark.storagelevel import StorageLevel
-
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = _persist_grams(grams)
     freq = (
         grams.select("_digest", id_col)
         .distinct()
@@ -1288,10 +1323,9 @@ def self_repeat_stats(
             f"min_len ({min_len}) must be >= seed_len ({seed_len}): "
             "repeats shorter than the seed produce no seed hits"
         )
-    grams = positional_shingles(_parallelize(df), id_col, text_col, seed_len)
-    from pyspark.storagelevel import StorageLevel
-
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = _persist_grams(
+        positional_shingles(_parallelize(df), id_col, text_col, seed_len)
+    )
     occ_cond = F.col("_occ") >= 2
     if max_gram_occ is not None:
         occ_cond = occ_cond & (F.col("_occ") <= max_gram_occ)
@@ -1400,9 +1434,7 @@ def cross_match_pairs(
         _parallelize(df_corpus), id_col, text_col, seed_len
     )
     if max_doc_freq is not None:
-        from pyspark.storagelevel import StorageLevel
-
-        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        corpus = _persist_grams(corpus)
         keep = (
             corpus.select("_digest", id_col)
             .distinct()

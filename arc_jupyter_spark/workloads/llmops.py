@@ -23,19 +23,12 @@ from arc_jupyter_spark.operators import (
 )
 from arc_jupyter_spark.workloads.base import exact_sum, load_views, query
 
-# shared DuckDB fragments -------------------------------------------------
-
-_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
-
-
-def _duck_shingles(n: int) -> str:
-    """DuckDB expression for word n-gram shingles over ``toks`` column."""
-    return (
-        f"CASE WHEN len(toks) >= {n} THEN "
-        f"list_transform(generate_series(1, len(toks) - {n - 1}), "
-        f"j -> array_to_string(toks[j:j + {n - 1}], ' ')) "
-        f"ELSE [array_to_string(toks, ' ')] END"
-    )
+# shared DuckDB fragments live in _duck_sql (streaming oracles use the
+# same tokenizer); local aliases keep the many f-string sites short
+from arc_jupyter_spark.workloads._duck_sql import (
+    DUCK_TOKS as _DUCK_TOKS,
+    duck_shingles as _duck_shingles,
+)
 
 
 # --------------------------------------------------------------------

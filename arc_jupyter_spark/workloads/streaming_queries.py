@@ -985,8 +985,8 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at audit time.
 # --------------------------------------------------------------------
 
-from arc_jupyter_spark.workloads.llmops import _DUCK_TOKS as _ST14_TOKS
-from arc_jupyter_spark.workloads.llmops import _duck_shingles as _st14_sh
+from arc_jupyter_spark.workloads._duck_sql import DUCK_TOKS as _ST14_TOKS
+from arc_jupyter_spark.workloads._duck_sql import duck_shingles as _st14_sh
 
 ST14_ORACLE = f"""
 WITH t AS (

@@ -62,7 +62,11 @@ def classify(plan: str) -> dict:
     n_scans = 0
     seen: set[str] = set()
     for seg in plan.split("Scan parquet")[1:]:
-        head = seg[:500]
+        # one plan node per line: the remainder of the scan's own line
+        # carries the COMPLETE spec (Location, DataFilters,
+        # PushedFilters, ReadSchema), so two scans of the same relation
+        # that differ only past a fixed prefix stay distinct
+        head = seg.split("\n", 1)[0]
         # count DISTINCT scan specs: a persisted relation's plan text
         # embeds the same FileScan once per AQE initial/final copy and
         # once per consumer branch — raw occurrence counts then drift
