@@ -4944,8 +4944,18 @@ ORDER BY source
 """
 
 
-@query("p10_refinedweb_pipeline", oracle=P10_ORACLE)
-def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p10_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The four composed stages of p10 as separate DataFrames, in
+    dependency order: ``gate`` → ``exact`` → ``fuzzy`` (jaccard
+    anti-join survivors) → ``counts`` (substring-removal accounting).
+
+    Exists so bench.py can persist+materialize each frame and
+    attribute wall/shuffle to ONE stage (VERDICT r6 item 3) while the
+    p10 query itself consumes exactly the same lazy plans — one
+    definition, two uses, no drift.
+    """
     from arc_jupyter_spark.operators.text import tokens
 
     load_views(spark, sf_dir, "documents")
@@ -4980,6 +4990,16 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_len=_D18_MIN_LEN,
         max_doc_freq=_D18_MAX_DF,
     )
+    return {"gate": gated, "exact": exact, "fuzzy": fuzzy,
+            "counts": counts}
+
+
+@query("p10_refinedweb_pipeline", oracle=P10_ORACLE)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = p10_stage_frames(spark, sf_dir)
+    docs = spark.table("documents")
+    gated, exact = frames["gate"], frames["exact"]
+    fuzzy, counts = frames["fuzzy"], frames["counts"]
     fzs = (
         fuzzy.select("source", "doc_id")
         .join(counts, "doc_id")

@@ -29,9 +29,20 @@ correctness oracles — the synthetic text/vector perturbations are
 documented distortions. Output dir defaults to
 ``/root/repo/.scaledata/sf1`` (never writes to /root/testdata).
 
+Text perturbation is an AFFINE substitution cipher per replica:
+letter ``i`` maps to ``(a*i + b) mod 26`` with ``a`` one of the 12
+units of Z/26 and ``b = replica % 26`` — 312 distinct alphabet
+permutations, so up to 312 replicas (sf ≈ 31) carry pairwise-disjoint
+shingle spaces. Replicas 0..25 use ``a=1`` (plain Caesar), keeping
+sf1 outputs byte-identical to earlier rounds' fixtures. Word lengths,
+token boundaries, and case structure are untouched, so per-row
+compute is identical across replicas.
+
 Usage: python tools/gen_scaled.py [--replicas 10] [--out DIR]
-``--replicas`` is bounded to 1..26: the per-replica Caesar text
-rotation cycles mod 26, so replica 26 would repeat replica 0's text.
+       [--src DIR] [--tables t1,t2,...]
+``--tables`` restricts output (e.g. ``--tables documents`` for the
+sf10 substring-family point); dimension tables are always copied so
+``load_views`` callers that touch region/nation keep working.
 """
 
 from __future__ import annotations
@@ -61,14 +72,33 @@ SHIFT_COLS = {
 }
 
 
+# the 12 units of Z/26 — multipliers for the affine text cipher.
+# a=1 first so replicas 0..25 reduce to the original Caesar rotation.
+_AFFINE_A = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _affine_alphabet(replica: int) -> str:
+    """The substitution alphabet for a replica: 312 distinct
+    permutations before any two replicas share text."""
+    a = _AFFINE_A[(replica // 26) % len(_AFFINE_A)]
+    b = replica % 26
+    return "".join(
+        chr(ord("a") + (a * i + b) % 26) for i in range(26)
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    # <= 26: the per-replica Caesar rotation is i % 26, so replica 26
-    # would reproduce replica-0 text verbatim and recreate exactly the
-    # cross-replica near-dup blowup the rotation exists to prevent
-    ap.add_argument("--replicas", type=int, default=10, choices=range(1, 27),
-                    metavar="N (1..26)")
+    # <= 312: the affine cipher has 12*26 distinct alphabets; replica
+    # 312 would reproduce replica-0 text verbatim and recreate exactly
+    # the cross-replica near-dup blowup the cipher exists to prevent
+    ap.add_argument("--replicas", type=int, default=10,
+                    choices=range(1, 313), metavar="N (1..312)")
     ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset of scaled tables to "
+                         "write (dimensions always copied)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -79,13 +109,21 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
 
     for t in DIMENSION_TABLES:
-        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+        spark.read.parquet(f"{args.src}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{args.out}/{t}.parquet")
         print(f"{t}: copied (dimension)")
 
-    for t, shift_cols in SHIFT_COLS.items():
-        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+    scaled = SHIFT_COLS
+    if args.tables:
+        want = {t.strip() for t in args.tables.split(",")}
+        unknown = want - set(SHIFT_COLS)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        scaled = {t: c for t, c in SHIFT_COLS.items() if t in want}
+
+    for t, shift_cols in scaled.items():
+        base = spark.read.parquet(f"{args.src}/{t}.parquet")
         parts = []
         for i in range(args.replicas):
             rep = base
@@ -94,10 +132,10 @@ def main() -> int:
                     c, (F.col(c) + F.lit(i * KEY_STRIDE)).cast("bigint")
                 )
             if t == "documents" and i > 0:
-                # rotate letters by i so replica shingle spaces are
-                # disjoint; length/token structure identical
+                # affine-substitute letters so replica shingle spaces
+                # are disjoint; length/token structure identical
                 src = "abcdefghijklmnopqrstuvwxyz"
-                rot = src[i % 26:] + src[: i % 26]
+                rot = _affine_alphabet(i)
                 rep = rep.withColumn(
                     "text",
                     F.translate(

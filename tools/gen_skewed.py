@@ -23,7 +23,18 @@ oracles are plain SQL over whatever parquet sits in the sf dir, so
 ``python tools/selfcheck.py /root/repo/.scaledata/skew01 <query...>``
 closes the loop.
 
+``--graph`` mode (VERDICT r6 item 2) writes a SEPARATE fixture with a
+hot-community zipfian graph instead: ``orders``/``lineitem`` key mass
+is remapped onto a 5-key zipf head (halving shares ≈ 25/12/6/3/1.5%
+of rows onto hot keys) so g01/g03's customer–supplier bipartite graph
+and g05's order–part graph each carry one community holding ~25% of
+all edges. It is a separate dir because skew01/skew1 deliberately
+keep ``lineitem`` byte-identical — that is the q42 host-noise-floor
+control's premise — while graph skew must touch exactly that table.
+
 Usage: python tools/gen_skewed.py [--src /root/testdata/sf0.1] [--out DIR]
+       python tools/gen_skewed.py --graph --src .scaledata/sf1 \
+           --out .scaledata/skewg1
 """
 
 from __future__ import annotations
@@ -38,6 +49,61 @@ HOT_SENTENCE = (
 )  # 9 words -> one guaranteed-hot 8-shingle
 
 
+def _zipf_head(col, n_rows_hash_col, hot_base):
+    """Remap a zipf head of rows onto 5 hot keys: shares halve
+    (16/64, 8/64, 4/64, 2/64, 1/64 ≈ 25/12.5/6.25/3.1/1.6%), chosen
+    by a deterministic row hash; the remaining ~52% keep their
+    original key. ``hot_base + k`` are the hot keys."""
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(F.xxhash64(n_rows_hash_col), F.lit(64))
+    return (
+        F.when(bucket < 16, F.lit(hot_base))
+        .when(bucket < 24, F.lit(hot_base + 1))
+        .when(bucket < 28, F.lit(hot_base + 2))
+        .when(bucket < 30, F.lit(hot_base + 3))
+        .when(bucket < 31, F.lit(hot_base + 4))
+        .otherwise(col)
+    )
+
+
+def graph_skew(spark, src: str, out: str) -> int:
+    """Hot-community graph fixture: the g01/g03 bipartite graph
+    (o_custkey ↔ l_suppkey via o_orderkey) and the g05 graph
+    (l_orderkey ↔ l_partkey) each get a 5-key zipf head holding
+    ~48% of row mass, ~25% on the single hottest key. Key domains
+    are preserved (hot keys are existing min keys), so joins against
+    customer/supplier still hit dimension rows."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    lineitem = spark.read.parquet(f"{src}/lineitem.parquet")
+    hot_cust = orders.agg(F.min("o_custkey")).first()[0]
+    hot_supp = lineitem.agg(F.min("l_suppkey")).first()[0]
+    hot_part = lineitem.agg(F.min("l_partkey")).first()[0]
+
+    orders.withColumn(
+        "o_custkey", _zipf_head(F.col("o_custkey"), "o_orderkey", hot_cust)
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    li_row = (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    (
+        lineitem
+        .withColumn("l_suppkey",
+                    _zipf_head(F.col("l_suppkey"), li_row, hot_supp))
+        .withColumn("l_partkey",
+                    _zipf_head(F.col("l_partkey"), li_row + 3, hot_part))
+        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+
+    so = spark.read.parquet(f"{out}/orders.parquet")
+    n = so.count()
+    hot_n = so.filter(F.col("o_custkey") == hot_cust).count()
+    print(f"wrote {out}: hot customer {hot_cust} holds {hot_n}/{n} "
+          f"orders ({100 * hot_n / n:.0f}%)")
+    return 0
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -50,9 +116,15 @@ def main() -> int:
                     help="write only the probe tables (events, documents, "
                          "lineitem, customer) — enough for skew_probe.py, "
                          "NOT for selfcheck (which views all ten tables)")
+    ap.add_argument("--graph", action="store_true",
+                    help="write the hot-community graph fixture "
+                         "(orders+lineitem only) — see module docstring")
     args = ap.parse_args()
 
     spark = build_session(app_name="gen-skewed")
+
+    if args.graph:
+        return graph_skew(spark, args.src, args.out)
 
     customer = spark.read.parquet(f"{args.src}/customer.parquet")
     hot_user = customer.agg(F.min("c_custkey")).first()[0]

@@ -22,7 +22,12 @@ Python ints either way, so without this mirror selfcheck is
 structurally blind to the exact channel that burned rounds 1 and 3.
 
 Usage: python tools/selfcheck.py [--tuned] [--loose] [--emit FILE]
-       [sf_dir] [query ...]
+       [--sample-complement] [sf_dir] [query ...]
+
+``--sample-complement`` restricts the run (when no explicit query
+list is given) to queries never sampled by any committed driver
+round — cheap per-round insurance that the never-sampled tail's
+green status is re-derived, not inherited.
 
 ``--emit FILE`` additionally writes the per-query results as JSON in
 the driver's CORRECTNESS format ({name: {rows_match, schema_match,
@@ -111,6 +116,29 @@ def dtype_mismatches(sdf, odf) -> list[str]:
     return out
 
 
+def _driver_sample_complement() -> set[str]:
+    """Query names NEVER sampled by any committed driver round
+    (CORRECTNESS_r*.json at the repo root)."""
+    import glob
+    import json
+    import os
+
+    from arc_jupyter_spark.workloads import queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                sampled.update(json.load(fh).keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    comp = set(queries()) - sampled
+    print(f"sample-complement: {len(comp)} never-driver-sampled queries "
+          f"(driver has covered {len(sampled)})")
+    return comp
+
+
 def main() -> int:
     global LOOSE
     import duckdb
@@ -122,6 +150,7 @@ def main() -> int:
     args = sys.argv[1:]
     tuned = "--tuned" in args
     LOOSE = "--loose" in args
+    complement = "--sample-complement" in args
     emit_path = None
     if "--emit" in args:
         emit_path = args[args.index("--emit") + 1]
@@ -130,6 +159,15 @@ def main() -> int:
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if complement:
+        # VERDICT r6 item 7: prioritize queries the DRIVER has never
+        # sampled (union of all committed CORRECTNESS_r*.json keys),
+        # so the never-sampled tail's green status is re-derived each
+        # round instead of inherited. With no explicit query list the
+        # run is restricted to that complement; an explicit list still
+        # wins. Wire into CI as:
+        #   python tools/selfcheck.py --sample-complement
+        only = only or _driver_sample_complement()
 
     if tuned:
         from arc_jupyter_spark.session import build_session

@@ -160,18 +160,47 @@ def main() -> int:
 
     SF01, SKEW01 = "/root/testdata/sf0.1", "/root/repo/.scaledata/skew01"
     SF1, SKEW1 = "/root/repo/.scaledata/sf1", "/root/repo/.scaledata/skew1"
-    # (name, fn, uniform_dir, skew_dir, force_shuffle_join)
+    SKEWG1 = "/root/repo/.scaledata/skewg1"  # gen_skewed.py --graph
+    # (name, fn, uniform_dir, skew_dir, conf_mode) where conf_mode is
+    #   None            — engine defaults (the operator's own caps are
+    #                     the mitigation under test)
+    #   "force_shuffle" — broadcast off + AQE skew-join off + AQE
+    #                     coalescing off: the raw per-key layout a
+    #                     1000-executor shuffle join sees (q55 A/B)
+    #   "no_broadcast"  — broadcast off, AQE skew-join/coalescing ON:
+    #                     simulates rank/degree tables too big to
+    #                     broadcast while keeping the runtime
+    #                     mitigation that IS the answer at that scale
+    #                     (the graph family's named mitigation)
     targets = [
         # q42's input (lineitem) is byte-identical in both dirs: this
         # entry measures the host noise floor, not skew (see module
         # docstring)
-        ("q42_identical_input_control", qs["q42_salted_agg"], SF1, SKEW1, False),
-        ("q55_salted_join", qs["q55_salted_join"], SF1, SKEW1, True),
-        ("q55_unsalted", q55_unsalted, SF1, SKEW1, True),
-        ("d03_ngram_jaccard", qs["d03_ngram_jaccard"], SF01, SKEW01, False),
-        ("d17_containment_pairs", qs["d17_containment_pairs"], SF01, SKEW01, False),
-        ("d18_substring_dedup", qs["d18_substring_dedup"], SF01, SKEW01, False),
-        ("t17_source_cap", qs["t17_source_cap"], SF01, SKEW01, False),
+        ("q42_identical_input_control", qs["q42_salted_agg"], SF1, SKEW1, None),
+        ("q55_salted_join", qs["q55_salted_join"], SF1, SKEW1, "force_shuffle"),
+        ("q55_unsalted", q55_unsalted, SF1, SKEW1, "force_shuffle"),
+        ("d03_ngram_jaccard", qs["d03_ngram_jaccard"], SF01, SKEW01, None),
+        ("d17_containment_pairs", qs["d17_containment_pairs"], SF01, SKEW01, None),
+        ("d18_substring_dedup", qs["d18_substring_dedup"], SF01, SKEW01, None),
+        ("t17_source_cap", qs["t17_source_cap"], SF01, SKEW01, None),
+        # round-7 additions (VERDICT r6 item 2): the round-6 substring
+        # family + composed pipeline under the hot-shingle/hot-source
+        # fixture — their max_doc_freq caps are the mitigation —
+        ("d19_substring_scrub", qs["d19_substring_scrub"], SF01, SKEW01, None),
+        ("d20_self_repeats", qs["d20_self_repeats"], SF01, SKEW01, None),
+        ("t41_substring_contamination", qs["t41_substring_contamination"],
+         SF01, SKEW01, None),
+        ("p10_refinedweb_pipeline", qs["p10_refinedweb_pipeline"],
+         SF01, SKEW01, None),
+        # — and the graph family vs a hot-community zipfian graph
+        # (~25% of edges on one node). Broadcast disabled: at 100 TB
+        # the rank/degree frames don't broadcast; AQE skew-join stays
+        # ON because it is the mitigation being claimed.
+        ("g01_pagerank", qs["g01_pagerank"], SF1, SKEWG1, "no_broadcast"),
+        ("g03_label_propagation", qs["g03_label_propagation"],
+         SF1, SKEWG1, "no_broadcast"),
+        ("g05_distributed_cc", qs["g05_distributed_cc"],
+         SF1, SKEWG1, "no_broadcast"),
     ]
 
     def run_one(fn, sf_dir):
@@ -193,13 +222,13 @@ def main() -> int:
         targets = [t for t in targets if t[0] in args.targets]
 
     report = {}
-    for name, fn, uni_dir, skew_dir, force_shuffle in targets:
-        if force_shuffle:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-            spark.conf.set(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
-            )
+    for name, fn, uni_dir, skew_dir, conf_mode in targets:
+        confs: dict[str, str] = {}
+        if conf_mode in ("force_shuffle", "no_broadcast"):
+            confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+            confs["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+        if conf_mode == "force_shuffle":
+            confs["spark.sql.adaptive.skewJoin.enabled"] = "false"
             # AQE coalescing merges toy-scale reducers toward the
             # advisory size, BLENDING the hot key's partition with its
             # neighbours and masking the bytes ratio (measured: 3.3x
@@ -207,25 +236,18 @@ def main() -> int:
             # 100 TB every partition already exceeds the advisory size
             # so the hot one never blends — disable to see the real
             # per-key layout.
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", "false"
-            )
+            confs["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         try:
             entry = {
                 "uniform": run_one(fn, uni_dir),
                 "skew": run_one(fn, skew_dir),
-                "forced_shuffle_join": force_shuffle,
+                "conf_mode": conf_mode,
             }
         finally:
-            if force_shuffle:
-                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-                spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
-                spark.conf.unset(
-                    "spark.sql.adaptive.autoBroadcastJoinThreshold"
-                )
-                spark.conf.unset(
-                    "spark.sql.adaptive.coalescePartitions.enabled"
-                )
+            for k in confs:
+                spark.conf.unset(k)
         entry["skew_factor"] = round(
             entry["skew"]["wall_s"] / max(entry["uniform"]["wall_s"], 1e-3), 2
         )
