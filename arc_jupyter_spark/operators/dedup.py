@@ -1835,3 +1835,86 @@ def fuzzy_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+# -- content-defined chunking ------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC): split each document at
+    positions where a rolling window hash of the last ``window``
+    characters hits ``h % mask == 0`` — the rsync/LBFS recipe that
+    makes chunk boundaries SHIFT-INVARIANT, so an insertion early in a
+    document changes only the chunks it touches, not every
+    fixed-width chunk after it. This is the storage-level dedup
+    primitive for a 100 TB corpus with heavy boilerplate: dedup by
+    chunk digest removes repeated passages across documents without
+    any pair join.
+
+    The window hash is a plain positional polynomial
+    ``h(i) = Σ_{j=0..window-1} code(char[i-j]) * 31^j`` — evaluated
+    independently per position (no running state), so it is a map-only
+    higher-order function on the JVM and an oracle reproduces it with
+    the same integer arithmetic. A cut falls AFTER 1-based position
+    ``i`` for ``i ∈ [window, len-1]`` (never at the end, so no empty
+    tail chunk). Documents shorter than ``window + 1`` chars form one
+    whole-document chunk.
+
+    Returns one row per chunk: all input columns (minus the text) plus
+    ``chunk_idx`` (0-based) and ``chunk``. Map-only — no shuffle; the
+    downstream digest groupBy is the only exchange, and it carries
+    digests, not text.
+
+    Interpreted-HOF CSE note: both the char-code array and the bounds
+    array are bound as lambda variables (the one-element
+    ``transform(array(x), v -> …)`` wrap) — referencing them as
+    enclosing computed expressions would re-evaluate them per
+    position/chunk (see ``word_shingles``).
+    """
+    n = F.length(text_col)
+    # bigint codes: the polynomial's 31^j weights reach 31^7 ≈ 2.75e10,
+    # so an int32 code × int32 weight would overflow under ANSI mode
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+
+    def _cut_filter(cs):
+        def hit(i):
+            h = F.lit(0)
+            for j in range(window):
+                h = h + F.element_at(cs, (i - j).cast("int")) * (31 ** j)
+            return h % mask == 0
+        # sequence(a, b) picks a DESCENDING step when a > b, so the
+        # short-doc case must short-circuit to an empty cut list
+        return F.filter(F.sequence(F.lit(window), n - 1), hit)
+
+    cuts = F.when(
+        n >= window + 1,
+        F.element_at(F.transform(F.array(codes), _cut_filter), 1),
+    ).otherwise(F.array().cast("array<int>"))
+
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts, F.array(n.cast("int"))
+    )
+
+    def _chunks(bs):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(bs) - 1),
+            lambda k: F.substring(
+                F.col(text_col),
+                F.element_at(bs, k.cast("int")) + 1,
+                F.element_at(bs, (k + 1).cast("int"))
+                - F.element_at(bs, k.cast("int")),
+            ),
+        )
+
+    chunk_arr = F.element_at(F.transform(F.array(bounds), _chunks), 1)
+    keep = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*keep, F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    )

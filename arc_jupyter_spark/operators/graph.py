@@ -341,3 +341,68 @@ def bfs_levels(
             new.withColumn("dist", F.lit(d).cast("bigint"))
         )
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer HITS (Kleinberg) over a directed edge list →
+    ``[node, authority, hub]`` — authority for every dst node, hub
+    for every src node (0 where a node lacks that role).
+
+    UNNORMALIZED integer scores: hubs start at 1; each iteration is
+    ``a(v) = Σ_{u→v} h(u)`` then ``h(u) = Σ_{u→v} a(v)`` — two BIGINT
+    shuffles per iteration, both with map-side partial aggregation.
+    Classic HITS L1-normalizes between steps, but each update is
+    LINEAR in the other score vector, so skipping the normalization
+    multiplies every score by the same positive scalar per iteration —
+    the RANKING is identical to normalized HITS, and staying in
+    integers keeps results partition-order-free and oracle-exact
+    (an oracle unrolls the same joins in SQL).
+
+    Overflow headroom: after ``t`` iterations scores are bounded by
+    ``(d_max² )^t`` where ``d_max`` is the max degree — with BIGINT
+    that holds to ~10^18; for extreme graphs (d_max ~ 10^4, t > 2)
+    rescale by a constant ``DIV`` between iterations (divides every
+    score equally, so the ranking argument above still applies).
+
+    Edges are deduplicated once; that shuffled frame is lazily
+    checkpointed and reused by every iteration (the g01 edge-build
+    lesson), with lineage truncated every ``checkpoint_every`` rounds.
+    """
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().transform(materialize_lazy)
+
+    hubs = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "h", F.lit(1).cast("bigint")
+    )
+    auth = None
+    for i in range(iterations):
+        auth = (
+            e.join(hubs, e.src == hubs.node, "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        hubs = (
+            e.join(auth, e.dst == auth.node, "inner")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            auth = auth.transform(materialize)
+            hubs = hubs.transform(materialize)
+    return (
+        auth.join(hubs, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )

@@ -227,3 +227,28 @@ def encode_wav(sample_rate: int, channels: int, frames: bytes) -> bytes:
         wf.setframerate(sample_rate)
         wf.writeframes(frames)
     return buf.getvalue()
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """Full 16-bit PCM decode: ``(sample_rate, channels, samples)``
+    for RIFF/WAVE bytes, or None for non-WAV/other sample widths.
+    Samples are interleaved signed ints exactly as stored (stdlib
+    ``wave`` + ``array``; little-endian per the RIFF spec, byteswapped
+    on big-endian hosts)."""
+    import array
+    import sys
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            raw = wf.readframes(wf.getnframes())
+            samples = array.array("h")
+            samples.frombytes(raw)
+            if sys.byteorder == "big":
+                samples.byteswap()
+            return wf.getframerate(), wf.getnchannels(), samples.tolist()
+    except (wave.Error, EOFError, struct.error):
+        return None

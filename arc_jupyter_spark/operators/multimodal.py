@@ -425,3 +425,106 @@ def phash_near_dup(
         "id_b",
         F.bit_count(F.expr("ph_a ^ ph_b")).cast("int").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def synthesize_wav(
+    df: DataFrame, id_col: str, binary_col: str = "value"
+) -> DataFrame:
+    """Append a deterministic REAL 16-bit PCM WAV per row (fixture
+    synthesizer for sample-exact audio pipeline tests): mono, 8 kHz,
+    ``n = 192 + (id % 4) * 64`` samples, sample
+    ``s_k = ((id * 31 + 7 * k * k) % 4096) - 2048``. Standards-
+    compliant RIFF files (stdlib ``wave``), so any decoder round-trips
+    them, and an oracle reproduces the sample arithmetic algebraically
+    without decoding. Arrow-batched, map-only."""
+    import array
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(binary_col, T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        from arc_jupyter_spark.operators.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                n = 192 + (i % 4) * 64
+                pcm = array.array(
+                    "h", (((i * 31 + 7 * k * k) % 4096) - 2048
+                          for k in range(n))
+                )
+                if sys.byteorder == "big":
+                    pcm.byteswap()
+                payloads.append(encode_wav(8000, 1, pcm.tobytes()))
+            yield pdf.assign(**{binary_col: payloads})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_voiced", T.LongType()),
+        T.StructField("energy_sum", T.LongType()),
+    ]
+)
+
+
+def audio_energy_stats(
+    df: DataFrame,
+    binary_col: str = "value",
+    out_col: str = "audio_stats",
+    frame: int = 64,
+    threshold: int = 64 * (1 << 20),
+) -> DataFrame:
+    """Append REAL decoded audio energy statistics — the classic
+    frame-energy voice-activity detector over actual PCM bytes: the
+    WAV payload is fully decoded (stdlib, 16-bit PCM), split into
+    ``frame``-sample frames (tail partials dropped), and a frame is
+    "voiced" when its exact integer energy ``Σ s²`` reaches
+    ``threshold``. ``energy_sum`` is the exact Σ s² over full frames
+    — integer, so oracles can recompute it algebraically. Payloads
+    that don't decode yield a null struct. Arrow-batched, map-only —
+    the same 100 TB shape as image feature extraction: no shuffle,
+    scales with input bytes."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, AUDIO_ENERGY_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import decode_wav_pcm
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                dec = decode_wav_pcm(bytes(payload)) if payload is not None \
+                    else None
+                if dec is None:
+                    out.append(None)
+                    continue
+                rate, channels, samples = dec
+                n_frames = len(samples) // frame
+                n_voiced = 0
+                energy_sum = 0
+                for f in range(n_frames):
+                    e = sum(s * s for s in
+                            samples[f * frame:(f + 1) * frame])
+                    energy_sum += e
+                    if e >= threshold:
+                        n_voiced += 1
+                out.append({
+                    "sample_rate": rate,
+                    "n_samples": len(samples),
+                    "n_frames": n_frames,
+                    "n_voiced": n_voiced,
+                    "energy_sum": energy_sum,
+                })
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(run, schema=schema)

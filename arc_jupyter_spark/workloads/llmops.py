@@ -5424,3 +5424,384 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
         label=(F.col("lang") == "en"),
         bins=_T40_BINS,
     )
+
+
+# --------------------------------------------------------------------
+# d21 — content-defined chunking (CDC) dedup profile: the rsync/LBFS
+# rolling-window cut rule (operators/dedup.py: cdc_chunks) makes
+# chunk boundaries shift-invariant, so repeated passages dedup by
+# chunk digest across documents with NO pair join — the storage-level
+# dedup primitive for a boilerplate-heavy 100 TB corpus. Per source:
+# chunk count, distinct digests, exact char totals, and the integer
+# dedup percentage. Map-only chunking; the only shuffle carries
+# (source, digest, len) — never text.
+# --------------------------------------------------------------------
+
+_D21_W = 8     # rolling window (chars)
+_D21_MASK = 64  # cut when h % mask == 0 → ~64-char expected chunks
+
+_D21_HASH_SQL = " + ".join(
+    f"CAST(ord(d.text[p.i - {j}:p.i - {j}]) AS BIGINT) * {31 ** j}"
+    for j in range(_D21_W)
+)
+
+D21_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, COALESCE(text, '') AS text,
+         length(COALESCE(text, '')) AS n
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(generate_series({_D21_W}, n - 1)) AS i
+  FROM d WHERE n >= {_D21_W + 1}
+),
+cutpos AS (
+  SELECT p.doc_id, p.i
+  FROM p JOIN d ON p.doc_id = d.doc_id
+  WHERE ({_D21_HASH_SQL}) % {_D21_MASK} = 0
+),
+cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM cutpos GROUP BY doc_id),
+b AS (
+  SELECT d.source, d.doc_id, d.text,
+         list_prepend(0, list_append(COALESCE(c.cs, []), d.n)) AS bs
+  FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+),
+ch AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(bs) - 1),
+                k -> text[bs[k] + 1:bs[k + 1]])) AS chunk
+  FROM b
+),
+dist AS (
+  SELECT source, md5(chunk) AS dg, COUNT(*) AS n_occ,
+         MAX(length(chunk)) AS ln
+  FROM ch GROUP BY source, dg
+)
+SELECT source,
+       CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(n_occ * ln) AS BIGINT) AS total_chars,
+       CAST(SUM(ln) AS BIGINT) AS uniq_chars,
+       CAST(CASE WHEN SUM(n_occ * ln) > 0
+                 THEN (SUM(n_occ * ln) - SUM(ln)) * 10000
+                      // SUM(n_occ * ln)
+                 ELSE 0 END AS BIGINT) AS dedup_pct_e4
+FROM dist GROUP BY source ORDER BY source
+"""
+
+
+@query("d21_cdc_chunks", oracle=D21_ORACLE)
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ch = dedup.cdc_chunks(docs, id_col="doc_id", text_col="text",
+                          window=_D21_W, mask=_D21_MASK)
+    dist = (
+        ch.select("source", F.md5("chunk").alias("dg"),
+                  F.length("chunk").cast("bigint").alias("ln"))
+        .groupBy("source", "dg")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.max("ln").alias("ln"))
+    )
+    return (
+        dist.groupBy("source")
+        .agg(
+            F.sum("n_occ").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("n_occ") * F.col("ln")).alias("total_chars"),
+            F.sum("ln").alias("uniq_chars"),
+        )
+        .select(
+            "source", "n_chunks", "n_distinct", "total_chars", "uniq_chars",
+            F.expr(
+                "CAST(CASE WHEN total_chars > 0 THEN "
+                "(total_chars - uniq_chars) * 10000 DIV total_chars "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("dedup_pct_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# g06 — integer HITS (operators/graph.py: hits): hub/authority over
+# the directed customer→supplier purchase graph. Unnormalized integer
+# scores (each update is linear in the other score vector, so the
+# RANKING matches normalized HITS — see the operator docstring);
+# 2 iterations unrolled exactly by the oracle. Top-20 authorities =
+# the suppliers best-connected to well-connected buyers.
+# --------------------------------------------------------------------
+
+G06_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a1 AS (SELECT s, COUNT(*) AS a FROM e GROUP BY s),
+h1 AS (SELECT c, SUM(a) AS h FROM e JOIN a1 USING (s) GROUP BY c),
+a2 AS (SELECT s, SUM(h) AS a FROM e JOIN h1 USING (c) GROUP BY s)
+SELECT s AS node, CAST(a AS BIGINT) AS authority
+FROM a2 ORDER BY authority DESC, node LIMIT 20
+"""
+
+
+@query("g06_hits", oracle=G06_ORACLE)
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    edges = spark.sql(
+        """SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+    )
+    scores = graph.hits(edges, iterations=2)
+    return (
+        scores.where(F.col("authority") > 0)
+        .select("node", "authority")
+        .orderBy(F.desc("authority"), "node")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# t42 — epoch drift monitor: total-variation distance between two
+# corpus epochs' token-length histograms, per source — the "did my
+# ingest distribution move?" check a continuously-trained model's
+# data pipeline runs every batch. TV = Σ|pA−pB|/2 stays EXACT by
+# clearing denominators: Σ|cA·NB − cB·NA| * 1e6 DIV (2·NA·NB) is pure
+# BIGINT (no logs, unlike PSI/KL — transcendental libm calls are not
+# bit-portable across engines). Headroom: NA·NB must stay below
+# ~9e18/1e6 per source (~6.7e7 docs/source/epoch at e6 scale; drop to
+# e3 beyond that). Two partial-agg shuffles, both on (source, bucket).
+# --------------------------------------------------------------------
+
+T42_ORACLE = f"""
+WITH d AS (
+  SELECT source, doc_id, len({_DUCK_TOKS}) AS wc FROM documents
+),
+bk AS (
+  SELECT source, LEAST(9, wc // 20) AS bucket,
+         CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM d
+),
+c AS (
+  SELECT source, bucket, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+  FROM bk GROUP BY source, bucket
+),
+t AS (SELECT source, SUM(ca) AS na, SUM(cb) AS nb FROM c GROUP BY source),
+j AS (
+  SELECT c.source, ABS(c.ca * t.nb - c.cb * t.na) AS dev, t.na, t.nb
+  FROM c JOIN t USING (source) WHERE t.na > 0 AND t.nb > 0
+)
+SELECT source,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(SUM(dev) * 1000000 // (2 * MAX(na) * MAX(nb)) AS BIGINT)
+         AS tv_e6
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+@query("t42_epoch_drift", oracle=T42_ORACLE)
+def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    wc = F.size(text.tokens(F.col("text")))
+    per = docs.select(
+        "source",
+        F.least(F.lit(9), F.floor(wc / F.lit(20))).cast("int")
+        .alias("bucket"),
+        # epoch split on doc_id DIV 20, NOT parity: the fixture
+        # assigns doc_ids round-robin over the 20 sources, so
+        # doc_id % 2 is perfectly confounded with source
+        F.when(F.expr("(doc_id DIV 20) % 2") == 0, 1)
+        .otherwise(0).alias("is_a"),
+    )
+    counts = per.groupBy("source", "bucket").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return (
+        counts.join(totals, "source")
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .groupBy("source")
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.sum(F.abs(F.col("ca") * F.col("nb")
+                        - F.col("cb") * F.col("na"))).alias("sum_dev"),
+        )
+        .select(
+            "source",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr("CAST(sum_dev * 1000000 DIV (2 * na * nb) AS BIGINT)")
+            .alias("tv_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# t43 — KMV-sketch cross-source overlap: per source keep the K
+# smallest portable 5-gram shingle hashes (bottom-k sketch,
+# WindowGroupLimit
+# pushes the top-k below the shuffle — the t17 pattern), then for
+# every source pair estimate Jaccard from the merged bottom-k:
+# J ≈ |{h ∈ bottom_k(A∪B)} present in both sketches| / k_eff. The
+# S²·K pair space is tiny (sketches, never documents); the only
+# full-corpus pass is the hash projection. Deterministic integers
+# end-to-end — the estimator itself is oracle-checkable, not just
+# its inputs. Exact-overlap cousin: t21_source_overlap.
+# --------------------------------------------------------------------
+
+_T43_K = 128
+
+T43_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_DUCK_TOKS} AS toks FROM documents
+),
+hv AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+  FROM (SELECT source, unnest({_duck_shingles(5)}) AS s FROM t)
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hv
+  ) WHERE rn <= {_T43_K}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+tag AS (
+  SELECT LEAST(a.source, b.source) AS src_a,
+         GREATEST(a.source, b.source) AS src_b,
+         a.source AS origin, a.h
+  FROM sk a JOIN srcs b ON a.source <> b.source
+),
+m AS (
+  SELECT src_a, src_b, h,
+         CASE WHEN COUNT(DISTINCT origin) = 2 THEN 1 ELSE 0 END AS in_both
+  FROM tag GROUP BY src_a, src_b, h
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM m
+)
+SELECT src_a, src_b,
+       CAST(COUNT(*) AS BIGINT) AS k_eff,
+       CAST(SUM(in_both) AS BIGINT) AS n_common,
+       CAST(SUM(in_both) * 1000000 // COUNT(*) AS BIGINT) AS jacc_est_e6
+FROM r WHERE rn <= {_T43_K}
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+@query("t43_kmv_overlap", oracle=T43_ORACLE)
+def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    hv = docs.select(
+        "source",
+        F.explode(dedup.word_shingles(F.col("text"), 5)).alias("sg"),
+    ).select(
+        "source", dedup.base_hash28(F.col("sg")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hv.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _T43_K)
+        .drop("rn")
+    )
+    srcs = sk.select("source").distinct()
+    tag = (
+        sk.alias("a")
+        .join(srcs.alias("b"),
+              F.col("a.source") != F.col("b.source"))
+        .select(
+            F.least("a.source", "b.source").alias("src_a"),
+            F.greatest("a.source", "b.source").alias("src_b"),
+            F.col("a.source").alias("origin"),
+            "h",
+        )
+    )
+    merged = tag.groupBy("src_a", "src_b", "h").agg(
+        F.when(F.countDistinct("origin") == 2, 1).otherwise(0)
+        .alias("in_both")
+    )
+    w2 = Window.partitionBy("src_a", "src_b").orderBy("h")
+    return (
+        merged.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _T43_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum("in_both").alias("n_common"),
+        )
+        .select(
+            "src_a", "src_b", "k_eff", "n_common",
+            F.expr("CAST(n_common * 1000000 DIV k_eff AS BIGINT)")
+            .alias("jacc_est_e6"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# --------------------------------------------------------------------
+# m10 — REAL PCM round trip (the audio twin of m09): a standards-
+# compliant 16-bit mono WAV is synthesized per doc (deterministic
+# samples from doc_id), fully decoded back by the stdlib PCM decoder,
+# and the classic frame-energy voice-activity detector runs over the
+# DECODED samples — exact integer Σs² per 64-sample frame. The oracle
+# recomputes the sample arithmetic algebraically without decoding, so
+# one flipped bit anywhere in encode → Arrow → wave-parse breaks the
+# hash. Map-only (mapInPandas both directions).
+# --------------------------------------------------------------------
+
+M10_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 192 + (doc_id % 4) * 64 AS n FROM documents
+),
+s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k FROM d),
+v AS (
+  SELECT doc_id, n, k // 64 AS frame,
+         ((doc_id * 31 + 7 * k * k) % 4096) - 2048 AS smp
+  FROM s
+),
+fe AS (
+  SELECT doc_id, n, frame, SUM(smp * smp) AS e
+  FROM v GROUP BY doc_id, n, frame
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN e >= 89000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voiced,
+       CAST(SUM(e) AS BIGINT) AS energy_sum
+FROM fe GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("m10_wav_energy_vad", oracle=M10_ORACLE)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    ids = spark.table("documents").select("doc_id")
+    wavs = multimodal.synthesize_wav(ids, id_col="doc_id")
+    # 89e6 ≈ the synthetic corpus's median frame energy — splits
+    # voiced/unvoiced near-evenly so the flag actually discriminates
+    stats = multimodal.audio_energy_stats(
+        wavs, binary_col="value", threshold=89_000_000
+    )
+    return stats.select(
+        "doc_id",
+        F.col("audio_stats.n_samples").alias("n_samples"),
+        F.col("audio_stats.n_frames").alias("n_frames"),
+        F.col("audio_stats.n_voiced").alias("n_voiced"),
+        F.col("audio_stats.energy_sum").alias("energy_sum"),
+    ).orderBy("doc_id")

@@ -102,6 +102,11 @@ HEADLINE = [
     "p08_semantic_curation",
     "p09_dsir_resample",
     "s15_hard_negatives",
+    "d21_cdc_chunks",
+    "g06_hits",
+    "t42_epoch_drift",
+    "t43_kmv_overlap",
+    "m10_wav_energy_vad",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison
