@@ -851,3 +851,43 @@ def test_m09_decode_chain_is_map_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_d21_chunking_is_jvm_map_only(spark):
+    plan = plan_of(spark, "d21_cdc_chunks")
+    # the CDC cut rule must stay a JVM higher-order function: no
+    # Python evaluation anywhere, no pair join, exactly the digest
+    # aggregation exchanges
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Join" not in plan          # dedup profile needs no join
+    assert "CartesianProduct" not in plan
+    # column pruning: the scan feeds only source/doc_id/text
+    assert "lang" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_g06_joins_are_equi_and_aggs_partial(spark):
+    plan = plan_of(spark, "g06_hits")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # BIGINT score sums must partial-aggregate map-side
+    assert "partial_sum" in plan
+    # top-20 must be TakeOrdered (per-partition k + merge), never a
+    # global sort of all authorities
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t43_bottom_k_pushes_below_shuffle(spark):
+    plan = plan_of(spark, "t43_kmv_overlap")
+    # the per-source bottom-k must use the rank-limit pushdown (the
+    # t17 pattern): each map task forwards at most K rows per source
+    # instead of shipping every shingle hash to the window
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t42_two_partial_agg_levels(spark):
+    plan = plan_of(spark, "t42_epoch_drift")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -37,6 +37,10 @@ POINTS = [
     ("s001", "/root/testdata/sf0.01", 0.01),
     ("s01", "/root/testdata/sf0.1", 0.1),
     ("s1", "/root/repo/.scaledata/sf1", 1.0),
+    # 4th decade for the substring family (VERDICT r6 item 6):
+    # documents-only fixture (gen_scaled --replicas 100 --tables
+    # documents), so only documents-only queries can use --sf10
+    ("s10", "/root/repo/.scaledata/sf10", 10.0),
 ]
 
 
@@ -55,6 +59,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1", action="store_true",
                     help="include the replica-shifted sf1 point")
+    ap.add_argument("--sf10", action="store_true",
+                    help="also include the documents-only sf10 point "
+                         "(implies --sf1; documents-only queries)")
     ap.add_argument("--best-of", type=int, default=2)
     ap.add_argument("queries", nargs="*",
                     help="subset of headline queries (default: all)")
@@ -64,11 +71,13 @@ def main() -> int:
     from arc_jupyter_spark.workloads import queries
     from bench import HEADLINE
 
-    points = POINTS if args.sf1 else POINTS[:2]
-    if args.sf1 and not os.path.isdir(POINTS[2][1]):
-        print(f"missing {POINTS[2][1]}; run tools/gen_scaled.py first",
-              file=sys.stderr)
-        return 1
+    n_points = 4 if args.sf10 else (3 if args.sf1 else 2)
+    points = POINTS[:n_points]
+    for _, path, _r in points[2:]:
+        if not os.path.isdir(path):
+            print(f"missing {path}; run tools/gen_scaled.py first",
+                  file=sys.stderr)
+            return 1
 
     names = args.queries or list(HEADLINE)
     spark = build_session(app_name="scale-probe")
@@ -107,17 +116,24 @@ def main() -> int:
             / math.log(sizes[1] / sizes[0]),
             2,
         )
-        if len(points) == 3:
+        if len(points) >= 3:
             rec["k_large"] = round(
                 math.log(max(times[2], 1e-3) / max(times[1], 1e-3))
                 / math.log(sizes[2] / sizes[1]),
                 2,
             )
             rec["k_fit"] = round(_fit_k(sizes, times), 2)
+        if len(points) >= 4:
+            rec["k_xl"] = round(
+                math.log(max(times[3], 1e-3) / max(times[2], 1e-3))
+                / math.log(sizes[3] / sizes[2]),
+                2,
+            )
         out[name] = rec
 
     print(json.dumps(out))
-    key = "k_large" if len(points) == 3 else "k_small"
+    key = ("k_xl" if len(points) >= 4
+           else "k_large" if len(points) == 3 else "k_small")
     worst = max(out.items(), key=lambda kv: kv[1][key])
     print(f"# worst scaling ({key}): {worst[0]} {key}={worst[1][key]}",
           file=sys.stderr)
