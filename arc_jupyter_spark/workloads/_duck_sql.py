@@ -28,3 +28,46 @@ def duck_shingles(n: int) -> str:
         f"j -> array_to_string(toks[j:j + {n - 1}], ' ')) "
         f"ELSE [array_to_string(toks, ' ')] END"
     )
+
+
+def duck_cdc_dist_cte(window: int = 8, mask: int = 64) -> str:
+    """CTE chain mirroring ``operators/dedup.cdc_chunks`` + the
+    per-(source, digest) rollup: ``d → p → cutpos → cuts → b → ch →
+    dist`` where ``dist`` has (source, dg, n_occ, ln). Shared by the
+    d21 batch oracle and the st15 streaming oracle so the cut-rule
+    arithmetic lives in exactly one place."""
+    hash_sql = " + ".join(
+        f"CAST(ord(d.text[p.i - {j}:p.i - {j}]) AS BIGINT) * {31 ** j}"
+        for j in range(window)
+    )
+    return f"""d AS (
+  SELECT source, doc_id, COALESCE(text, '') AS text,
+         length(COALESCE(text, '')) AS n
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(generate_series({window}, n - 1)) AS i
+  FROM d WHERE n >= {window + 1}
+),
+cutpos AS (
+  SELECT p.doc_id, p.i
+  FROM p JOIN d ON p.doc_id = d.doc_id
+  WHERE ({hash_sql}) % {mask} = 0
+),
+cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM cutpos GROUP BY doc_id),
+b AS (
+  SELECT d.source, d.doc_id, d.text,
+         list_prepend(0, list_append(COALESCE(c.cs, []), d.n)) AS bs
+  FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+),
+ch AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(bs) - 1),
+                k -> text[bs[k] + 1:bs[k + 1]])) AS chunk
+  FROM b
+),
+dist AS (
+  SELECT source, md5(chunk) AS dg, COUNT(*) AS n_occ,
+         MAX(length(chunk)) AS ln
+  FROM ch GROUP BY source, dg
+)"""

@@ -27,6 +27,7 @@ from arc_jupyter_spark.workloads.base import exact_sum, load_views, query
 # same tokenizer); local aliases keep the many f-string sites short
 from arc_jupyter_spark.workloads._duck_sql import (
     DUCK_TOKS as _DUCK_TOKS,
+    duck_cdc_dist_cte as _duck_cdc_dist,
     duck_shingles as _duck_shingles,
 )
 
@@ -5440,43 +5441,8 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D21_W = 8     # rolling window (chars)
 _D21_MASK = 64  # cut when h % mask == 0 → ~64-char expected chunks
 
-_D21_HASH_SQL = " + ".join(
-    f"CAST(ord(d.text[p.i - {j}:p.i - {j}]) AS BIGINT) * {31 ** j}"
-    for j in range(_D21_W)
-)
-
 D21_ORACLE = f"""
-WITH d AS (
-  SELECT source, doc_id, COALESCE(text, '') AS text,
-         length(COALESCE(text, '')) AS n
-  FROM documents
-),
-p AS (
-  SELECT doc_id, unnest(generate_series({_D21_W}, n - 1)) AS i
-  FROM d WHERE n >= {_D21_W + 1}
-),
-cutpos AS (
-  SELECT p.doc_id, p.i
-  FROM p JOIN d ON p.doc_id = d.doc_id
-  WHERE ({_D21_HASH_SQL}) % {_D21_MASK} = 0
-),
-cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM cutpos GROUP BY doc_id),
-b AS (
-  SELECT d.source, d.doc_id, d.text,
-         list_prepend(0, list_append(COALESCE(c.cs, []), d.n)) AS bs
-  FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id
-),
-ch AS (
-  SELECT source,
-         unnest(list_transform(generate_series(1, len(bs) - 1),
-                k -> text[bs[k] + 1:bs[k + 1]])) AS chunk
-  FROM b
-),
-dist AS (
-  SELECT source, md5(chunk) AS dg, COUNT(*) AS n_occ,
-         MAX(length(chunk)) AS ln
-  FROM ch GROUP BY source, dg
-)
+WITH {_duck_cdc_dist(_D21_W, _D21_MASK)}
 SELECT source,
        CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
        CAST(COUNT(*) AS BIGINT) AS n_distinct,

@@ -1060,3 +1060,73 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# st15 — streaming CDC ingest dedup (the d21 chunker in the stream
+# path): documents arrive as a file stream; each micro-batch is
+# content-defined-chunked MAP-SIDE (the cdc_chunks HOF is stateless,
+# so it runs unchanged inside a streaming plan), then a STATEFUL
+# dropDuplicates on (source, chunk digest) emits each distinct chunk
+# exactly once into the append sink — ingest-time storage dedup: by
+# the time data lands, repeated boilerplate chunks are already gone.
+# No watermark (nothing evicts in the bounded preview, the st13
+# exactly-once contract), so the raw sink COUNT per source only
+# matches the batch COUNT(DISTINCT digest) if no chunk was emitted
+# twice — the oracle check IS the exactly-once assertion. At scale:
+# add a watermark keyed on arrival time to bound state, or swap the
+# stateful dedup for a foreachBatch anti-join upsert against the
+# chunk store (the st09 recipe).
+# --------------------------------------------------------------------
+
+from arc_jupyter_spark.workloads._duck_sql import (
+    duck_cdc_dist_cte as _st15_cdc,
+)
+
+ST15_ORACLE = f"""
+WITH {_st15_cdc(8, 64)}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(ln) AS BIGINT) AS uniq_chars
+FROM dist GROUP BY source ORDER BY source
+"""
+
+
+@query("st15_stream_cdc_ingest", oracle=ST15_ORACLE)
+def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.dedup import cdc_chunks
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = stream.select(
+        "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    chunks = cdc_chunks(docs, id_col="doc_id", text_col="text").select(
+        "source",
+        F.md5("chunk").alias("dg"),
+        F.length("chunk").cast("bigint").alias("ln"),
+    )
+    unique = chunks.dropDuplicates(["source", "dg"])
+    name = f"st15_{uuid.uuid4().hex[:10]}"
+    with _stream_partitions(spark):
+        q = (
+            unique.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chunks"),
+            F.sum("ln").alias("uniq_chars"),
+        )
+        .orderBy("source")
+    )

@@ -107,6 +107,7 @@ HEADLINE = [
     "t42_epoch_drift",
     "t43_kmv_overlap",
     "m10_wav_energy_vad",
+    "st15_stream_cdc_ingest",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison
