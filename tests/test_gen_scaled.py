@@ -61,3 +61,4 @@ def test_document_replicas_shingle_disjoint(spark):
         .select("text").distinct().count()
     )
     assert large == 10 * small
+

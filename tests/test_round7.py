@@ -239,3 +239,24 @@ def test_t43_bounds(spark):
         assert 1 <= r.k_eff <= 128
         assert 0 <= r.n_common <= r.k_eff
         assert 0 <= r.jacc_est_e6 <= 1_000_000
+
+
+def test_affine_alphabets_distinct_and_caesar_compatible():
+    """(data-independent, lives here to avoid test_gen_scaled's
+    sf1-presence skip) The affine cipher must give 312 pairwise-distinct permutations
+    and reduce to the original Caesar rotation for replicas 0..25
+    (keeps the committed sf1 fixture byte-identical across rounds)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scaled", "/root/repo/tools/gen_scaled.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    src = "abcdefghijklmnopqrstuvwxyz"
+    alphas = [m._affine_alphabet(i) for i in range(312)]
+    assert len(set(alphas)) == 312
+    for i in range(26):
+        caesar = "".join(chr(ord("a") + (i + j) % 26) for j in range(26))
+        assert alphas[i] == caesar, i
+    assert all(sorted(a) == list(src) for a in alphas)
