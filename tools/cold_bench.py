@@ -20,13 +20,17 @@ first-query latency a fresh cluster shows, and a REGRESSION in it
 more codegen classes, more stages, more Python startup — which the
 warm number can hide.
 
-Cold≤N×warm expectations (quiet host, documented per family in
-ROUND7_NOTES.md): plain scan/agg/join queries ≤ ~10× their warm
-best (cold is dominated by the ~2-4s fixed session+codegen cost vs
-sub-second warm walls); the HOF-heavy shingle/dedup family ≤ ~6×
-(C2 compilation of the interpreted-HOF loop dominates); iterative
-checkpointed queries (g01-g05, s13/s14) ≤ ~8× (driver-side loop
-pays Py4J + job-submit latency per iteration on a cold JVM).
+Cold expectations are ADDITIVE, not multiplicative (measured round
+7, documented per family in ROUND7_NOTES.md): cold ≈ warm + fixed +
+compile, where "fixed" is ~2.5-4s of first-job overhead every query
+pays once per fresh JVM (scheduler/codegen framework warm-up,
+parquet footer reads) and "compile" is family-specific C2/codegen
+work — near-zero for plain scan/agg/join plans, up to ~10-14s for
+the interpreted-HOF shingle family, a few seconds per driver-side
+iteration loop (Py4J + job-submit on a cold JVM) for the iterative
+queries. A REGRESSION is a cold number outside its family's
+cold-minus-warm band at comparable loadavg — ratios mislead because
+a 0.3s-warm query legitimately shows 10-20× cold.
 
 Output: COLD_BENCH.json at the repo root —
 ``{"queries_first_pass_quiet": {name: best_cold_sec}, "detail":

@@ -24,11 +24,13 @@ oracles are plain SQL over whatever parquet sits in the sf dir, so
 closes the loop.
 
 ``--graph`` mode (VERDICT r6 item 2) writes a SEPARATE fixture with a
-hot-community zipfian graph instead: ``orders``/``lineitem`` key mass
-is remapped onto a 5-key zipf head (halving shares ≈ 25/12/6/3/1.5%
-of rows onto hot keys) so g01/g03's customer–supplier bipartite graph
-and g05's order–part graph each carry one community holding ~25% of
-all edges. It is a separate dir because skew01/skew1 deliberately
+hot-community zipfian graph instead: a 3-key zipf head (6.25/1.6/1.6%
+of rows) remaps ``orders``/``lineitem`` keys so g01/g03's
+customer–supplier bipartite graph and g05's order–part graph each get
+a hot node whose DISTINCT degree saturates the other side's
+cardinality (~260x the median degree at sf1) while the total
+distinct-edge count shrinks <10% — see ``_zipf_head`` for why degree,
+not mass share, is the right dial. Separate dir because skew01/skew1
 keep ``lineitem`` byte-identical — that is the q42 host-noise-floor
 control's premise — while graph skew must touch exactly that table.
 
@@ -49,31 +51,42 @@ HOT_SENTENCE = (
 )  # 9 words -> one guaranteed-hot 8-shingle
 
 
-def _zipf_head(col, n_rows_hash_col, hot_base):
-    """Remap a zipf head of rows onto 5 hot keys: shares halve
-    (16/64, 8/64, 4/64, 2/64, 1/64 ≈ 25/12.5/6.25/3.1/1.6%), chosen
-    by a deterministic row hash; the remaining ~52% keep their
-    original key. ``hot_base + k`` are the hot keys."""
+def _zipf_head(col, n_rows_hash_col, hot_base, shares=(4, 1, 1)):
+    """Remap a zipf head of rows onto ``len(shares)`` hot keys;
+    ``shares`` are 64ths of all rows per hot key (halving-style head),
+    chosen by a deterministic row hash; the rest keep their original
+    key. ``hot_base + k`` are the hot keys.
+
+    Default is deliberately GENTLE (6/64 ≈ 9.4% of row mass): in a
+    bipartite graph a hot node's DISTINCT degree saturates at the
+    other side's cardinality, so a heavy head only collapses distinct
+    edges (the round-7 first cut remapped 48% of orders and shrank
+    the distinct-edge graph ~2x, making the uniform-vs-skew wall
+    comparison apples-to-oranges) — while even 6% of sf1's orders
+    saturates the hot customer at ~10k distinct suppliers ≈ 260x the
+    median degree. Degree skew, not mass share, is what the join
+    reducer sees after DISTINCT."""
     from pyspark.sql import functions as F
 
     bucket = F.pmod(F.xxhash64(n_rows_hash_col), F.lit(64))
-    return (
-        F.when(bucket < 16, F.lit(hot_base))
-        .when(bucket < 24, F.lit(hot_base + 1))
-        .when(bucket < 28, F.lit(hot_base + 2))
-        .when(bucket < 30, F.lit(hot_base + 3))
-        .when(bucket < 31, F.lit(hot_base + 4))
-        .otherwise(col)
-    )
+    expr, lo = None, 0
+    for k, share in enumerate(shares):
+        hi = lo + share
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = (F.when(cond, F.lit(hot_base + k)) if expr is None
+                else expr.when(cond, F.lit(hot_base + k)))
+        lo = hi
+    return expr.otherwise(col)
 
 
 def graph_skew(spark, src: str, out: str) -> int:
     """Hot-community graph fixture: the g01/g03 bipartite graph
     (o_custkey ↔ l_suppkey via o_orderkey) and the g05 graph
-    (l_orderkey ↔ l_partkey) each get a 5-key zipf head holding
-    ~48% of row mass, ~25% on the single hottest key. Key domains
-    are preserved (hot keys are existing min keys), so joins against
-    customer/supplier still hit dimension rows."""
+    (l_orderkey ↔ l_partkey) each get a 3-key zipf head (6.25/1.6/1.6%
+    of rows — gentle by design, see ``_zipf_head``) that saturates the
+    hot node's distinct degree at the far side's cardinality. Key
+    domains are preserved (hot keys are existing min keys), so joins
+    against customer/supplier still hit dimension rows."""
     from pyspark.sql import functions as F
 
     orders = spark.read.parquet(f"{src}/orders.parquet")

@@ -108,7 +108,14 @@ def _worst_skew(app_id: str, new_stages: set[tuple[int, int]]) -> dict:
         if rb:
             bmed, bmax = rb[1], rb[2]
             if bmax >= 1 << 20:
-                bratio = bmax / max(bmed, 1.0)
+                # floor the denominator at 64 KiB: a ~0-byte median
+                # (most reducers empty at toy scale) makes max/median
+                # meaningless — g03's skewed graph printed a 1.3e6x
+                # "ratio" that was really "1.2 MiB vs empty peers".
+                # With the floor, the reported worst case reads as
+                # "max partition is N x a 64 KiB floor" — still a
+                # skew signal, no longer a nonsense magnitude.
+                bratio = bmax / max(bmed, 64.0 * 1024)
                 if bratio > byt["ratio"]:
                     byt = {
                         "ratio": round(bratio, 2), "stage": sid,
@@ -193,9 +200,11 @@ def main() -> int:
         ("p10_refinedweb_pipeline", qs["p10_refinedweb_pipeline"],
          SF01, SKEW01, None),
         # — and the graph family vs a hot-community zipfian graph
-        # (~25% of edges on one node). Broadcast disabled: at 100 TB
-        # the rank/degree frames don't broadcast; AQE skew-join stays
-        # ON because it is the mitigation being claimed.
+        # (hot node degree ~260x median; distinct-edge count within
+        # 10% of uniform so walls stay comparable). Broadcast
+        # disabled: at 100 TB the rank/degree frames don't broadcast;
+        # AQE skew-join stays ON because it is the mitigation being
+        # claimed.
         ("g01_pagerank", qs["g01_pagerank"], SF1, SKEWG1, "no_broadcast"),
         ("g03_label_propagation", qs["g03_label_propagation"],
          SF1, SKEWG1, "no_broadcast"),
@@ -204,8 +213,15 @@ def main() -> int:
     ]
 
     def run_one(fn, sf_dir):
+        import gc
+
         best_wall, best_skew = None, None
         for _ in range(args.best_of):
+            # the scale_probe lesson: dead DataFrames' localCheckpoint
+            # blocks survive clearCache() and accumulate across a
+            # sweep; the resulting GC/eviction pressure inflated one
+            # in-sweep d19 run 5x (11.8s vs 8.0s isolated, round 7)
+            gc.collect()
             spark.catalog.clearCache()
             before = _completed_stage_keys(app_id)
             t0 = time.time()
