@@ -279,6 +279,9 @@ def test_no_cartesian_in_any_batch_query(spark):
         "t34_hist_quantile",  # crossJoin of the 1-row histogram total
         "s10_hybrid_rrf",  # crossJoin of the 1-row BM25 corpus stats
         "s12_mmr_rerank",  # 50-row pool self-crossJoin for the sim matrix
+        "t43_kmv_overlap",  # sketch (S*K rows) x source list (S rows)
+        # pair-tagging, a non-equi join by construction; both sides
+        # are bottom-k sketches, never corpus-sized — bounded S^2*K
     }
     sf = "/root/testdata/sf0.001"
     offenders = []

@@ -47,6 +47,8 @@ ALLOWED_BNL = {
     "q63_null_safe_join", "q67_similarity_join", "d10_bloom_prefilter",
     "t23_bigram_lift", "t30_hll_shards", "t34_hist_quantile",
     "s10_hybrid_rrf", "s12_mmr_rerank",
+    "t43_kmv_overlap",  # sketch (S*K) x source list (S): non-equi
+    # pair-tagging by construction, both sides sketch-sized (S^2*K)
 }
 
 
