@@ -528,3 +528,52 @@ def audio_energy_stats(
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(run, schema=schema)
+
+
+def png_resize_roundtrip_stats(
+    df: DataFrame,
+    binary_col: str = "value",
+    width: int = 3,
+    height: int = 2,
+    out_col: str = "resized_stats",
+) -> DataFrame:
+    """Resize each PNG with the PURE-STDLIB nearest-neighbor path
+    (``media_codecs.resize_png``) and fully re-decode the RESIZED
+    payload, returning its exact pixel byte sum — one Arrow pass for
+    decode → resize → re-encode → re-decode.
+
+    Deliberately pinned to the stdlib resampler (unlike
+    :func:`resize_images`, which prefers PIL when installed): PIL's
+    default resampling is bicubic and even its NEAREST grid differs
+    at edges, so an oracle-checked round trip must name one exact
+    kernel. ``sy = min(h-1, y*h // new_h)`` / ``sx = min(w-1,
+    x*w // new_w)`` is that kernel — reproducible algebraically
+    without decoding anything. Payloads that don't decode yield a
+    null struct. Map-only."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, PIXEL_STATS_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import (
+            decode_png_pixels,
+            resize_png,
+        )
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                resized = resize_png(bytes(payload), width, height) \
+                    if payload is not None else None
+                dec = decode_png_pixels(resized) if resized else None
+                if dec is None:
+                    out.append(None)
+                    continue
+                w, h, ch, pix = dec
+                out.append({
+                    "width": w, "height": h, "channels": ch,
+                    "pixel_sum": sum(pix),
+                })
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(run, schema=schema)

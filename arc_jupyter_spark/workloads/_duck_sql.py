@@ -32,10 +32,11 @@ def duck_shingles(n: int) -> str:
 
 def duck_cdc_dist_cte(window: int = 8, mask: int = 64) -> str:
     """CTE chain mirroring ``operators/dedup.cdc_chunks`` + the
-    per-(source, digest) rollup: ``d → p → cutpos → cuts → b → ch →
-    dist`` where ``dist`` has (source, dg, n_occ, ln). Shared by the
-    d21 batch oracle and the st15 streaming oracle so the cut-rule
-    arithmetic lives in exactly one place."""
+    per-(source, digest) rollup: ``d → p → cutpos → cuts → b → chx →
+    ch → dist`` where ``ch`` has (source, doc_id, chunk_idx, chunk)
+    and ``dist`` has (source, dg, n_occ, ln). Shared by the d21 batch
+    oracle, the st15 streaming oracle, and p11's keep-first scrub so
+    the cut-rule arithmetic lives in exactly one place."""
     hash_sql = " + ".join(
         f"CAST(ord(d.text[p.i - {j}:p.i - {j}]) AS BIGINT) * {31 ** j}"
         for j in range(window)
@@ -60,11 +61,15 @@ b AS (
          list_prepend(0, list_append(COALESCE(c.cs, []), d.n)) AS bs
   FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id
 ),
-ch AS (
-  SELECT source,
-         unnest(list_transform(generate_series(1, len(bs) - 1),
-                k -> text[bs[k] + 1:bs[k + 1]])) AS chunk
+chx AS (
+  SELECT source, doc_id, text, bs,
+         unnest(generate_series(1, len(bs) - 1)) AS k
   FROM b
+),
+ch AS (
+  SELECT source, doc_id, k - 1 AS chunk_idx,
+         text[bs[k] + 1:bs[k + 1]] AS chunk
+  FROM chx
 ),
 dist AS (
   SELECT source, md5(chunk) AS dg, COUNT(*) AS n_occ,

@@ -5771,3 +5771,152 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio_stats.n_voiced").alias("n_voiced"),
         F.col("audio_stats.energy_sum").alias("energy_sum"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# m11 — PNG RESIZE round trip (m09 closed decode; this closes the
+# transform): each synthetic PNG is decoded, nearest-neighbor-resized
+# to 3x2 by the pure-stdlib kernel (sy = y*h DIV new_h, sx = x*w DIV
+# new_w, edge-clamped), re-encoded, and RE-decoded; the reported
+# pixel sum is of the resized bytes. The oracle replays the exact
+# sampling arithmetic algebraically — a one-pixel kernel difference
+# (PIL's bicubic default, a different rounding) breaks the hash.
+# --------------------------------------------------------------------
+
+_M11_W, _M11_H = 3, 2
+
+M11_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h, y, x, c,
+         LEAST(h - 1, (y * h) // {_M11_H}) AS sy,
+         LEAST(w - 1, (x * w) // {_M11_W}) AS sx
+  FROM d,
+       unnest(generate_series(0, {_M11_H - 1})) AS ty(y),
+       unnest(generate_series(0, {_M11_W - 1})) AS tx(x),
+       unnest(generate_series(0, 2)) AS tc(c)
+)
+SELECT doc_id,
+       CAST({_M11_W} AS INT) AS width,
+       CAST({_M11_H} AS INT) AS height,
+       CAST(SUM((doc_id * 7 + 13 * ((sy * w + sx) * 3 + c)) % 256)
+            AS BIGINT) AS pixel_sum
+FROM grid GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("m11_png_resize_roundtrip", oracle=M11_ORACLE)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    ids = spark.table("documents").select("doc_id")
+    pngs = multimodal.synthesize_png(ids, id_col="doc_id")
+    stats = multimodal.png_resize_roundtrip_stats(
+        pngs, binary_col="value", width=_M11_W, height=_M11_H
+    )
+    return stats.select(
+        "doc_id",
+        F.col("resized_stats.width").alias("width"),
+        F.col("resized_stats.height").alias("height"),
+        F.col("resized_stats.pixel_sum").alias("pixel_sum"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# p11 — CDC scrub pipeline: the end-to-end chunk-level dedup d21
+# profiles — corpus-wide KEEP-FIRST on chunk digests (first
+# occurrence by (doc_id, chunk_idx) survives, every repeat is
+# dropped), documents REASSEMBLED from their kept chunks, per-source
+# savings + an order-free checksum of every rebuilt document.
+#
+# Scale shape: the keep-first decision shuffles DIGESTS only (groupBy
+# dg with a map-side partial MIN over (doc_id, chunk_idx)); chunk
+# text moves through exactly one join on dg and one per-doc
+# reassembly shuffle. No window over text, no pair join.
+# --------------------------------------------------------------------
+
+P11_ORACLE = f"""
+WITH {_duck_cdc_dist(_D21_W, _D21_MASK)},
+rk AS (
+  SELECT source, doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+),
+rebuilt AS (
+  SELECT source, doc_id,
+         string_agg(CASE WHEN rn = 1 THEN chunk ELSE '' END, ''
+                    ORDER BY chunk_idx) AS clean
+  FROM rk GROUP BY source, doc_id
+),
+lens AS (
+  SELECT source, doc_id, SUM(length(chunk)) AS orig_chars
+  FROM ch GROUP BY source, doc_id
+)
+SELECT l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(l.orig_chars) AS BIGINT) AS orig_chars,
+       CAST(SUM(length(r.clean)) AS BIGINT) AS kept_chars,
+       CAST(SUM(l.orig_chars) - SUM(length(r.clean)) AS BIGINT)
+         AS removed_chars,
+       CAST(SUM(('0x' || substr(md5(r.clean), 1, 7))::BIGINT) AS BIGINT)
+         AS clean_checksum
+FROM lens l JOIN rebuilt r ON l.source = r.source AND l.doc_id = r.doc_id
+GROUP BY l.source ORDER BY l.source
+"""
+
+
+@query("p11_cdc_scrub_pipeline", oracle=P11_ORACLE)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ch = dedup.cdc_chunks(docs, id_col="doc_id", text_col="text",
+                          window=_D21_W, mask=_D21_MASK)
+    dg = ch.withColumn("dg", F.md5("chunk"))
+    # keep-first decision on DIGESTS only: map-side partial MIN of the
+    # (doc_id, chunk_idx) struct per digest — never text
+    firsts = dg.select("dg", "doc_id", "chunk_idx").groupBy("dg").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_f")
+    ).select(
+        "dg",
+        F.col("_f.doc_id").alias("doc_id"),
+        F.col("_f.chunk_idx").alias("chunk_idx"),
+    )
+    kept = dg.join(firsts, ["dg", "doc_id", "chunk_idx"], "left_semi")
+    rebuilt = kept.groupBy("source", "doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("clean")
+    )
+    lens = ch.groupBy("source", "doc_id").agg(
+        F.sum(F.length("chunk")).alias("orig_chars")
+    )
+    per_doc = lens.join(rebuilt, ["source", "doc_id"], "left").select(
+        "source",
+        "orig_chars",
+        F.coalesce("clean", F.lit("")).alias("clean"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("orig_chars").alias("orig_chars"),
+            F.sum(F.length("clean")).cast("bigint").alias("kept_chars"),
+            (F.sum("orig_chars") - F.sum(F.length("clean")))
+            .cast("bigint").alias("removed_chars"),
+            F.sum(dedup.base_hash28(F.col("clean")))
+            .alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )

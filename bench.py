@@ -108,6 +108,8 @@ HEADLINE = [
     "t43_kmv_overlap",
     "m10_wav_energy_vad",
     "st15_stream_cdc_ingest",
+    "m11_png_resize_roundtrip",
+    "p11_cdc_scrub_pipeline",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -894,3 +894,14 @@ def test_t42_two_partial_agg_levels(spark):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_p11_keep_first_is_digest_shuffle_no_window(spark):
+    plan = plan_of(spark, "p11_cdc_scrub_pipeline")
+    # keep-first must be a partial-agg MIN on digests, never a window
+    # over the chunk text stream, and the whole pipeline stays JVM
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan

@@ -260,3 +260,76 @@ def test_affine_alphabets_distinct_and_caesar_compatible():
         caesar = "".join(chr(ord("a") + (i + j) % 26) for j in range(26))
         assert alphas[i] == caesar, i
     assert all(sorted(a) == list(src) for a in alphas)
+
+
+# -- m11 resize kernel -------------------------------------------------
+
+def test_png_resize_roundtrip_matches_kernel(spark):
+    from arc_jupyter_spark.operators.multimodal import (
+        png_resize_roundtrip_stats,
+        synthesize_png,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    rows = png_resize_roundtrip_stats(
+        synthesize_png(ids, id_col="doc_id"), binary_col="value",
+        width=3, height=2,
+    ).collect()
+    for r in rows:
+        i = r.doc_id
+        w, h = 4 + i % 5, 3 + i % 4
+        total = 0
+        for y in range(2):
+            sy = min(h - 1, (y * h) // 2)
+            for x in range(3):
+                sx = min(w - 1, (x * w) // 3)
+                for c in range(3):
+                    total += (i * 7 + 13 * ((sy * w + sx) * 3 + c)) % 256
+        st_ = r.resized_stats
+        assert (st_.width, st_.height) == (3, 2)
+        assert st_.pixel_sum == total, i
+
+
+def test_p11_reassembly_is_lossless_without_dups(spark):
+    """A corpus with NO repeated chunks must reassemble byte-identically
+    (keep-first drops nothing), and one with an exact duplicate doc
+    must drop the duplicate's full length."""
+    from arc_jupyter_spark.workloads import queries  # noqa: F401
+    from arc_jupyter_spark.operators.dedup import cdc_chunks, base_hash28
+    from pyspark.sql import functions as F
+
+    # high-entropy texts (verified chunk-collision-free): low-entropy
+    # or repetitive text creates identical chunks WITHIN a doc — tiny
+    # fragments between close cut points — which keep-first correctly
+    # drops (that is CDC's point); this test isolates the
+    # no-duplicate case
+    import hashlib
+
+    uniq = [
+        " ".join(hashlib.md5(f"a{i}".encode()).hexdigest()
+                 for i in range(30)),
+        " ".join(hashlib.md5(f"b{i}".encode()).hexdigest()
+                 for i in range(32)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(uniq + [uniq[0]])],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(df, id_col="doc_id", text_col="text")
+    dg = ch.withColumn("dg", F.md5("chunk"))
+    firsts = dg.select("dg", "doc_id", "chunk_idx").groupBy("dg").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("f")
+    ).select("dg", F.col("f.doc_id").alias("doc_id"),
+             F.col("f.chunk_idx").alias("chunk_idx"))
+    kept = dg.join(firsts, ["dg", "doc_id", "chunk_idx"], "left_semi")
+    rebuilt = {
+        r.doc_id: r.clean
+        for r in kept.groupBy("doc_id").agg(
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda x: x["chunk"])).alias("clean")
+        ).collect()
+    }
+    assert rebuilt[0] == uniq[0]          # first occurrence intact
+    assert rebuilt[1] == uniq[1]
+    assert rebuilt.get(2, "") == ""       # exact dup fully scrubbed
