@@ -82,18 +82,37 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, schema=None
+) -> DataFrame:
+    """File-stream read of ONE fixture table, robust to both layouts.
+
+    The file-stream source requires a DIRECTORY path. The driver's
+    testdata ships each table as a single file
+    ``<sf_dir>/<table>.parquet``, which must be selected out of
+    ``sf_dir`` with a pathGlobFilter; the generated ``.scaledata``
+    fixtures ship tables as Spark-written DIRECTORIES of part files,
+    where that same filter silently matches nothing (pathGlobFilter
+    applies to leaf FILE names — ``part-*.parquet`` — so the stream
+    read 0 rows; caught by the round-7 sf10 probe). Branch on the
+    actual layout."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    rs = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return rs.parquet(path)
+    return rs.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream read of the events fixture, ``ts`` normalized to
-    TimestampType (same nanos/micros tolerance as :func:`read_events`).
-    The file-stream source wants a directory; a glob filter selects the
-    one fixture file out of it."""
+    TimestampType (same nanos/micros tolerance as :func:`read_events`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "events", schema)
     ts_type = schema["ts"].dataType.typeName()
     if ts_type == "long":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from arc_jupyter_spark.checkpoint import materialize
 
-from arc_jupyter_spark.workloads.base import query, read_events_stream
+from arc_jupyter_spark.workloads.base import (
+    query,
+    read_events_stream,
+    read_table_stream,
+)
 
 
 @contextmanager
@@ -891,11 +895,7 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in anchor_rows
     )
     schema = batch.schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "embeddings", schema)
     assigned = similarity.assign_quantized_cells(
         stream, anchors, vec_col="embedding"
     )
@@ -1027,11 +1027,7 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(digests(F.col("text"))).alias("_d"))
         .distinct()
     )
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "documents", batch.schema)
     hits = (
         stream.where(F.col("doc_id") % 20 != 0)
         .select(
@@ -1097,11 +1093,7 @@ def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arc_jupyter_spark.operators.dedup import cdc_chunks
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "documents", batch.schema)
     docs = stream.select(
         "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
