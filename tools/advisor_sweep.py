@@ -59,7 +59,20 @@ caps bound any hot key BEFORE the pair join (plan-asserted LEFT SEMI
 `p10_refinedweb_pipeline` unbounded-collect is the per-document
 scrub-interval `collect_list` — two ints per maximal match, grouped
 per document (bounded by that document's token count, not by corpus
-size), the same per-doc-array shape as `scrub_duplicated_spans`."""
+size), the same per-doc-array shape as `scrub_duplicated_spans`;
+round-7: `g06_hits` many-shuffles is the iterative 2-shuffles-per-
+iteration HITS loop over 8-byte score rows (the g01 family trade);
+`t42_epoch_drift` many-shuffles counts the two-level partial agg plus
+the per-source totals join — (source, bucket) counters only, ~200
+rows; `t43_kmv_overlap` nested-loop-join is the allowlisted
+sketch×source-list pair tagging (bounded S²K rows; see
+`test_plans.py`) and its window/shuffles move sketch rows, never
+shingles; `p11_cdc_scrub_pipeline` unbounded-collect is the per-doc
+reassembly `collect_list` of (chunk_idx, chunk) — bounded by that
+document's own chunk count (len/64), the doc's own bytes moving once
+— and its many-shuffles counts the digest keep-first partial MIN,
+the one text semi-join, and the per-doc regroup (plan-asserted
+window-free in `test_plans.py`)."""
 
 
 def main() -> int:
