@@ -333,3 +333,34 @@ def test_p11_reassembly_is_lossless_without_dups(spark):
     assert rebuilt[0] == uniq[0]          # first occurrence intact
     assert rebuilt[1] == uniq[1]
     assert rebuilt.get(2, "") == ""       # exact dup fully scrubbed
+
+
+def test_cdc_adversarial_identical_corpus(spark):
+    """Worst-case chunk skew: N identical documents — every chunk
+    digest's posting list is corpus-sized. The keep-first decision
+    must stay a map-side partial MIN (no per-digest row explosion)
+    and the profile/scrub semantics must hold exactly: distinct
+    chunks == one document's chunk set, and only doc 0 keeps text."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(hashlib.md5(f"x{i}".encode()).hexdigest()
+                    for i in range(40))
+    n_docs = 200
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n_docs)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(df, id_col="doc_id", text_col="text")
+    dg = ch.withColumn("dg", F.md5("chunk"))
+    per_doc_chunks = dg.where(F.col("doc_id") == 0).count()
+    assert dg.count() == n_docs * per_doc_chunks
+    # distinct digests collapse to ONE document's chunk set
+    assert dg.select("dg").distinct().count() == per_doc_chunks
+    # keep-first: every digest's first occurrence is doc 0
+    firsts = dg.groupBy("dg").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("f")
+    )
+    assert firsts.where(F.col("f.doc_id") != 0).count() == 0
