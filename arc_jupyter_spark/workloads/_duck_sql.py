@@ -17,6 +17,15 @@ DUCK_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 )
 
+#: Canonical CDC chunker parameters, shared by the d21 batch query,
+#: the st15 streaming query, p11's scrub pipeline, and every oracle
+#: that replays the cut rule. Both the Spark ``cdc_chunks(...)`` call
+#: and ``duck_cdc_dist_cte(...)`` must receive THESE values explicitly
+#: so a change to either side's defaults can never desynchronize a
+#: query from its oracle (ADVICE r7).
+CDC_WINDOW = 8
+CDC_MASK = 64
+
 
 def duck_shingles(n: int) -> str:
     """DuckDB expression for word n-gram shingles over a ``toks``

@@ -5438,8 +5438,10 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (source, digest, len) — never text.
 # --------------------------------------------------------------------
 
-_D21_W = 8     # rolling window (chars)
-_D21_MASK = 64  # cut when h % mask == 0 → ~64-char expected chunks
+from arc_jupyter_spark.workloads._duck_sql import (
+    CDC_MASK as _D21_MASK,
+    CDC_WINDOW as _D21_W,
+)
 
 D21_ORACLE = f"""
 WITH {_duck_cdc_dist(_D21_W, _D21_MASK)}

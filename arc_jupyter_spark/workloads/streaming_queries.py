@@ -1076,11 +1076,13 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 from arc_jupyter_spark.workloads._duck_sql import (
+    CDC_MASK as _ST15_MASK,
+    CDC_WINDOW as _ST15_W,
     duck_cdc_dist_cte as _st15_cdc,
 )
 
 ST15_ORACLE = f"""
-WITH {_st15_cdc(8, 64)}
+WITH {_st15_cdc(_ST15_W, _ST15_MASK)}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
        CAST(SUM(ln) AS BIGINT) AS uniq_chars
@@ -1097,7 +1099,8 @@ def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = stream.select(
         "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
-    chunks = cdc_chunks(docs, id_col="doc_id", text_col="text").select(
+    chunks = cdc_chunks(docs, id_col="doc_id", text_col="text",
+                        window=_ST15_W, mask=_ST15_MASK).select(
         "source",
         F.md5("chunk").alias("dg"),
         F.length("chunk").cast("bigint").alias("ln"),

@@ -39,6 +39,18 @@ Output: COLD_BENCH.json at the repo root —
 present) into BENCH_DETAIL.json as ``queries_first_pass_quiet`` so
 the judge sees the quiet number next to the driver-weather one.
 
+Load hygiene (VERDICT r7 item 6): round 7's 25-entry quiet-window
+re-measurement was manual. Now the sweep itself enforces it — any
+entry whose EVERY pass started above ``--quiet-load`` (1-min loadavg,
+default 6.0 ≈ <20% of this 32-CPU box) is auto-requeued: the tool
+waits for the load to settle below the threshold (poll 15s, bounded
+by ``--settle-max``) and takes one more fresh-process pass, so the
+committed artifact contains zero above-threshold-only entries unless
+the host never quiets down (then ``requeue_gave_up`` is recorded
+honestly). A hung child (``timeout 900``) is recorded as a failed
+pass instead of aborting the sweep and losing the accumulated
+results (ADVICE r7).
+
 Usage:
   python tools/cold_bench.py [--best-of 2] [--sf-dir DIR] [query ...]
   python tools/cold_bench.py --child NAME SF_DIR   (internal)
@@ -82,10 +94,51 @@ def child(name: str, sf_dir: str) -> int:
     return 0
 
 
+def run_pass(name: str, sf_dir: str) -> dict | None:
+    """One fresh-process pass; None on failure (incl. a hung child —
+    a TimeoutExpired must not abort the sweep, the artifact is only
+    written at the end)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", name, sf_dir],
+            capture_output=True, text=True, cwd=REPO, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"FAIL {name}: child timed out (900s)", file=sys.stderr)
+        return None
+    line = proc.stdout.strip().splitlines()[-1] if \
+        proc.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except (json.JSONDecodeError, IndexError):
+        print(f"FAIL {name}: rc={proc.returncode} "
+              f"stderr={proc.stderr[-500:]}", file=sys.stderr)
+        return None
+
+
+def wait_for_quiet(threshold: float, settle_max: float) -> float:
+    """Poll until 1-min loadavg < threshold; returns the load seen.
+    Bounded — a busy host must not hang the sweep forever."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.time() - t0 < settle_max:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return round(load, 2)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", metavar="NAME")
     ap.add_argument("--best-of", type=int, default=2)
+    ap.add_argument("--quiet-load", type=float, default=6.0,
+                    help="1-min loadavg above which a pass counts as "
+                         "load-polluted; entries with no pass below "
+                         "this are auto-requeued")
+    ap.add_argument("--settle-max", type=float, default=600.0,
+                    help="max seconds to wait for load to settle "
+                         "before a requeued pass")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("queries", nargs="*")
@@ -112,18 +165,8 @@ def main() -> int:
         passes, builds, loads = [], [], []
         for _ in range(args.best_of):
             loads.append(round(os.getloadavg()[0], 2))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", name, args.sf_dir],
-                capture_output=True, text=True, cwd=REPO, timeout=900,
-            )
-            line = proc.stdout.strip().splitlines()[-1] if \
-                proc.stdout.strip() else ""
-            try:
-                rec = json.loads(line)
-            except (json.JSONDecodeError, IndexError):
-                print(f"FAIL {name}: rc={proc.returncode} "
-                      f"stderr={proc.stderr[-500:]}", file=sys.stderr)
+            rec = run_pass(name, args.sf_dir)
+            if rec is None:
                 continue
             passes.append(rec["wall_s"])
             builds.append(rec["session_build_s"])
@@ -138,6 +181,30 @@ def main() -> int:
         }
         print(json.dumps({name: detail[name]}))
 
+    # auto-requeue: any entry with NO pass taken below the quiet-load
+    # threshold gets one more pass after the host settles
+    flagged = [n for n, d in detail.items()
+               if d.get("loadavg1")
+               and min(d["loadavg1"]) >= args.quiet_load]
+    if flagged:
+        print(f"requeue {len(flagged)} load-polluted entries "
+              f"(all passes >= loadavg {args.quiet_load}): {flagged}")
+    for name in flagged:
+        load = wait_for_quiet(args.quiet_load, args.settle_max)
+        d = detail[name]
+        if load >= args.quiet_load:
+            d["requeue_gave_up"] = load  # host never quieted
+            continue
+        d["loadavg1"].append(load)
+        rec = run_pass(name, args.sf_dir)
+        if rec is None:
+            d["requeue_gave_up"] = "pass failed"
+            continue
+        d["passes"].append(rec["wall_s"])
+        d["best_s"] = min(d["passes"])
+        d["requeued"] = True
+        print(json.dumps({name: d}))
+
     quiet = {n: d["best_s"] for n, d in detail.items() if "best_s" in d}
     report = {
         "queries_first_pass_quiet": quiet,
@@ -147,6 +214,8 @@ def main() -> int:
             "loadavg_start": load_start,
             "loadavg_end": os.getloadavg(),
             "best_of": args.best_of,
+            "quiet_load_threshold": args.quiet_load,
+            "n_requeued": len(flagged),
             "sf_dir": args.sf_dir,
             "total_wall_s": round(time.time() - t_all, 1),
             "n_queries": len(quiet),

@@ -32,8 +32,12 @@ documented distortions. Output dir defaults to
 Text perturbation is an AFFINE substitution cipher per replica:
 letter ``i`` maps to ``(a*i + b) mod 26`` with ``a`` one of the 12
 units of Z/26 and ``b = replica % 26`` — 312 distinct alphabet
-permutations, so up to 312 replicas (sf ≈ 31) carry pairwise-disjoint
-shingle spaces. Replicas 0..25 use ``a=1`` (plain Caesar), keeping
+permutations, so up to 312 replicas (sf ≈ 31) carry NEAR-disjoint
+shingle spaces: two distinct affine maps agree exactly on the letters
+where ``(a1-a2)*i ≡ b2-b1 (mod 26)`` has solutions, so specific words
+can still collide across replicas from different multiplier decades —
+rare enough not to distort scaling exponents, and oracles are
+unaffected since they run over the generated data itself. Replicas 0..25 use ``a=1`` (plain Caesar), keeping
 sf1 outputs byte-identical to earlier rounds' fixtures. Word lengths,
 token boundaries, and case structure are untouched, so per-row
 compute is identical across replicas.

@@ -167,7 +167,15 @@ def main() -> int:
         # run is restricted to that complement; an explicit list still
         # wins. Wire into CI as:
         #   python tools/selfcheck.py --sample-complement
-        only = only or _driver_sample_complement()
+        if not only:
+            complement_set = _driver_sample_complement()
+            if not complement_set:
+                # ADVICE r7: an empty complement must not silently
+                # fall through to the FULL suite
+                print("sample-complement: driver has sampled every "
+                      "query; nothing to re-derive")
+                return 0
+            only = complement_set
 
     if tuned:
         from arc_jupyter_spark.session import build_session
