@@ -83,3 +83,98 @@ def rate_throughput_probe(
         ),
         "n_batches": len(stats),
     }
+
+
+def multibatch_cdc_ingest_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    max_files_per_trigger: int = 2,
+) -> dict:
+    """Drive the st15 CDC-ingest shape through MULTIPLE micro-batches
+    and verify cross-batch exactly-once dedup (VERDICT r7 item 4).
+
+    The round-7 directory-stream bug (0 rows via pathGlobFilter) was
+    invisible at single-batch fixture scale, and the st-suite's
+    bounded previews drain single-file tables in ONE batch — so the
+    stateful ``dropDuplicates`` path had never been observed carrying
+    state ACROSS batch boundaries. This probe writes the documents
+    fixture as an ``n_files``-part directory, streams it with
+    ``maxFilesPerTrigger`` (honored by ``Trigger.AvailableNow``) so
+    the drain takes ≥ ``n_files / max_files_per_trigger`` batches,
+    and asserts the append sink saw each distinct (source, digest)
+    chunk EXACTLY once across all batches — a digest emitted in batch
+    1 and re-arriving in batch 3 must be suppressed by dedup state,
+    not re-emitted.
+
+    Returns {"n_batches", "sink_rows", "distinct_expected",
+    "duplicates_in_sink", "exactly_once", "wall_s"}; bench.py records
+    it in BENCH_DETAIL's streaming section.
+    """
+    import shutil
+    import tempfile
+
+    from arc_jupyter_spark.operators.dedup import cdc_chunks
+    from arc_jupyter_spark.workloads._duck_sql import CDC_MASK, CDC_WINDOW
+
+    t0 = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    tmp = tempfile.mkdtemp(prefix="mb_cdc_docs_")
+    name = f"mb_cdc_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        docs.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(tmp)
+        )
+        chunks = cdc_chunks(
+            stream, id_col="doc_id", text_col="text",
+            window=CDC_WINDOW, mask=CDC_MASK,
+        ).select("source", F.md5("chunk").alias("dg"))
+        unique = chunks.dropDuplicates(["source", "dg"])
+        q = (
+            unique.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(
+            1 for p in q.recentProgress if p.get("numInputRows", 0) > 0
+        )
+        sink = spark.table(name)
+        sink_rows = sink.count()
+        dup_in_sink = (
+            sink.groupBy("source", "dg")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        expected = (
+            cdc_chunks(docs, id_col="doc_id", text_col="text",
+                       window=CDC_WINDOW, mask=CDC_MASK)
+            .select("source", F.md5("chunk").alias("dg"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 - probe cleanup only
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_batches": n_batches,
+        "sink_rows": sink_rows,
+        "distinct_expected": expected,
+        "duplicates_in_sink": dup_in_sink,
+        "exactly_once": sink_rows == expected and dup_in_sink == 0,
+        "wall_s": round(time.time() - t0, 3),
+    }

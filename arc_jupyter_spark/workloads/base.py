@@ -83,7 +83,8 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_table_stream(
-    spark: SparkSession, sf_dir: str, table: str, schema=None
+    spark: SparkSession, sf_dir: str, table: str, schema=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-stream read of ONE fixture table, robust to both layouts.
 
@@ -95,13 +96,21 @@ def read_table_stream(
     where that same filter silently matches nothing (pathGlobFilter
     applies to leaf FILE names — ``part-*.parquet`` — so the stream
     read 0 rows; caught by the round-7 sf10 probe). Branch on the
-    actual layout."""
+    actual layout.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    files (``Trigger.AvailableNow`` honors it, splitting a drain into
+    multiple batches) — on a directory-shaped table this is how a
+    bounded fixture exercises CROSS-batch stateful semantics instead
+    of collapsing to one batch (VERDICT r7 item 4)."""
     import os
 
     path = f"{sf_dir}/{table}.parquet"
     if schema is None:
         schema = spark.read.parquet(path).schema
     rs = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
         return rs.parquet(path)
     return rs.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)

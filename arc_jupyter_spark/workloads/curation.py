@@ -871,8 +871,13 @@ FROM sharded GROUP BY shard ORDER BY shard
 """
 
 
-@query("p07_crawl_pipeline", oracle=P07_ORACLE)
-def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p07_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """p07's composed stages in dependency order: ``url_dedup``
+    (synthesized messy url/html + canonical-URL dedup) →
+    ``clean_gate`` (HTML clean + length gate + code routing, map-only)
+    → ``cap`` (per-source hash cap window) → ``shard``. Shared by the
+    p07 query and bench.py's per-pipeline breakdown (VERDICT r7
+    item 2)."""
     from arc_jupyter_spark.operators import sampling
     from arc_jupyter_spark.operators.dedup import base_hash28
     from pyspark.sql import Window
@@ -905,6 +910,15 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rk")
     )
     sharded = sampling.shard_assign(capped, "doc_id", _P07_SHARDS)
+    return {"url_dedup": kept, "clean_gate": gated, "cap": capped,
+            "shard": sharded}
+
+
+@query("p07_crawl_pipeline", oracle=P07_ORACLE)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators.dedup import base_hash28
+
+    sharded = p07_stage_frames(spark, sf_dir)["shard"]
     return (
         sharded.groupBy("shard")
         .agg(

@@ -1193,8 +1193,16 @@ FROM budgeted GROUP BY lang ORDER BY lang
 """
 
 
-@query("p01_corpus_pipeline", oracle=_p01_oracle())
-def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p01_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """p01's composed stages as separate DataFrames in dependency
+    order: ``gate`` → ``exact`` (digest dedup) → ``sample``
+    (stratified) → ``budget`` (per-source token-budget window). Same
+    pattern as :func:`p10_stage_frames` (VERDICT r7 item 2): bench.py
+    persists+materializes each frame so wall/shuffle attributes to
+    ONE stage, while the p01 query consumes the identical lazy plans
+    — one definition, two uses, no drift."""
     from arc_jupyter_spark.operators.sampling import budget_select, stratified_sample
     from arc_jupyter_spark.operators.text import LANG_STOPWORDS, tokens
 
@@ -1222,6 +1230,13 @@ def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_chars").desc(), F.col("doc_id")],
         F.col("cost"), budget=900,
     )
+    return {"gate": gated, "exact": deduped, "sample": sampled,
+            "budget": budgeted}
+
+
+@query("p01_corpus_pipeline", oracle=_p01_oracle())
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budgeted = p01_stage_frames(spark, sf_dir)["budget"]
     return (
         budgeted.groupBy("lang")
         .agg(
@@ -3046,8 +3061,14 @@ FROM final GROUP BY shard ORDER BY shard
 """
 
 
-@query("p04_privacy_pipeline", oracle=P04_ORACLE)
-def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p04_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """p04's composed stages in dependency order: ``scrub`` (PII
+    inject + regex scrub, map-only) → ``exact`` (dedup on the
+    SCRUBBED digest) → ``shard`` (token gate + md5 shard layout).
+    Shared by the p04 query and bench.py's per-pipeline breakdown
+    (VERDICT r7 item 2)."""
     load_views(spark, sf_dir, "documents")
     injected = spark.table("documents").select(
         "doc_id",
@@ -3099,6 +3120,12 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         "clean",
     )
+    return {"scrub": scrubbed, "exact": kept, "shard": final}
+
+
+@query("p04_privacy_pipeline", oracle=P04_ORACLE)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = p04_stage_frames(spark, sf_dir)["shard"]
     return (
         final.groupBy("shard")
         .agg(
@@ -4304,8 +4331,14 @@ FROM kept GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-@query("p08_semantic_curation", oracle=P08_ORACLE)
-def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p08_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """p08's composed stages in dependency order: ``gate`` (n_chars
+    floor, scan-level) → ``best`` (lead-fingerprint keep-best dedup)
+    → ``assign`` (embedding join + int8 anchor argmax) → ``balance``
+    (integer per-cluster quota) → ``shard``. Shared by the p08 query
+    and bench.py's per-pipeline breakdown (VERDICT r7 item 2)."""
     load_views(spark, sf_dir, "documents", "embeddings")
     docs = dedup._parallelize(spark.table("documents"))
     # 1. quality gate — a scan-level predicate (pushes to parquet)
@@ -4360,6 +4393,13 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = sampling.shard_assign(
         kept, "doc_id", _P08_SHARDS, shard_col="shard_id"
     )
+    return {"gate": gated, "best": best, "assign": asg,
+            "balance": kept, "shard": sharded}
+
+
+@query("p08_semantic_curation", oracle=P08_ORACLE)
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sharded = p08_stage_frames(spark, sf_dir)["shard"]
     return (
         sharded.groupBy("cluster_id", F.col("shard_id").cast("bigint").alias("shard_id"))
         .agg(
@@ -5871,8 +5911,14 @@ GROUP BY l.source ORDER BY l.source
 """
 
 
-@query("p11_cdc_scrub_pipeline", oracle=P11_ORACLE)
-def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p11_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """p11's composed stages in dependency order: ``chunk`` (map-only
+    CDC chunker + digest) → ``keep_first`` (digest-only groupBy MIN)
+    → ``rebuild`` (semi-join survivors + per-doc reassembly joined
+    with original lengths). Shared by the p11 query and bench.py's
+    per-pipeline breakdown (VERDICT r7 item 2)."""
     load_views(spark, sf_dir, "documents")
     docs = spark.table("documents").select(
         "source", "doc_id", F.coalesce("text", F.lit("")).alias("text")
@@ -5901,7 +5947,9 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean")
     )
-    lens = ch.groupBy("source", "doc_id").agg(
+    # lens reads from dg (not ch) so a persisted ``chunk`` frame is
+    # reused here too — one chunking pass feeds both branches
+    lens = dg.groupBy("source", "doc_id").agg(
         F.sum(F.length("chunk")).alias("orig_chars")
     )
     per_doc = lens.join(rebuilt, ["source", "doc_id"], "left").select(
@@ -5909,6 +5957,12 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_chars",
         F.coalesce("clean", F.lit("")).alias("clean"),
     )
+    return {"chunk": dg, "keep_first": firsts, "rebuild": per_doc}
+
+
+@query("p11_cdc_scrub_pipeline", oracle=P11_ORACLE)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = p11_stage_frames(spark, sf_dir)["rebuild"]
     return (
         per_doc.groupBy("source")
         .agg(

@@ -140,43 +140,78 @@ SHARED_18 = [
 ]
 
 
-def p10_stage_breakdown(spark, sf_dir: str) -> dict:
-    """Per-stage wall + shuffle bytes for the single most expensive
-    bench entry (VERDICT r6 item 3): gate → exact dedup → jaccard →
-    substring accounting. Each stage frame is persisted before the
-    next is timed, so a timed segment pays only its OWN stages and a
-    regression in one stage is attributable. Warm (runs after the
-    timed passes), so these are steady-state numbers.
+def pipeline_stage_breakdown(spark, sf_dir: str) -> dict:
+    """Per-stage wall + shuffle bytes for EVERY composed pipeline
+    (VERDICT r6 item 3 for p10, extended per r7 item 2 to p01, p04,
+    p07, p08, p11). Each pipeline exposes its stage DataFrames in
+    dependency order via a ``*_stage_frames`` function — the SAME
+    lazy plans the headline query consumes; each frame is persisted
+    before the next is timed, so a timed segment pays only its OWN
+    stages and a regression in one stage is attributable. Warm (runs
+    after the timed passes), so these are steady-state numbers.
     """
     from arc_jupyter_spark.metrics import SegmentMeter
-    from arc_jupyter_spark.workloads.llmops import p10_stage_frames
+    from arc_jupyter_spark.workloads.curation import p07_stage_frames
+    from arc_jupyter_spark.workloads.llmops import (
+        p01_stage_frames,
+        p04_stage_frames,
+        p08_stage_frames,
+        p10_stage_frames,
+        p11_stage_frames,
+    )
 
-    frames = p10_stage_frames(spark, sf_dir)
+    registry = {
+        "p01": p01_stage_frames,
+        "p04": p04_stage_frames,
+        "p07": p07_stage_frames,
+        "p08": p08_stage_frames,
+        "p10": p10_stage_frames,
+        "p11": p11_stage_frames,
+    }
     meter = SegmentMeter(spark)
-    out: dict[str, dict] = {}
-    pinned = []
-    try:
-        for name in ("gate", "exact", "fuzzy", "counts"):
-            df = frames[name].persist()
-            pinned.append(df)
-            t0 = time.perf_counter()
-            df.count()
-            wall = round(time.perf_counter() - t0, 3)
-            seg = meter.segment()
-            out[name] = {
-                "wall_s": wall,
-                "n_stages": seg["n_stages"],
-                "shuffle_read_mb": seg["shuffle_read_mb"],
-                "shuffle_write_mb": seg["shuffle_write_mb"],
-                "disk_spill_mb": seg["disk_spill_mb"],
-            }
-    except Exception as exc:  # noqa: BLE001 - breakdown must never
-        # fail the whole bench run (REST endpoint hiccup etc.)
-        out["_error"] = {"err": str(exc)[:200]}
-    finally:
-        for df in pinned:
-            df.unpersist()
-    return out
+    report: dict[str, dict] = {}
+    for pipe, frames_fn in registry.items():
+        out: dict[str, dict] = {}
+        pinned = []
+        try:
+            t_build = time.perf_counter()
+            frames = frames_fn(spark, sf_dir)
+            build_wall = round(time.perf_counter() - t_build, 3)
+            build_seg = meter.segment()
+            if build_seg["n_stages"]:
+                # plan construction that runs jobs (eager checkpoint
+                # in p08's assign, k-row anchor collects) is REAL cost
+                # — attribute it instead of silently dropping it
+                out["_plan_build"] = {
+                    "wall_s": build_wall,
+                    "n_stages": build_seg["n_stages"],
+                    "shuffle_read_mb": build_seg["shuffle_read_mb"],
+                    "shuffle_write_mb": build_seg["shuffle_write_mb"],
+                    "disk_spill_mb": build_seg["disk_spill_mb"],
+                }
+            for name, frame in frames.items():  # insertion order =
+                # dependency order by contract
+                df = frame.persist()
+                pinned.append(df)
+                t0 = time.perf_counter()
+                df.count()
+                wall = round(time.perf_counter() - t0, 3)
+                seg = meter.segment()
+                out[name] = {
+                    "wall_s": wall,
+                    "n_stages": seg["n_stages"],
+                    "shuffle_read_mb": seg["shuffle_read_mb"],
+                    "shuffle_write_mb": seg["shuffle_write_mb"],
+                    "disk_spill_mb": seg["disk_spill_mb"],
+                }
+        except Exception as exc:  # noqa: BLE001 - breakdown must never
+            # fail the whole bench run (REST endpoint hiccup etc.)
+            out["_error"] = {"err": str(exc)[:200]}
+        finally:
+            for df in pinned:
+                df.unpersist()
+        report[pipe] = out
+    return report
 
 
 def main() -> int:
@@ -245,11 +280,22 @@ def main() -> int:
     # streaming micro-bench (VERDICT r5 item 5): rate-source windowed
     # aggregate, engine-reported rows/s + trigger latency. Recorded in
     # BENCH_DETAIL only — the compact final line has a 1.4 KB budget.
-    from arc_jupyter_spark.streaming.probe import rate_throughput_probe
+    from arc_jupyter_spark.streaming.probe import (
+        multibatch_cdc_ingest_probe,
+        rate_throughput_probe,
+    )
 
     streaming_probe = rate_throughput_probe(spark)
+    # multi-batch directory-stream drain (VERDICT r7 item 4): the st15
+    # CDC-dedup shape through ≥3 micro-batches, cross-batch
+    # exactly-once asserted against the batch ground truth
+    try:
+        streaming_probe["multibatch_cdc"] = multibatch_cdc_ingest_probe(
+            spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 - probe must not fail bench
+        streaming_probe["multibatch_cdc"] = {"err": str(exc)[:200]}
 
-    p10_stages = p10_stage_breakdown(spark, sf_dir)
+    pipeline_stages = pipeline_stage_breakdown(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -268,7 +314,10 @@ def main() -> int:
         "value_first_pass": round(sum(first_pass.values()), 3),
         "queries_first_pass": first_pass,
         "streaming": streaming_probe,
-        "p10_stages": p10_stages,
+        # per-pipeline per-stage attribution (p10 kept under its old
+        # key for r6/r7 artifact continuity)
+        "pipeline_stages": pipeline_stages,
+        "p10_stages": pipeline_stages.get("p10", {}),
         "sf": sf_val,
     }
     # quiet-window cold-path artifact (VERDICT r6 item 1): produced by

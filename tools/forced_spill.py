@@ -1,0 +1,238 @@
+"""Execute the spill path ON PURPOSE (VERDICT r7 item 1).
+
+SPILL.json proves zero spill at sf0.1 and sf1 — which also means the
+one behavior the 100 TB claim ultimately rests on (graceful
+degradation when the working set outruns executor memory) had never
+actually run. This tool runs the widest queries twice in fresh
+processes:
+
+1. UNCONSTRAINED — the normal session (62g heap here), expected zero
+   spill; its result digest is the ground truth.
+2. CONSTRAINED — a deliberately starved session (small heap +
+   ``spark.memory.fraction`` squeezed), walking a tightening ladder
+   until the UI REST metrics report **disk spill > 0** with exit
+   code 0 (no OOM).
+
+PASS per query = constrained digest == unconstrained digest AND
+constrained disk_spill_mb > 0 AND both children exited 0. The digest
+is a sha256 over ``selfcheck.normalize``-canonicalized rows (column-
+name-sorted, row-sorted), the same canonical form the correctness
+gate hashes — and the target queries (g01/g03/p10) are all-BIGINT
+arithmetic by construction, so "bit-identical" is well-defined even
+though a spilling hash-aggregate falls back to sort-based
+aggregation and merges partial results in a different order.
+
+Why this is the right 100 TB evidence: at scale, sort/agg/join
+working sets exceeding task memory is a certainty, and Spark's
+contract is spill-to-disk-and-stay-correct. The unconstrained plans
+were only ever ASSERTED safe from shape ("no unbounded hash build");
+this run demonstrates the degradation actually engages and the
+results do not change.
+
+Results land in SPILL.json under a ``forced`` section, merged over
+the existing sf0.1/sf1 sections.
+
+Usage:
+  python tools/forced_spill.py [--sf-dir /root/repo/.scaledata/sf1]
+      [query ...]            # default: g01, g03, p10
+  python tools/forced_spill.py --child NAME SF_DIR   (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    "g01_pagerank",
+    "g03_label_propagation",
+    "p10_refinedweb_pipeline",
+]
+
+# (driver heap, spark.memory.fraction) — walked tightest-last until
+# disk spill appears. sf1 peaks are 8.6-10.9 GB aggregated across 32
+# concurrent tasks; a 4g heap at fraction 0.15 leaves ~570 MB of
+# unified memory (≈9-18 MB per task under fair division) which is
+# far below the ~340 MB/task unconstrained high-water mark.
+LADDER = [("6g", "0.2"), ("4g", "0.1"), ("3g", "0.05")]
+
+
+def child(name: str, sf_dir: str) -> int:
+    """Run ONE query in this fresh process and print one JSON line
+    with the result digest + spill metrics. Memory constraints arrive
+    via SPARK_GRAFT_DRIVER_MEM and FORCED_SPILL_FRACTION env vars
+    (heap size must be fixed at JVM launch, hence the child model)."""
+    from arc_jupyter_spark.metrics import SegmentMeter
+    from arc_jupyter_spark.session import build_session
+    from arc_jupyter_spark.workloads import queries
+    from tools.selfcheck import normalize
+
+    extra = {"spark.ui.enabled": "true"}
+    fraction = os.environ.get("FORCED_SPILL_FRACTION")
+    if fraction:
+        extra["spark.memory.fraction"] = fraction
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(master=f"local[{cpus}]",
+                          app_name=f"forced-spill-{name}",
+                          extra_conf=extra)
+    meter = SegmentMeter(spark)
+    fn = queries()[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    wall = round(time.perf_counter() - t0, 3)
+    seg = meter.segment()
+    canon = normalize(rows, cols)
+    digest = hashlib.sha256(repr(canon).encode()).hexdigest()
+    print(json.dumps({
+        "name": name,
+        "digest": digest,
+        "rows": len(rows),
+        "wall_s": wall,
+        "heap": spark.conf.get("spark.driver.memory"),
+        "fraction": spark.conf.get("spark.memory.fraction", "0.6"),
+        "mem_spill_mb": seg["mem_spill_mb"],
+        "disk_spill_mb": seg["disk_spill_mb"],
+        "peak_execution_memory_mb": seg["peak_execution_memory_mb"],
+        "n_stages": seg["n_stages"],
+    }))
+    spark.stop()
+    return 0
+
+
+def run_child(name: str, sf_dir: str, heap: str | None,
+              fraction: str | None) -> tuple[dict | None, str]:
+    # settle-wait: the constrained/unconstrained comparison (and the
+    # slowdown_x it yields) is only meaningful if BOTH passes run on a
+    # quiet box — without this, a baseline taken in the wake of the
+    # previous child's 32-thread run reads slower than the spilling
+    # run and the slowdown inverts (observed on the first two sweeps)
+    t0 = time.time()
+    while os.getloadavg()[0] >= 6.0 and time.time() - t0 < 600:
+        time.sleep(15)
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_DRIVER_MEM", None)
+    env.pop("FORCED_SPILL_FRACTION", None)
+    if heap:
+        env["SPARK_GRAFT_DRIVER_MEM"] = heap
+    if fraction:
+        env["FORCED_SPILL_FRACTION"] = fraction
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", name, sf_dir],
+            capture_output=True, text=True, cwd=REPO, env=env,
+            timeout=2400,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "timeout (2400s)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "")[-800:]
+        oom = "OutOfMemoryError" in (proc.stderr or "")
+        return None, ("OOM: " if oom else f"rc={proc.returncode}: ") + tail
+    line = proc.stdout.strip().splitlines()[-1] if \
+        proc.stdout.strip() else ""
+    try:
+        return json.loads(line), ""
+    except (json.JSONDecodeError, IndexError):
+        return None, f"unparseable child output: {proc.stdout[-300:]}"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", metavar="NAME")
+    ap.add_argument("--sf-dir",
+                    default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    if args.child:
+        return child(args.child, args.queries[0] if args.queries
+                     else args.sf_dir)
+
+    names = args.queries or DEFAULT_QUERIES
+    section: dict[str, dict] = {}
+    all_pass = True
+    for name in names:
+        print(f"== {name}: unconstrained baseline ==")
+        base, err = run_child(name, args.sf_dir, None, None)
+        if base is None:
+            section[name] = {"pass": False, "err": f"baseline: {err}"}
+            all_pass = False
+            continue
+        print(json.dumps(base))
+        rec: dict = {
+            "baseline": {k: base[k] for k in (
+                "digest", "rows", "wall_s", "heap",
+                "disk_spill_mb", "peak_execution_memory_mb")},
+            "attempts": [],
+        }
+        spilled = None
+        for heap, fraction in LADDER:
+            print(f"== {name}: constrained heap={heap} "
+                  f"fraction={fraction} ==")
+            got, err = run_child(name, args.sf_dir, heap, fraction)
+            att = {"heap": heap, "fraction": fraction}
+            if got is None:
+                att["err"] = err
+                rec["attempts"].append(att)
+                print(f"   failed: {err[:200]}")
+                continue
+            att.update({k: got[k] for k in (
+                "digest", "rows", "wall_s", "mem_spill_mb",
+                "disk_spill_mb", "peak_execution_memory_mb")})
+            att["digest_match"] = got["digest"] == base["digest"]
+            rec["attempts"].append(att)
+            print(json.dumps(att))
+            if got["disk_spill_mb"] > 0:
+                spilled = att
+                break
+        ok = bool(spilled and spilled["digest_match"])
+        rec["pass"] = ok
+        # wall context: both passes are COLD (fresh JVM). Measured
+        # across three sweeps, the big-heap cold baseline is the
+        # NOISY one on this host (g01: 45/36/87s vs the constrained
+        # run's tight 29.5/29.5/34s) — a 62g heap commits tens of GB
+        # for checkpoint blocks that a 6g heap spills early, and the
+        # attendant page-zeroing + GC dwarfs the spill I/O at sf1. So
+        # the ratio below is context, not a grade; the gate is
+        # digest-identity + spill>0 + rc=0.
+        rec["spill_observed_at"] = (
+            {"heap": spilled["heap"], "fraction": spilled["fraction"],
+             "disk_spill_mb": spilled["disk_spill_mb"],
+             "wall_vs_cold_baseline_x": round(
+                 spilled["wall_s"] / base["wall_s"], 2)}
+            if spilled else None)
+        section[name] = rec
+        all_pass &= ok
+
+    out_path = os.path.join(REPO, "SPILL.json")
+    out: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            out = json.load(fh)
+    out["forced"] = section
+    out.setdefault("_env", {})["forced"] = {
+        "loadavg": os.getloadavg(),
+        "sf_dir": args.sf_dir,
+        "ladder": LADDER,
+        "all_pass": all_pass,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {out_path} forced section: "
+          f"{'ALL PASS' if all_pass else 'FAILURES PRESENT'}")
+    return 0 if all_pass else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

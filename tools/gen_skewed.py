@@ -117,6 +117,55 @@ def graph_skew(spark, src: str, out: str) -> int:
     return 0
 
 
+def cdc_skew(spark, src: str, out: str) -> int:
+    """Identical-corpus fixture for the CDC family (VERDICT r7 item
+    3): ~60% of documents get ONE shared byte-identical text, so
+    every chunk digest of that text owns ~60% of ALL chunk
+    occurrences corpus-wide — the worst posting-list concentration
+    the keep-first aggregate (p11), the per-(source, dg) rollup
+    (d21), and the streaming dropDuplicates state (st15) can see.
+    The shared text is ~2000 chars (~30 expected chunks at mask=64),
+    so hot mass spreads over ~30 digests per the CDC cut rule —
+    exactly the identical-document shape the round-7 correctness test
+    (tests/test_round7.py) covers, now as a performance fixture.
+
+    Only ``documents`` changes; the other nine tables are copied so
+    selfcheck can register all views. The oracles run over whatever
+    parquet sits in the dir, so correctness on the skewed fixture
+    stays checkable end to end."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    # deterministic shared text: long enough for ~30 chunks, word-
+    # shaped so the chunker's cut rule fires at natural positions
+    shared = " ".join(
+        f"common boilerplate sentence number {i} repeated in most "
+        f"documents of this corpus"
+        for i in range(25)
+    )
+    skew_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(5)) < 3, F.lit(shared)
+        ).otherwise(F.col("text")),
+    ).withColumn(
+        "n_chars",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint"),
+    )
+    skew_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ("lineitem", "customer", "orders", "supplier", "part",
+              "region", "nation", "events", "embeddings"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    sd = spark.read.parquet(f"{out}/documents.parquet")
+    n = sd.count()
+    hot_n = sd.filter(F.col("text") == shared).count()
+    print(f"wrote {out}: {hot_n}/{n} docs byte-identical "
+          f"({100 * hot_n / n:.0f}%), shared text {len(shared)} chars")
+    return 0
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -132,12 +181,18 @@ def main() -> int:
     ap.add_argument("--graph", action="store_true",
                     help="write the hot-community graph fixture "
                          "(orders+lineitem only) — see module docstring")
+    ap.add_argument("--cdc", action="store_true",
+                    help="write the identical-corpus CDC fixture "
+                         "(60%% byte-identical documents) — see "
+                         "cdc_skew docstring")
     args = ap.parse_args()
 
     spark = build_session(app_name="gen-skewed")
 
     if args.graph:
         return graph_skew(spark, args.src, args.out)
+    if args.cdc:
+        return cdc_skew(spark, args.src, args.out)
 
     customer = spark.read.parquet(f"{args.src}/customer.parquet")
     hot_user = customer.agg(F.min("c_custkey")).first()[0]

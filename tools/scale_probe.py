@@ -41,6 +41,12 @@ POINTS = [
     # documents-only fixture (gen_scaled --replicas 100 --tables
     # documents), so only documents-only queries can use --sf10
     ("s10", "/root/repo/.scaledata/sf10", 10.0),
+    # 5th point (VERDICT r7 item 5): pins t41's POST-broadcast-flip
+    # slope directly — at sf10 the probe gram table has already
+    # flipped BHJ→SMJ, so sf10→sf20 measures the pure post-flip
+    # exponent instead of bounding it via d18/d19
+    # (gen_scaled --replicas 200 --tables documents --out .../sf20)
+    ("s20", "/root/repo/.scaledata/sf20", 20.0),
 ]
 
 
@@ -62,6 +68,9 @@ def main() -> int:
     ap.add_argument("--sf10", action="store_true",
                     help="also include the documents-only sf10 point "
                          "(implies --sf1; documents-only queries)")
+    ap.add_argument("--sf20", action="store_true",
+                    help="also include the documents-only sf20 point "
+                         "(implies --sf10; pins the post-flip slope)")
     ap.add_argument("--best-of", type=int, default=2)
     ap.add_argument("queries", nargs="*",
                     help="subset of headline queries (default: all)")
@@ -71,7 +80,8 @@ def main() -> int:
     from arc_jupyter_spark.workloads import queries
     from bench import HEADLINE
 
-    n_points = 4 if args.sf10 else (3 if args.sf1 else 2)
+    n_points = 5 if args.sf20 else (4 if args.sf10 else
+                                    (3 if args.sf1 else 2))
     points = POINTS[:n_points]
     for _, path, _r in points[2:]:
         if not os.path.isdir(path):
@@ -129,10 +139,18 @@ def main() -> int:
                 / math.log(sizes[3] / sizes[2]),
                 2,
             )
+        if len(points) >= 5:
+            # the post-flip slope: both endpoints share the SMJ plan
+            rec["k_xxl"] = round(
+                math.log(max(times[4], 1e-3) / max(times[3], 1e-3))
+                / math.log(sizes[4] / sizes[3]),
+                2,
+            )
         out[name] = rec
 
     print(json.dumps(out))
-    key = ("k_xl" if len(points) >= 4
+    key = ("k_xxl" if len(points) >= 5
+           else "k_xl" if len(points) >= 4
            else "k_large" if len(points) == 3 else "k_small")
     worst = max(out.items(), key=lambda kv: kv[1][key])
     print(f"# worst scaling ({key}): {worst[0]} {key}={worst[1][key]}",

@@ -167,7 +167,8 @@ def main() -> int:
 
     SF01, SKEW01 = "/root/testdata/sf0.1", "/root/repo/.scaledata/skew01"
     SF1, SKEW1 = "/root/repo/.scaledata/sf1", "/root/repo/.scaledata/skew1"
-    SKEWG1 = "/root/repo/.scaledata/skewg1"  # gen_skewed.py --graph
+    SKEWG1 = "/root/repo/.scaledata/skewg1"   # gen_skewed.py --graph
+    SKEWCDC = "/root/repo/.scaledata/skewcdc"  # gen_skewed.py --cdc
     # (name, fn, uniform_dir, skew_dir, conf_mode) where conf_mode is
     #   None            — engine defaults (the operator's own caps are
     #                     the mitigation under test)
@@ -210,6 +211,21 @@ def main() -> int:
          SF1, SKEWG1, "no_broadcast"),
         ("g05_distributed_cc", qs["g05_distributed_cc"],
          SF1, SKEWG1, "no_broadcast"),
+        # round-8 additions (VERDICT r7 item 3): the CDC family vs the
+        # identical-corpus fixture (gen_skewed.py --cdc — 60% of docs
+        # byte-identical, so ~30 chunk digests own 60% of ALL chunk
+        # occurrences). Mitigations under test: d21/p11's map-side
+        # partial agg on the digest (the hot posting list combines
+        # per-mapper before the shuffle) and p11's composite-key
+        # semi-join (dg, doc_id, chunk_idx — the hot dg spreads);
+        # st15's streaming dropDuplicates keys its state on
+        # (source, dg) with no partial combine, so it is the entry to
+        # watch.
+        ("d21_cdc_chunks", qs["d21_cdc_chunks"], SF01, SKEWCDC, None),
+        ("p11_cdc_scrub_pipeline", qs["p11_cdc_scrub_pipeline"],
+         SF01, SKEWCDC, None),
+        ("st15_stream_cdc_ingest", qs["st15_stream_cdc_ingest"],
+         SF01, SKEWCDC, None),
     ]
 
     def run_one(fn, sf_dir):
