@@ -136,13 +136,24 @@ def cdc_skew(spark, src: str, out: str) -> int:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
-    # deterministic shared text: long enough for ~30 chunks, word-
-    # shaped so the chunker's cut rule fires at natural positions
-    shared = " ".join(
+    # deterministic shared text sized to the CORPUS MEAN doc length so
+    # total input bytes match the uniform fixture (otherwise the wall
+    # factor confounds key skew with a bigger corpus — the first cut
+    # of this fixture used a ~2000-char shared text and carried 4.4x
+    # the bytes of its uniform baseline). At mask=64 a mean-length
+    # (~300 char) shared text yields ~4-5 chunks, so the hot mass
+    # concentrates on FEWER digests than the long-text variant —
+    # strictly more adversarial for the keep-first aggregate and the
+    # streaming dedup state.
+    mean_len = int(
+        docs.agg(F.avg(F.length(F.coalesce("text", F.lit(""))))).first()[0]
+    )
+    base = " ".join(
         f"common boilerplate sentence number {i} repeated in most "
         f"documents of this corpus"
         for i in range(25)
     )
+    shared = base[:mean_len].rstrip()
     skew_docs = docs.withColumn(
         "text",
         F.when(

@@ -220,12 +220,16 @@ def main() -> int:
         # semi-join (dg, doc_id, chunk_idx — the hot dg spreads);
         # st15's streaming dropDuplicates keys its state on
         # (source, dg) with no partial combine, so it is the entry to
-        # watch.
-        ("d21_cdc_chunks", qs["d21_cdc_chunks"], SF01, SKEWCDC, None),
+        # watch. Both sides run at sf1 (uniform = .scaledata/sf1,
+        # skew = gen_skewed --cdc --src .scaledata/sf1): the sf0.1
+        # documents table is a single parquet file, so every map
+        # stage there is one task and the probe would measure
+        # single-core wall, not key skew.
+        ("d21_cdc_chunks", qs["d21_cdc_chunks"], SF1, SKEWCDC, None),
         ("p11_cdc_scrub_pipeline", qs["p11_cdc_scrub_pipeline"],
-         SF01, SKEWCDC, None),
+         SF1, SKEWCDC, None),
         ("st15_stream_cdc_ingest", qs["st15_stream_cdc_ingest"],
-         SF01, SKEWCDC, None),
+         SF1, SKEWCDC, None),
     ]
 
     def run_one(fn, sf_dir):
