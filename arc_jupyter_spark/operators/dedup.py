@@ -1837,6 +1837,74 @@ def fuzzy_pairs(
     ).where(F.col("dist") <= max_dist)
 
 
+def edit_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int = 3,
+    candidate_threshold: float = 0.12,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+    max_rel_e6: int = 300_000,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs →
+    ``(id_a, id_b, dist, rel_e6)`` where ``dist`` is the EXACT
+    Levenshtein distance between the two documents and
+    ``rel_e6 = floor(dist * 1e6 / max(len_a, len_b))`` is at most
+    ``max_rel_e6``.
+
+    The classic two-phase near-dup verify: a cheap set-similarity
+    candidate pass (shingle Jaccard via :func:`jaccard_pairs` — same
+    posting-list/df-cap scale shape as d03) proposes pairs, and exact
+    edit distance CONFIRMS them. Jaccard over shingle sets is blind to
+    ordering and multiplicity (two shuffles of the same words score
+    1.0); Levenshtein is the sequence-aware ground truth, but is
+    O(len_a x len_b) per pair — far too hot to run all-pairs. The
+    candidate gate bounds how many pairs ever reach it.
+
+    Scale shape: the quadratic-cost verify runs only on the candidate
+    pair list (df-capped posting lists bound that list's size); the
+    text payload joins back onto candidates through TWO hash joins
+    keyed by doc id, so full documents shuffle once per side, never
+    pairwise. The Levenshtein itself is JVM codegen
+    (``F.levenshtein``), no Python in the loop. ``rel_e6`` is the
+    engine-portable integer quantization: lengths and distance are
+    exact BIGINTs, so ``dist * 1e6 DIV max_len`` is bit-identical in
+    any engine with truncating integer division.
+    """
+    cand = jaccard_pairs(
+        df, id_col, text_col, shingle_len,
+        candidate_threshold, block_col, max_doc_freq,
+    ).select("id_a", "id_b")
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_ta"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_tb"),
+    )
+    dist = F.levenshtein("_ta", "_tb").cast("bigint")
+    max_len = F.greatest(
+        F.length("_ta").cast("bigint"),
+        F.length("_tb").cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dist.alias("dist"),
+            (dist * 1_000_000).alias("_num"),
+            max_len.alias("_den"),
+        )
+        .withColumn("rel_e6", F.expr("_num div _den").cast("bigint"))
+        .where(F.col("rel_e6") <= max_rel_e6)
+        .select("id_a", "id_b", "dist", "rel_e6")
+    )
+
+
 # -- content-defined chunking ------------------------------------------
 
 def cdc_chunks(

@@ -406,3 +406,71 @@ def hits(
             F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling → ``[node, degree]``
+    for every node of the k-core (the maximal subgraph where every
+    node keeps degree >= k), with its WITHIN-CORE degree.
+
+    Corpus-graph curation primitive: web-spam and link-farm filtering
+    keep pages inside a dense core (k-core membership is the classic
+    "well-embedded page" signal, complementing PageRank's flow rank).
+    ``edges`` is a directed edge list; for the undirected-degree
+    semantics callers pass both orientations (the g04 convention), so
+    ``degree(node) = count of distinct out-neighbours``.
+
+    Peeling is the textbook fixpoint: drop every node with degree < k,
+    recompute degrees on the induced subgraph, repeat until no node
+    falls below k (or the edge set empties). Each round is ONE
+    map-side-combined count aggregate plus one semi-join of the edge
+    list against surviving nodes on each endpoint — the edge frame
+    shrinks monotonically, and ``materialize`` pins each round's
+    survivor set so round ``r`` never re-runs rounds ``1..r-1``.
+    Early exit when a round removes nothing (the survivor-count probe
+    doubles as the checkpoint action).
+
+    Scale shape: state is one BIGINT per node; every shuffle key is a
+    node id; nothing is ever collected to the driver. Rounds needed =
+    the peel depth of the graph (small for power-law web graphs); the
+    induced-subgraph semi-joins are plain equi-joins AQE can broadcast
+    once the survivor frontier gets small. A convergence cap
+    ``max_rounds`` bounds the job count; an exact oracle can unroll
+    the same peel as chained CTEs because extra rounds past the
+    fixpoint are no-ops.
+    """
+    if k < 1:
+        raise ValueError("kcore() needs k >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().transform(materialize)
+    n_prev = None
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("src").transform(materialize)
+        n_keep = keep.count()
+        if n_keep == 0:
+            return keep.select(
+                F.col("src").alias("node"),
+                F.lit(0).cast("bigint").alias("degree"),
+            )
+        if n_prev is not None and n_keep == n_prev:
+            break
+        n_prev = n_keep
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .transform(materialize)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
+    )

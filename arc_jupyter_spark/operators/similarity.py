@@ -1015,3 +1015,53 @@ def lloyd_train_quantized(
         .select("cluster_id", "dim", "c_e6", "n_c")
         .orderBy("cluster_id", "dim")
     )
+
+
+def range_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau_e6: int,
+    per_query_cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) similarity search: EVERY corpus vector whose
+    cosine similarity to a query is at least ``tau_e6 / 1e6``, as
+    ``(query_id, vec_id, cosine_e6)``, capped at ``per_query_cap``
+    best matches per query.
+
+    The complement of top-k retrieval: dedup radius sweeps and
+    contamination checks ask "everything this close", not "the k
+    closest". The threshold compares the QUANTIZED score
+    (``FLOOR(cos * 1e6 + 0.5)``, the engine-portable integer both
+    sides of an oracle compute identically) so no pair can land on
+    opposite sides of the cut via sub-quantum float noise.
+
+    Scale shape: queries broadcast (small set by contract); scoring
+    is a narrow map over the corpus — zero shuffle until the
+    per-query cap's window, which partitions by query_id over rows
+    that already passed the threshold (the only corpus-sized stage is
+    the scan itself). For query sets too big to broadcast, use LSH
+    bucketing (``lsh_buckets``) to turn the cross product into a
+    bucket equi-join first.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    )
+    sim = cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_qvec"))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("query_id"),
+        F.col(id_col),
+        F.floor(sim * 1_000_000 + F.lit(0.5)).cast("bigint").alias("cosine_e6"),
+    ).where(F.col("cosine_e6") >= tau_e6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_e6").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= per_query_cap)
+        .drop("_rank")
+    )

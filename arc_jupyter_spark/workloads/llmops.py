@@ -5976,3 +5976,294 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# g07 — k-core decomposition (operators/graph.py kcore): iterative
+# peel of the customer↔supplier bipartite graph until every surviving
+# node keeps degree >= K within the survivors. The web-graph curation
+# primitive C4/CC-style pipelines use as the "well-embedded page"
+# gate (link farms and orphan pages fall out of the core). The k-core
+# is the UNIQUE maximal subgraph with min-degree >= K, so the oracle
+# does not need round-by-round arithmetic parity — it unrolls the
+# same peel as chained CTEs with enough rounds to pass the fixpoint
+# (sf0.01 converges in 2 peels; 6 rounds of margin, and extra rounds
+# past the fixpoint are provably no-ops).
+# --------------------------------------------------------------------
+
+_G07_K = 32
+_G07_EDGES = """SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+   FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+
+def _g07_oracle(k: int = _G07_K, rounds: int = 6) -> str:
+    ctes = [
+        f"p AS MATERIALIZED ({_G07_EDGES})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM p "
+        "UNION ALL SELECT dst, src FROM p)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, COUNT(*) AS d "
+            f"FROM e{r - 1} GROUP BY src) WHERE d >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r - 1} e "
+            f"JOIN k{r} a ON e.src = a.src "
+            f"JOIN k{r} b ON e.dst = b.src)"
+        )
+    return f"""
+WITH {', '.join(ctes)},
+core AS (
+  SELECT src AS node, COUNT(*) AS degree
+  FROM e{rounds} GROUP BY src HAVING COUNT(*) >= {k}
+)
+SELECT CAST(degree // 16 AS BIGINT) AS degree_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS id_sum,
+       CAST(SUM(degree) AS BIGINT) AS degree_sum
+FROM core GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("g07_kcore", oracle=_g07_oracle())
+def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    pairs = spark.sql(_G07_EDGES)
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    core = graph.kcore(edges, k=_G07_K)
+    return (
+        core.groupBy(
+            F.expr("degree div 16").cast("bigint").alias("degree_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("id_sum"),
+            F.sum("degree").alias("degree_sum"),
+        )
+        .orderBy("degree_bucket")
+    )
+
+
+# --------------------------------------------------------------------
+# d22 — edit-distance-verified near-dup (operators/dedup.py
+# edit_verified_pairs): the classic two-phase verify — shingle-Jaccard
+# candidates (d03's posting-list machinery, threshold dropped to 0.02
+# so FALSE candidates reach the verifier too), then EXACT Levenshtein
+# confirms or rejects each pair. Jaccard over shingle sets is blind
+# to word order and multiplicity; edit distance is the sequence-aware
+# ground truth but O(n*m) per pair, so it only ever runs on the
+# candidate list. The output keeps rejected candidates with kept=0 —
+# the gate's discrimination is the thing under test (at sf0.01 one
+# genuine near-dup passes at rel ~1.9%, the word-soup coincidences
+# fail at >50%).
+# --------------------------------------------------------------------
+
+_D22_CAND_TAU = 0.02
+_D22_KEEP_REL_E6 = 300_000
+
+D22_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct({_duck_shingles(3).replace('toks', _DUCK_TOKS)}) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, source, unnest(s) AS sg FROM sh),
+dfreq AS (
+  SELECT source, sg, COUNT(*) AS df FROM ex GROUP BY source, sg
+),
+ex2 AS (
+  SELECT e.doc_id, e.source, e.sg
+  FROM ex e JOIN dfreq d USING (source, sg)
+  WHERE d.df BETWEEN 2 AND {_D03_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+  FROM ex2 a JOIN ex2 b ON a.source = b.source AND a.sg = b.sg
+                        AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+cand AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter)
+        >= {_D22_CAND_TAU}
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(COALESCE(a.text, ''), COALESCE(b.text, ''))
+              AS BIGINT) AS dist,
+         GREATEST(length(COALESCE(a.text, '')),
+                  length(COALESCE(b.text, '')), 1) AS mx
+  FROM cand c
+  JOIN documents a ON c.id_a = a.doc_id
+  JOIN documents b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, dist,
+       CAST(dist * 1000000 // mx AS BIGINT) AS rel_e6,
+       CAST(CASE WHEN dist * 1000000 // mx <= {_D22_KEEP_REL_E6}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ver
+ORDER BY rel_e6, id_a, id_b LIMIT 20
+"""
+
+
+@query("d22_edit_verified_dedup", oracle=D22_ORACLE)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    pairs = dedup.edit_verified_pairs(
+        spark.table("documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_len=3,
+        candidate_threshold=_D22_CAND_TAU,
+        block_col="source",
+        max_doc_freq=_D03_MAX_DF,
+        max_rel_e6=1_000_000,
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "dist",
+            "rel_e6",
+            (F.col("rel_e6") <= _D22_KEEP_REL_E6)
+            .cast("bigint").alias("kept"),
+        )
+        .orderBy("rel_e6", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# t44 — vocabulary coverage curve: what fraction of the corpus' total
+# token mass do the top-k most frequent word types cover, for k in
+# powers of two? The tokenizer-design statistic behind every vocab-
+# size decision (BPE vocab truncation, stopword lists, OOV budgets):
+# Zipfian corpora saturate fast, and the curve's knee says where.
+# Scale shape: ONE map-side-combined word-count shuffle (vocabulary-
+# sized output, not corpus-sized), a distributed TakeOrdered for the
+# top-K frontier (never a global sort of the vocabulary), and the
+# running sum windows over AT MOST K=512 rows on one partition —
+# bounded work regardless of corpus size. The corpus total attaches
+# as a broadcast 1-row aggregate. All integers: coverage_e6 =
+# cum * 1e6 DIV total is exact in both engines.
+# --------------------------------------------------------------------
+
+_T44_KS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+T44_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+),
+c AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+t AS (SELECT SUM(n) AS tot FROM c),
+r AS (
+  SELECT w, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk,
+         SUM(n) OVER (ORDER BY n DESC, w
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT CAST(rk AS BIGINT) AS top_k,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(cum * 1000000 // t.tot AS BIGINT) AS coverage_e6
+FROM r, t
+WHERE rk IN {_T44_KS}
+ORDER BY top_k
+"""
+
+
+@query("t44_coverage_curve", oracle=T44_ORACLE)
+def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    counts = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    # distributed TakeOrdered: per-partition top-K, K-row merge — the
+    # vocabulary never globally sorts
+    top = counts.orderBy(F.desc("n"), "w").limit(max(_T44_KS))
+    w = Window.orderBy(F.desc("n"), "w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number().over(w).alias("top_k"),
+        F.sum("n").over(w).alias("cum_tokens"),
+    )
+    return (
+        ranked.where(F.col("top_k").isin(list(_T44_KS)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("top_k").cast("bigint").alias("top_k"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.expr("cum_tokens * 1000000 div tot").cast("bigint")
+            .alias("coverage_e6"),
+        )
+        .orderBy("top_k")
+    )
+
+
+# --------------------------------------------------------------------
+# s16 — radius (range) similarity search (operators/similarity.py
+# range_neighbors): every corpus vector with cosine >= tau of each
+# query — the complement of top-k (s01): dedup radius sweeps and
+# contamination checks ask "everything this close", not "the k
+# closest". Exact by construction; the threshold cut happens on the
+# e6-QUANTIZED score so both engines make identical keep decisions
+# even where raw doubles might round differently. Map-only over the
+# corpus with the query set broadcast — the genuinely right 100 TB
+# plan for small query sets (the only corpus-sized stage is the
+# scan); LSH bucketing (s04) is the path for query sets too big to
+# broadcast.
+# --------------------------------------------------------------------
+
+_S16_TAU_E6 = 250_000
+
+S16_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.qv) * 1000000 + 0.5)
+              AS BIGINT) AS cosine_e6
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine_e6
+FROM s WHERE cosine_e6 >= {_S16_TAU_E6}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine_e6 DESC, vec_id) <= 100
+ORDER BY query_id, cosine_e6 DESC, vec_id
+"""
+
+
+@query("s16_range_search", oracle=S16_ORACLE)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    neigh = similarity.range_neighbors(
+        emb,
+        emb.where(F.col("vec_id").isin(0, 1, 2))
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        tau_e6=_S16_TAU_E6,
+        per_query_cap=100,
+    )
+    return neigh.orderBy("query_id", F.desc("cosine_e6"), "vec_id")
