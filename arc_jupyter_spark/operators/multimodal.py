@@ -577,3 +577,87 @@ def png_resize_roundtrip_stats(
             yield pdf.assign(**{out_col: out})
 
     return df.mapInPandas(run, schema=schema)
+
+
+AUDIO_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("rate_out", T.IntegerType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("energy_out", T.LongType()),
+    ]
+)
+
+
+def audio_resample_stats(
+    df: DataFrame,
+    binary_col: str = "value",
+    out_col: str = "resample_stats",
+    factor: int = 2,
+) -> DataFrame:
+    """Append REAL audio downsample round-trip statistics: the WAV
+    payload is decoded (stdlib 16-bit PCM), decimated ``factor``:1 by
+    exact integer block means (``r_j = floor(mean(s[j*f .. j*f+f-1]))``
+    — Python floor division, tail partial blocks dropped), RE-ENCODED
+    as a standards-compliant WAV at ``rate/factor``, and re-decoded;
+    the reported stats come from the RE-DECODED bytes, so a flipped
+    bit anywhere in decode → resample → encode → decode breaks them.
+
+    ``checksum = Σ (j+1)·r_j`` is position-weighted (a sample-order
+    bug cannot cancel), ``energy_out = Σ r_j²`` — both exact BIGINTs
+    an oracle can replay algebraically from the synth formula without
+    touching WAV bytes. Arrow-batched ``mapInPandas``, map-only: the
+    100 TB shape is pure per-payload compute that scales with input
+    bytes, no shuffle. Payloads that don't decode yield a null struct.
+    """
+    if factor < 1:
+        raise ValueError("audio_resample_stats needs factor >= 1")
+    import array
+    import sys
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, AUDIO_RESAMPLE_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from arc_jupyter_spark.operators.media_codecs import (
+            decode_wav_pcm,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[binary_col]:
+                dec = decode_wav_pcm(bytes(payload)) if payload is not None \
+                    else None
+                if dec is None:
+                    out.append(None)
+                    continue
+                rate, _channels, samples = dec
+                n_out = len(samples) // factor
+                res = [
+                    sum(samples[j * factor:(j + 1) * factor]) // factor
+                    for j in range(n_out)
+                ]
+                pcm = array.array("h", res)
+                if sys.byteorder == "big":
+                    pcm.byteswap()
+                redec = decode_wav_pcm(
+                    encode_wav(rate // factor, 1, pcm.tobytes())
+                )
+                if redec is None:
+                    out.append(None)
+                    continue
+                r_rate, _rc, r_samples = redec
+                out.append({
+                    "rate_out": r_rate,
+                    "n_out": len(r_samples),
+                    "checksum": sum(
+                        (j + 1) * s for j, s in enumerate(r_samples)
+                    ),
+                    "energy_out": sum(s * s for s in r_samples),
+                })
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(run, schema=schema)

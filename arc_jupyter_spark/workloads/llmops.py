@@ -64,9 +64,11 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 _SHINGLE_LEN = 3
 
 
-def _banded_cte() -> str:
+def _banded_cte(src: str = "documents") -> str:
     """DuckDB CTE chain ending in ``banded(doc_id, band)`` — the exact
-    truncated-md5 minhash band BIGINTs the Spark operators compute."""
+    truncated-md5 minhash band BIGINTs the Spark operators compute.
+    ``src`` is the relation banded over (any CTE with doc_id + text;
+    default the documents table)."""
     coeffs = dedup.minhash_coefficients(_NUM_HASHES)
     sigs = ", ".join(
         f"list_min(list_transform(shingles, "
@@ -85,7 +87,7 @@ def _banded_cte() -> str:
     )
     band_list = ", ".join(f"band{b}" for b in range(_BANDS))
     return f"""toks AS (
-  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM {src}
 ),
 sh AS (
   SELECT doc_id, {_duck_shingles(_SHINGLE_LEN)} AS shingles FROM toks
@@ -6267,3 +6269,177 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_query_cap=100,
     )
     return neigh.orderBy("query_id", F.desc("cosine_e6"), "vec_id")
+
+
+# --------------------------------------------------------------------
+# m12 — audio RESAMPLE round trip (operators/multimodal.py
+# audio_resample_stats; closes the transform loop for audio the way
+# m11 does for images): each synthetic WAV (m10's sample-exact synth)
+# is decoded, decimated 2:1 by exact integer block means, re-encoded
+# at 4 kHz, RE-decoded, and the position-weighted checksum + energy
+# are computed from the re-decoded bytes. The oracle replays the
+# whole chain algebraically from the synth formula: r_j =
+# floor((s_2j + s_2j+1) / 2) with s_k = ((id*31 + 7k^2) % 4096) -
+# 2048 — FLOOR of an exact float halving mirrors Python's floor
+# division for the +/-2048 sample range (Spark-side `div` truncation
+# never enters: the arithmetic lives in the Arrow batch).
+# --------------------------------------------------------------------
+
+M12_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 192 + (doc_id % 4) * 64 AS n FROM documents
+),
+j AS (
+  SELECT doc_id, n, unnest(generate_series(0, n // 2 - 1)) AS jj FROM d
+),
+r AS (
+  SELECT doc_id, n, jj,
+         CAST(FLOOR(((((doc_id * 31 + 7 * (2*jj) * (2*jj)) % 4096) - 2048)
+                   + (((doc_id * 31 + 7 * (2*jj+1) * (2*jj+1)) % 4096) - 2048))
+                    / 2.0) AS BIGINT) AS smp
+  FROM j
+)
+SELECT doc_id,
+       CAST(4000 AS INT) AS rate_out,
+       CAST(MAX(n) // 2 AS BIGINT) AS n_out,
+       CAST(SUM((jj + 1) * smp) AS BIGINT) AS checksum,
+       CAST(SUM(smp * smp) AS BIGINT) AS energy_out
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("m12_audio_resample", oracle=M12_ORACLE)
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    ids = spark.table("documents").select("doc_id")
+    wavs = multimodal.synthesize_wav(ids, id_col="doc_id")
+    stats = multimodal.audio_resample_stats(
+        wavs, binary_col="value", factor=2
+    )
+    return stats.select(
+        "doc_id",
+        F.col("resample_stats.rate_out").alias("rate_out"),
+        F.col("resample_stats.n_out").alias("n_out"),
+        F.col("resample_stats.checksum").alias("checksum"),
+        F.col("resample_stats.energy_out").alias("energy_out"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# p12 — incremental crawl-refresh pipeline: the daily-ingest
+# composition d13 → d07 → t17. Stage 1 (diff) replays d13's snapshot
+# derivation and keeps only the NEW WORK — added + changed docs with
+# their new text (at 100 TB the unchanged mass never leaves the
+# manifest compare). Stage 2 (dedup) drops new docs sharing a MinHash
+# band with the UNCHANGED corpus (d07's incremental primitive — only
+# (id, band) pairs shuffle). Stage 3 (cap) applies the per-source
+# ingest quota (t17's window shape). The final frame is the
+# per-source ingest report. Stage frames are exposed for bench.py's
+# per-stage wall/shuffle attribution (VERDICT r7 item 2 pattern).
+# --------------------------------------------------------------------
+
+_P12_CAP = 40
+
+P12_ORACLE = f"""
+WITH unchanged AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE doc_id % 9 <> 0 AND doc_id % 4 <> 0
+),
+changed AS (
+  SELECT doc_id, text || ' edited' AS text, source FROM documents
+  WHERE doc_id % 9 <> 0 AND doc_id % 4 = 0
+),
+added AS (
+  SELECT doc_id + 5000000 AS doc_id, text || ' new' AS text, source
+  FROM documents WHERE doc_id % 13 = 0
+),
+docset AS (
+  SELECT doc_id, text, source, 0 AS is_new FROM unchanged
+  UNION ALL SELECT doc_id, text, source, 1 FROM changed
+  UNION ALL SELECT doc_id, text, source, 1 FROM added
+),
+{_banded_cte('docset')},
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM banded n JOIN banded e USING (band)
+  JOIN docset dn ON n.doc_id = dn.doc_id
+  JOIN docset de ON e.doc_id = de.doc_id
+  WHERE dn.is_new = 1 AND de.is_new = 0
+),
+survivors AS (
+  SELECT d.doc_id, d.text, d.source FROM docset d
+  WHERE d.is_new = 1 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+),
+capped AS (
+  SELECT doc_id, text, source FROM survivors
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY length(text) DESC, doc_id)
+          <= {_P12_CAP}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_ingested,
+       CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM capped GROUP BY source ORDER BY source
+"""
+
+
+def p12_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """p12's composed stages in dependency order: ``diff`` (the new
+    work set from the snapshot compare) → ``dedup`` (incremental
+    MinHash screen vs the unchanged corpus) → ``cap`` (per-source
+    ingest quota). bench.py persists each frame so wall/shuffle
+    attributes to one stage; the p12 query consumes the same lazy
+    plans."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    unchanged = docs.where(
+        (F.col("doc_id") % 9 != 0) & (F.col("doc_id") % 4 != 0)
+    ).select("doc_id", "text", "source")
+    changed = docs.where(
+        (F.col("doc_id") % 9 != 0) & (F.col("doc_id") % 4 == 0)
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" edited")).alias("text"),
+        "source",
+    )
+    added = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        "source",
+    )
+    work = changed.unionAll(added)
+    survivors = dedup.incremental_near_dedup(
+        work, unchanged, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    capped = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _P12_CAP)
+        .drop("_rn")
+    )
+    return {"diff": work, "dedup": survivors, "cap": capped}
+
+
+@query("p12_crawl_refresh_pipeline", oracle=P12_ORACLE)
+def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = p12_stage_frames(spark, sf_dir)["cap"]
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingested"),
+            F.sum(F.size(text.tokens(F.col("text"))))
+            .cast("bigint").alias("total_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -110,6 +110,12 @@ HEADLINE = [
     "st15_stream_cdc_ingest",
     "m11_png_resize_roundtrip",
     "p11_cdc_scrub_pipeline",
+    "g07_kcore",
+    "d22_edit_verified_dedup",
+    "t44_coverage_curve",
+    "s16_range_search",
+    "m12_audio_resample",
+    "p12_crawl_refresh_pipeline",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison
@@ -158,6 +164,7 @@ def pipeline_stage_breakdown(spark, sf_dir: str) -> dict:
         p08_stage_frames,
         p10_stage_frames,
         p11_stage_frames,
+        p12_stage_frames,
     )
 
     registry = {
@@ -167,6 +174,7 @@ def pipeline_stage_breakdown(spark, sf_dir: str) -> dict:
         "p08": p08_stage_frames,
         "p10": p10_stage_frames,
         "p11": p11_stage_frames,
+        "p12": p12_stage_frames,
     }
     meter = SegmentMeter(spark)
     report: dict[str, dict] = {}
