@@ -85,3 +85,53 @@ dist AS (
          MAX(length(chunk)) AS ln
   FROM ch GROUP BY source, dg
 )"""
+
+
+#: Canonical MinHash parameters shared by the batch near-dedup family
+#: (d02/d06/d07/d12, p12) and the streaming refresh screen (st16) —
+#: in this module for the same reason as DUCK_TOKS: both llmops and
+#: streaming_queries mirror them in oracles, and importing llmops
+#: internals from streaming_queries would couple the modules.
+MINHASH_NUM_HASHES = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
+MINHASH_SHINGLE_LEN = 3
+
+
+def duck_banded_cte(src: str = "documents") -> str:
+    """DuckDB CTE chain ending in ``banded(doc_id, band)`` — the exact
+    truncated-md5 minhash band BIGINTs the Spark operators compute.
+    ``src`` is the relation banded over (any CTE with doc_id + text;
+    default the documents table)."""
+    from arc_jupyter_spark.operators import dedup
+
+    coeffs = dedup.minhash_coefficients(MINHASH_NUM_HASHES)
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, "
+        f"s -> ({a} * ('0x' || substr(md5(s), 1, 7))::BIGINT + {b})"
+        f" % {dedup._MERSENNE31})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bands = ", ".join(
+        "('0x' || substr(md5('band{b}|' || {parts}), 1, 15))::BIGINT AS band{b}".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"s{b * MINHASH_ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(MINHASH_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(MINHASH_BANDS))
+    return f"""toks AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM {src}
+),
+sh AS (
+  SELECT doc_id, {duck_shingles(MINHASH_SHINGLE_LEN)} AS shingles FROM toks
+),
+sigs AS (
+  SELECT doc_id, {sigs} FROM sh
+),
+banded AS (
+  SELECT doc_id, unnest([{band_list}]) AS band FROM ( SELECT doc_id, {bands} FROM sigs )
+)"""

@@ -58,46 +58,17 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 # higher-order functions; only (id, band) pairs shuffle.
 # --------------------------------------------------------------------
 
-_NUM_HASHES = 16
-_BANDS = 4
-_ROWS_PER_BAND = _NUM_HASHES // _BANDS
-_SHINGLE_LEN = 3
-
-
-def _banded_cte(src: str = "documents") -> str:
-    """DuckDB CTE chain ending in ``banded(doc_id, band)`` — the exact
-    truncated-md5 minhash band BIGINTs the Spark operators compute.
-    ``src`` is the relation banded over (any CTE with doc_id + text;
-    default the documents table)."""
-    coeffs = dedup.minhash_coefficients(_NUM_HASHES)
-    sigs = ", ".join(
-        f"list_min(list_transform(shingles, "
-        f"s -> ({a} * ('0x' || substr(md5(s), 1, 7))::BIGINT + {b})"
-        f" % {dedup._MERSENNE31})) AS s{i}"
-        for i, (a, b) in enumerate(coeffs)
-    )
-    bands = ", ".join(
-        "('0x' || substr(md5('band{b}|' || {parts}), 1, 15))::BIGINT AS band{b}".format(
-            b=b,
-            parts=" || '|' || ".join(
-                f"s{b * _ROWS_PER_BAND + r}::VARCHAR" for r in range(_ROWS_PER_BAND)
-            ),
-        )
-        for b in range(_BANDS)
-    )
-    band_list = ", ".join(f"band{b}" for b in range(_BANDS))
-    return f"""toks AS (
-  SELECT doc_id, {_DUCK_TOKS} AS toks FROM {src}
-),
-sh AS (
-  SELECT doc_id, {_duck_shingles(_SHINGLE_LEN)} AS shingles FROM toks
-),
-sigs AS (
-  SELECT doc_id, {sigs} FROM sh
-),
-banded AS (
-  SELECT doc_id, unnest([{band_list}]) AS band FROM ( SELECT doc_id, {bands} FROM sigs )
-)"""
+# canonical minhash parameters + the banded-CTE builder live in
+# _duck_sql (shared with streaming_queries' st16 oracle — the
+# DUCK_TOKS precedent); these names stay as the module-local aliases
+# every batch query/operator call in this file uses.
+from arc_jupyter_spark.workloads._duck_sql import (
+    MINHASH_BANDS as _BANDS,
+    MINHASH_NUM_HASHES as _NUM_HASHES,
+    MINHASH_ROWS_PER_BAND as _ROWS_PER_BAND,
+    MINHASH_SHINGLE_LEN as _SHINGLE_LEN,
+    duck_banded_cte as _banded_cte,
+)
 
 
 def _d02_oracle() -> str:

@@ -1125,3 +1125,99 @@ def st15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# st16 — streaming incremental crawl-refresh screen (the stream
+# version of d07/p12's dedup stage): new-crawl documents arrive as a
+# file stream and each micro-batch is screened against the STATIC
+# already-ingested corpus with the batch incremental_near_dedup
+# operator inside foreachBatch — the st09 recipe for logic that a
+# declarative streaming plan can't express (hit-doc detection derives
+# a frame FROM the stream, which a stream-stream anti-join would need
+# watermark state for; per-batch it is one plain anti-join). Each
+# batch's survivors land as a batch-id-named delta (replay-idempotent
+# overwrite = exactly-once); the serving read unions deltas. The
+# existing-corpus band set is computed ONCE outside the loop and only
+# (id, band) pairs ever join — text never shuffles. Oracle: d07's
+# band screen restricted to the same new/existing split, aggregated
+# per source.
+# --------------------------------------------------------------------
+
+from arc_jupyter_spark.workloads._duck_sql import (
+    MINHASH_BANDS as _ST16_BANDS,
+    MINHASH_NUM_HASHES as _ST16_HASHES,
+    MINHASH_SHINGLE_LEN as _ST16_SHINGLE,
+    duck_banded_cte as _st16_banded,
+)
+
+ST16_ORACLE = f"""
+WITH {_st16_banded()},
+hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM banded n JOIN banded e USING (band)
+  WHERE n.doc_id % 3 <> 0 AND e.doc_id % 3 = 0
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_ingested,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d
+WHERE d.doc_id % 3 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("st16_stream_refresh_screen", oracle=ST16_ORACLE)
+def st16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from arc_jupyter_spark.operators.dedup import incremental_near_dedup
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = batch.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    )
+    stream = read_table_stream(spark, sf_dir, "documents", batch.schema)
+    new = stream.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="st16_state_")
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        kept = incremental_near_dedup(
+            batch_df, existing, id_col="doc_id", text_col="text",
+            shingle_len=_ST16_SHINGLE,
+            num_hashes=_ST16_HASHES, bands=_ST16_BANDS,
+        )
+        (
+            kept.select("doc_id", "source")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    try:
+        with _stream_partitions(spark):
+            q = (
+                new.writeStream.foreachBatch(screen)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{out_dir}/_chk")
+                .start()
+            )
+            q.awaitTermination()
+        deltas = spark.read.option("basePath", out_dir).parquet(
+            f"{out_dir}/batch=*"
+        )
+        result = (
+            deltas.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_ingested"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .orderBy("source")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

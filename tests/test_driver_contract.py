@@ -64,7 +64,9 @@ def test_oracles_only_reference_registered_views():
     # optional (...) after the name covers WITH RECURSIVE r(a, b) AS)
     pat = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b(?!\s*\.)", re.I)
     cte_pat = re.compile(
-        r"\b([a-z_][a-z0-9_]*)\s*(?:\([^()]*\))?\s+AS\s*\(", re.I
+        r"\b([a-z_][a-z0-9_]*)\s*(?:\([^()]*\))?\s+AS\s*"
+        r"(?:(?:NOT\s+)?MATERIALIZED\s*)?\(",
+        re.I,
     )
     extract_pat = re.compile(
         r"EXTRACT\s*\(\s*\w+\s+FROM\s+[^)]*\)", re.I

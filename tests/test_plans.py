@@ -282,6 +282,10 @@ def test_no_cartesian_in_any_batch_query(spark):
         "t43_kmv_overlap",  # sketch (S*K rows) x source list (S rows)
         # pair-tagging, a non-equi join by construction; both sides
         # are bottom-k sketches, never corpus-sized — bounded S^2*K
+        "t44_coverage_curve",  # crossJoin of the 1-row corpus total
+        "s16_range_search",  # corpus x broadcast 3-row query set —
+        # scoring every corpus row against every query IS the range
+        # scan (the s03 batch-topk rationale)
     }
     sf = "/root/testdata/sf0.001"
     offenders = []
@@ -905,3 +909,78 @@ def test_p11_keep_first_is_digest_shuffle_no_window(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+# -- round-8 additions ------------------------------------------------
+
+
+def test_g07_kcore_plan_joins(spark):
+    # the returned frame's lineage is truncated by the per-round
+    # materialize, so the semi-join shape must be asserted on a live
+    # ROUND expression rather than the final plan
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.graph import kcore  # noqa: F401
+
+    plan = plan_of(spark, "g07_kcore")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    keep = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).where(
+        "degree >= 1"
+    ).select("src")
+    round_plan = (
+        e.join(keep, "src", "left_semi")
+        .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert round_plan.count("LeftSemi") == 2
+    assert "CartesianProduct" not in round_plan
+
+
+def test_d22_verify_runs_jvm_side(spark):
+    plan = plan_of(spark, "d22_edit_verified_dedup")
+    assert "CartesianProduct" not in plan
+    # the Levenshtein verify must be a JVM expression over joined
+    # candidates, never a Python UDF stage
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_t44_topk_never_global_sorts_vocab(spark):
+    plan = plan_of(spark, "t44_coverage_curve")
+    # the top-512 frontier must be TakeOrdered (per-partition k +
+    # merge); the only full Sort allowed is inside the <=512-row
+    # window segment
+    assert "TakeOrderedAndProject" in plan
+    # word counting must combine map-side before its exchange
+    assert "partial_count" in plan
+
+
+def test_s16_range_search_broadcasts_queries(spark):
+    plan = plan_of(spark, "s16_range_search")
+    # the query set attaches via broadcast; the corpus never shuffles
+    # before the threshold filter
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_m12_resample_is_arrow_map_only(spark):
+    plan = plan_of(spark, "m12_audio_resample")
+    # decode -> resample -> encode -> decode all inside Arrow batches:
+    # exactly two MapInPandas stages (synth, resample), no shuffle
+    # between them, no row-Python
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    # the only exchange is the final orderBy's range partitioning —
+    # nothing shuffles between synth and resample
+    assert plan.count("Exchange") == 1
+    # column pruning: the synth stage reads ONLY doc_id from parquet
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_p12_no_cartesian_and_band_screen_is_semi_shaped(spark):
+    plan = plan_of(spark, "p12_crawl_refresh_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -49,6 +49,10 @@ ALLOWED_BNL = {
     "s10_hybrid_rrf", "s12_mmr_rerank",
     "t43_kmv_overlap",  # sketch (S*K) x source list (S): non-equi
     # pair-tagging by construction, both sides sketch-sized (S^2*K)
+    "t44_coverage_curve",  # crossJoin of the 1-row corpus total
+    "s16_range_search",  # corpus x broadcast 3-row query set: scoring
+    # every corpus row against every query IS the range scan (the
+    # s03 batch-topk rationale)
 }
 
 
