@@ -146,6 +146,20 @@ SHARED_18 = [
 ]
 
 
+def _host_cpu_ref(n: int = 20_000_000) -> float:
+    """Best-of-3 wall of a fixed single-core integer loop — the
+    host-speed reference embedded in every BENCH_DETAIL."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(n):
+            s += i * i
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
 def pipeline_stage_breakdown(spark, sf_dir: str) -> dict:
     """Per-stage wall + shuffle bytes for EVERY composed pipeline
     (VERDICT r6 item 3 for p10, extended per r7 item 2 to p01, p04,
@@ -326,6 +340,15 @@ def main() -> int:
         # key for r6/r7 artifact continuity)
         "pipeline_stages": pipeline_stages,
         "p10_stages": pipeline_stages.get("p10", {}),
+        # host-speed normalizer: a FIXED single-core pure-Python
+        # integer loop (no Spark, no I/O), best-of-3. Round-8 lesson:
+        # this round's container ran the UNCHANGED shared-18 set a
+        # uniform ~1.3x slower than round 7's (17.2s vs 12.9s, every
+        # query inflated by the same factor incl. trivial scans);
+        # without a Spark-free CPU reference in the artifact,
+        # cross-round wall comparisons can't separate host weather
+        # from code changes.
+        "host_cpu_ref_s": _host_cpu_ref(),
         "sf": sf_val,
     }
     # quiet-window cold-path artifact (VERDICT r6 item 1): produced by
