@@ -55,6 +55,10 @@ DEFAULT_QUERIES = [
     "g01_pagerank",
     "g03_label_propagation",
     "p10_refinedweb_pipeline",
+    # round 8: a CDC-family shape (chunk digests + keep-first MIN agg
+    # + text semi-join) so the spill evidence covers the newest dedup
+    # family, not only graph/refinedweb plans
+    "p11_cdc_scrub_pipeline",
 ]
 
 # (driver heap, spark.memory.fraction) — walked tightest-last until
@@ -220,7 +224,11 @@ def main() -> int:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             out = json.load(fh)
-    out["forced"] = section
+    # merge per-query so a partial run (one new target) never drops
+    # the committed entries of earlier sweeps
+    merged = dict(out.get("forced", {}))
+    merged.update(section)
+    out["forced"] = merged
     out.setdefault("_env", {})["forced"] = {
         "loadavg": os.getloadavg(),
         "sf_dir": args.sf_dir,
