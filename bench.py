@@ -116,6 +116,7 @@ HEADLINE = [
     "s16_range_search",
     "m12_audio_resample",
     "p12_crawl_refresh_pipeline",
+    "st16_stream_refresh_screen",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison
