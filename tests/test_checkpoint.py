@@ -32,6 +32,7 @@ def _rows(df):
         "g04_bfs_frontier",
         "d06_cc_dedup",
         "q70_recursive_chains",
+        "g07_kcore",
     ],
 )
 def test_reliable_checkpoint_result_identical(spark, tmp_path, qname):
