@@ -451,6 +451,7 @@ def kcore(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct().transform(materialize)
     n_prev = None
+    converged = False
     for _ in range(max_rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.where(F.col("degree") >= k).select("src").transform(materialize)
@@ -461,6 +462,7 @@ def kcore(
                 F.lit(0).cast("bigint").alias("degree"),
             )
         if n_prev is not None and n_keep == n_prev:
+            converged = True
             break
         n_prev = n_keep
         e = (
@@ -468,6 +470,24 @@ def kcore(
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .transform(materialize)
         )
+    if not converged:
+        # Round budget exhausted BEFORE the peel reached its fixpoint.
+        # The trailing HAVING degree >= k below would silently mask
+        # that (degrees still count edges to nodes a further round
+        # would peel, so the result is NOT the k-core) — run one more
+        # degree check and fail loudly if the survivor set is still
+        # shrinking rather than return a wrong subgraph.
+        n_final = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            .where(F.col("degree") >= k).count()
+        )
+        if n_prev is None or n_final != n_prev:
+            raise RuntimeError(
+                f"kcore(k={k}) did not converge within max_rounds="
+                f"{max_rounds}: survivors still shrinking "
+                f"({n_prev} -> {n_final}); raise max_rounds (peel "
+                "depth of this graph exceeds the budget)"
+            )
     return (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))

@@ -2390,7 +2390,7 @@ M06_ORACLE = """
 WITH vids AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000, 'mirror', text
+  SELECT -(doc_id + 1), 'mirror', text
   FROM documents WHERE doc_id % 7 = 0
 ),
 d AS (
@@ -2427,7 +2427,7 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulate a partial mirror: every 7th video re-uploaded verbatim
     vids = docs.select("doc_id", "source", "text").unionAll(
         docs.where(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 10000000).alias("doc_id"),
+            (-(F.col("doc_id") + F.lit(1))).alias("doc_id"),
             F.lit("mirror").alias("source"),
             "text",
         )
@@ -3244,7 +3244,7 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G01_ORACLE = """
 WITH pairs AS (
-  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 e AS (
@@ -3280,7 +3280,7 @@ FROM r3 ORDER BY r DESC, node LIMIT 20
 def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders", "lineitem")
     pairs = spark.sql(
-        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+        """SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     ).transform(materialize_lazy)  # both union directions read ONE
     # materialization of the join+DISTINCT (measured 3.3s -> 2.1s at
@@ -3831,7 +3831,7 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 _TRADE_PAIRS_CTE = """pairs AS (
-  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 )"""
 
@@ -3880,7 +3880,7 @@ ORDER BY n_members DESC, community LIMIT 20
 def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders", "lineitem")
     pairs = spark.sql(
-        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+        """SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     ).transform(materialize_lazy)  # one materialization for both
     # union directions (the g01 edge-build lesson)
@@ -4007,7 +4007,7 @@ FROM v{_G04_DEPTH} GROUP BY dist ORDER BY dist
 def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders", "lineitem")
     pairs = spark.sql(
-        """SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+        """SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     ).transform(materialize)  # the orders x lineitem DISTINCT is the
     # expensive part and feeds THREE consumers (both edge directions
@@ -4204,7 +4204,7 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G05_ORACLE = """
 WITH pairs AS (
-  SELECT DISTINCT l_orderkey AS a, 10000000 + l_partkey AS b
+  SELECT DISTINCT l_orderkey AS a, -(l_partkey + 1) AS b
   FROM lineitem WHERE l_quantity >= 50
 ),
 e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
@@ -4229,7 +4229,7 @@ FROM comps GROUP BY comp_size ORDER BY comp_size
 def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "lineitem")
     pairs = spark.sql(
-        """SELECT DISTINCT l_orderkey AS id_a, 10000000 + l_partkey AS id_b
+        """SELECT DISTINCT l_orderkey AS id_a, -(l_partkey + 1) AS id_b
            FROM lineitem WHERE l_quantity >= 50"""
     )
     labels = dedup.connected_components(pairs, driver_threshold=0)
@@ -5516,7 +5516,7 @@ def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G06_ORACLE = """
 WITH e AS (
-  SELECT DISTINCT o_custkey AS c, 1000000 + l_suppkey AS s
+  SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 a1 AS (SELECT s, COUNT(*) AS a FROM e GROUP BY s),
@@ -5531,7 +5531,7 @@ FROM a2 ORDER BY authority DESC, node LIMIT 20
 def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "orders", "lineitem")
     edges = spark.sql(
-        """SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        """SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     )
     scores = graph.hits(edges, iterations=2)
@@ -5965,7 +5965,12 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 _G07_K = 32
-_G07_EDGES = """SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+# supplier nodes live in the NEGATED namespace (-(l_suppkey+1)): customer
+# keys are positive at every scale factor, so the two node domains
+# can never collide — unlike an additive offset (1000000 + suppkey),
+# which customer ids overrun at true TPC-H SF >= 7. Same convention
+# as g01/g03/g06 (and g05's -(l_partkey+1)); the +1 keeps key 0 out of the shared origin.
+_G07_EDGES = """SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
    FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
 
 

@@ -973,11 +973,17 @@ def test_m12_resample_is_arrow_map_only(spark):
     # between them, no row-Python
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
-    # the only exchange is the final orderBy's range partitioning —
-    # nothing shuffles between synth and resample
-    assert plan.count("Exchange") == 1
+    # the property under test: NOTHING shuffles between the synth and
+    # resample stages — assert the ordering directly (no Exchange node
+    # between the two MapInPandas occurrences) rather than a global
+    # exchange count, which is brittle against AQE/plan-text changes
+    first = plan.index("MapInPandas")
+    second = plan.index("MapInPandas", first + 1)
+    assert "Exchange" not in plan[first:second]
     # column pruning: the synth stage reads ONLY doc_id from parquet
-    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    # (presence check — exact ReadSchema rendering is version-brittle)
+    assert "doc_id" in plan
+    assert "text" not in plan.split("ReadSchema", 1)[-1].split("\n")[0]
 
 
 def test_p12_no_cartesian_and_band_screen_is_semi_shaped(spark):

@@ -42,9 +42,23 @@ Usage: python tools/gen_skewed.py [--src /root/testdata/sf0.1] [--out DIR]
 from __future__ import annotations
 
 import argparse
+import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+def write_meta(out: str, src: str, mode: str, **extra) -> None:
+    """Stamp the fixture with its generator provenance. skew_probe.py
+    refuses to compare a skewed dir against a uniform dir it was not
+    generated from (a stale sf0.1-sourced fixture probed against sf1
+    silently reintroduces the size-confounded comparison the CDC
+    fixture's byte-parity design exists to eliminate)."""
+    meta = {"src": os.path.abspath(src), "mode": mode, **extra}
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
 
 HOT_SENTENCE = (
     " the quick brown fox jumps over the lazy dog"
@@ -112,6 +126,8 @@ def graph_skew(spark, src: str, out: str) -> int:
     so = spark.read.parquet(f"{out}/orders.parquet")
     n = so.count()
     hot_n = so.filter(F.col("o_custkey") == hot_cust).count()
+    write_meta(out, src, "graph", hot_cust=hot_cust, hot_orders=hot_n,
+               n_orders=n)
     print(f"wrote {out}: hot customer {hot_cust} holds {hot_n}/{n} "
           f"orders ({100 * hot_n / n:.0f}%)")
     return 0
@@ -153,6 +169,12 @@ def cdc_skew(spark, src: str, out: str) -> int:
         f"documents of this corpus"
         for i in range(25)
     )
+    # tile base past mean_len before slicing: base is a fixed ~1900
+    # char string, and a corpus whose mean doc length exceeds it would
+    # otherwise silently cap the shared text — re-confounding the
+    # uniform-vs-skew byte volumes this sizing exists to equalize
+    if len(base) < mean_len:
+        base = (base + " ") * (mean_len // len(base) + 1)
     shared = base[:mean_len].rstrip()
     skew_docs = docs.withColumn(
         "text",
@@ -172,6 +194,8 @@ def cdc_skew(spark, src: str, out: str) -> int:
     sd = spark.read.parquet(f"{out}/documents.parquet")
     n = sd.count()
     hot_n = sd.filter(F.col("text") == shared).count()
+    write_meta(out, src, "cdc", hot_docs=hot_n, n_docs=n,
+               shared_chars=len(shared))
     print(f"wrote {out}: {hot_n}/{n} docs byte-identical "
           f"({100 * hot_n / n:.0f}%), shared text {len(shared)} chars")
     return 0
@@ -243,6 +267,8 @@ def main() -> int:
     n_ev = spark.read.parquet(f"{args.out}/events.parquet")
     hot_n = n_ev.filter(F.col("user_id") == hot_user).count()
     total = n_ev.count()
+    write_meta(args.out, args.src, "default", hot_user=hot_user,
+               hot_events=hot_n, n_events=total)
     print(
         f"wrote {args.out}: hot user {hot_user} holds {hot_n}/{total} events "
         f"({100*hot_n/total:.0f}%)"

@@ -257,8 +257,32 @@ def main() -> int:
     if args.targets:
         targets = [t for t in targets if t[0] in args.targets]
 
+    import os
+
+    def check_provenance(uni_dir: str, skew_dir: str) -> None:
+        """A skewed fixture must have been generated FROM the uniform
+        dir it is probed against (gen_skewed stamps _meta.json) — a
+        stale fixture built from another scale factor silently
+        reintroduces the size-confounded comparison the byte-parity
+        fixture designs exist to eliminate."""
+        meta_path = os.path.join(skew_dir, "_meta.json")
+        if not os.path.exists(meta_path):
+            raise SystemExit(
+                f"{skew_dir} has no _meta.json: regenerate it with "
+                "tools/gen_skewed.py (provenance stamp required)"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("src") != os.path.abspath(uni_dir):
+            raise SystemExit(
+                f"{skew_dir} was generated from {meta.get('src')!r}, "
+                f"not the uniform side {os.path.abspath(uni_dir)!r} — "
+                "stale fixture; regenerate with tools/gen_skewed.py"
+            )
+
     report = {}
     for name, fn, uni_dir, skew_dir, conf_mode in targets:
+        check_provenance(uni_dir, skew_dir)
         confs: dict[str, str] = {}
         if conf_mode in ("force_shuffle", "no_broadcast"):
             confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
@@ -289,8 +313,6 @@ def main() -> int:
         )
         report[name] = entry
         print(json.dumps({name: entry}))
-
-    import os
 
     out = {}
     if args.targets and os.path.exists("/root/repo/SKEW.json"):
