@@ -64,6 +64,147 @@ def test_kcore_budget_exhaustion_at_fixpoint_is_not_an_error(spark):
     assert got == [(1, 2), (2, 2), (3, 2)]
 
 
+def test_onion_gadget_core_is_analytic(spark):
+    """The deep-peel onion fixture (tools/gen_skewed.py onion_edges)
+    must peel to EXACTLY its designed k-core — clique + hub with the
+    predicted within-core degrees — and agree with a brute-force
+    reference peel, so the adversarial g07 performance fixture is
+    also correctness-checked."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.graph import kcore
+    from tools.gen_skewed import onion_edges
+
+    depth, m, k, clique, hub_links = 4, 8, 4, 8, 4
+    pairs = onion_edges(spark, depth, m, k, clique, hub_links)
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = sorted(tuple(r) for r in kcore(edges, k=k).collect())
+
+    # brute-force reference peel over the collected edge list
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs.collect():
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        weak = {u for u in alive if len(adj[u] & alive) < k}
+        if not weak:
+            break
+        alive -= weak
+    expect = sorted((u, len(adj[u] & alive)) for u in alive)
+    assert got == expect
+
+    core_base = depth * m
+    hub = core_base + clique
+    want_nodes = {core_base + c for c in range(clique)} | {hub}
+    assert {n for n, _ in got} == want_nodes
+    degrees = dict(got)
+    assert degrees[hub] == hub_links
+    for c in range(clique):
+        assert degrees[core_base + c] == (clique - 1) + (1 if c < hub_links else 0)
+
+
+def test_onion_peel_depth_is_the_designed_worst_case(spark):
+    """Each layer must survive exactly until its lower support peels:
+    a budget of depth-1 rounds exhausts mid-peel (raises), depth+2
+    converges — the fixture really does cost one round per layer."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.graph import kcore
+    from tools.gen_skewed import onion_edges
+
+    depth, m, k = 5, 8, 4
+    pairs = onion_edges(spark, depth, m, k, clique=8, hub_core_links=4)
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, k=k, max_rounds=depth - 1).collect()
+    assert kcore(edges, k=k, max_rounds=depth + 2).count() == 9
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tmp_path):
+    """Kill a foreachBatch query AFTER it wrote a batch's output but
+    BEFORE the checkpoint committed that batch, restart from the same
+    checkpoint, and observe Spark REPLAY the batch id with the same
+    data. The st09/st16 exactly-once claim rests on batch-id-named
+    delta overwrites being replay-idempotent — this exercises the
+    replay instead of asserting the naming convention (VERDICT r8
+    item 3)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.errors import StreamingQueryException
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    out.mkdir()
+
+    def land(lo, hi, name):
+        tmp = tmp_path / f"_stage_{name}"
+        spark.range(lo, hi).withColumn(
+            "v", F.col("id") * 7
+        ).coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    for i in range(4):
+        land(i * 25, (i + 1) * 25, f"f{i}")
+    schema = spark.read.parquet(str(src)).schema
+
+    seen: list[int] = []
+    crashed = {"done": False}
+
+    def sink(bdf, bid):
+        # the st09/st16 recipe: delta named by batch id, OVERWRITE
+        # mode — a replayed id rewrites the same delta, not a second
+        # copy
+        bdf.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        seen.append(bid)
+        if bid == 2 and not crashed["done"]:
+            crashed["done"] = True
+            # output exists, checkpoint commit for batch 2 does NOT:
+            # the exact window a replay covers
+            raise RuntimeError("injected crash between write and commit")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    run()  # restart from the same checkpoint
+
+    # a batch id was actually REPLAYED (same id observed twice), and
+    # no batch was skipped
+    assert seen.count(2) == 2, seen
+    assert sorted(set(seen)) == [0, 1, 2, 3], seen
+
+    # the replayed run's sink equals the single-run result exactly:
+    # every source row exactly once, values intact
+    got = spark.read.option("basePath", str(out)).parquet(f"{out}/batch=*")
+    assert got.count() == 100
+    assert got.select("id").distinct().count() == 100
+    bad = got.where(F.col("v") != F.col("id") * 7).count()
+    assert bad == 0
+
+
 def test_graph_node_namespaces_never_collide(spark):
     """g01/g03/g06/g07 encode supplier nodes as -l_suppkey and g05
     encodes parts as -l_partkey: the two node domains of each graph

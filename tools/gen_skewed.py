@@ -201,6 +201,159 @@ def cdc_skew(spark, src: str, out: str) -> int:
     return 0
 
 
+def emb_skew(spark, src: str, out: str) -> int:
+    """Hot-cluster embeddings fixture (VERDICT r8 item 1): ~50% of
+    all vectors are remapped into ONE dense cluster around vec 0's
+    embedding (blend 0.95*q + 0.05*orig, renormalization-free — the
+    cosine to q lands ~0.99+). Stresses two shapes at once:
+
+    - s16 range search: query 0's radius set becomes ~half the
+      corpus, so the per-query row_number cap's window sees one hot
+      query_id partition owning ~50% of all passing rows (the
+      WindowGroupLimit rank-limit pushdown is the mitigation);
+    - s11/s13 anchor/k-means assignment: ~half the corpus assigns to
+      anchor 0, so the per-cluster aggregate gets one hot cluster_id
+      key (map-side partial aggregation is the mitigation).
+
+    Query/anchor vectors (vec_id 0..7 in replica 0) keep their
+    original embeddings so the probe's query set is unchanged. Only
+    ``embeddings`` is written — the s-family probe queries load no
+    other table."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    q0 = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in q0])
+    hot = (F.pmod(F.col("vec_id"), F.lit(2)) == 1) & (F.col("vec_id") > 7)
+    blended = F.zip_with(
+        F.col("embedding"), qlit,
+        lambda x, y: (x * F.lit(0.05) + y * F.lit(0.95)).cast("float"),
+    )
+    out_emb = emb.withColumn(
+        "embedding", F.when(hot, blended).otherwise(F.col("embedding"))
+    )
+    out_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    se = spark.read.parquet(f"{out}/embeddings.parquet")
+    n = se.count()
+    hot_n = se.where(hot).count()
+    write_meta(out, src, "emb", hot_vectors=hot_n, n_vectors=n)
+    print(f"wrote {out}: {hot_n}/{n} vectors in the hot cluster "
+          f"({100 * hot_n / n:.0f}%)")
+    return 0
+
+
+def onion_edges(spark, depth: int, m: int, k: int,
+                clique: int = 64, hub_core_links: int = 40):
+    """Deep-peel 'onion' graph with an analytically known k-core —
+    the adversarial g07 fixture (VERDICT r8 item 1).
+
+    Construction (directed pairs; callers mirror both orientations,
+    the g07 convention, so degree = distinct neighbours):
+
+    - ``depth`` layers of ``m`` nodes; layer-i node j links forward
+      to ``fwd = k/2`` nodes of layer i+1 at ``(fwd*j + t) mod m``.
+      With ``fwd | m`` every interior node has exactly fwd in + fwd
+      out = k neighbours, so layer 0 (fwd < k) peels in round 1 and
+      each later layer loses its lower support one round later: the
+      peel takes exactly ``depth`` rounds — worst-case round count
+      for the iterative kcore loop.
+    - the last layer links into a ``clique``-node complete core that
+      survives as the k-core (clique-1 >= k required).
+    - a HUB links to every other layer node (power-law degree head:
+      ~depth*m/2 distinct neighbours vs the median k — the hot
+      semi-join key that survives EVERY round) and to
+      ``hub_core_links >= k`` core nodes, so the hub itself ends in
+      the final core.
+
+    Expected k-core: the clique plus the hub — ``clique + 1`` nodes;
+    within-core degrees: hub = hub_core_links, core node c =
+    (clique-1) + (1 if c < hub_core_links).
+    """
+    from pyspark.sql import functions as F
+
+    fwd = k // 2
+    if m % fwd or clique % fwd or clique <= k or hub_core_links < k:
+        raise ValueError("onion_edges: need fwd|m, fwd|clique, "
+                         "clique>k, hub_core_links>=k")
+    core_base = depth * m
+    hub = core_base + clique
+    idc = F.col("id")
+    layers = spark.range((depth - 1) * m * fwd).select(
+        ((idc / (m * fwd)).cast("bigint") * m
+         + ((idc % (m * fwd)) / fwd).cast("bigint")).alias("src"),
+        (((idc / (m * fwd)).cast("bigint") + 1) * m
+         + (idc % (m * fwd)) % m).alias("dst"),
+    )
+    last = spark.range(m * fwd).select(
+        (F.lit((depth - 1) * m) + (idc / fwd).cast("bigint")).alias("src"),
+        (F.lit(core_base) + idc % clique).alias("dst"),
+    )
+    cl = spark.range(clique * clique).select(
+        (idc / clique).cast("bigint").alias("a"),
+        (idc % clique).alias("b"),
+    ).where(F.col("a") < F.col("b")).select(
+        (F.lit(core_base) + F.col("a")).alias("src"),
+        (F.lit(core_base) + F.col("b")).alias("dst"),
+    )
+    hub_layer = spark.range(depth * m).where(idc % 2 == 0).select(
+        F.lit(hub).cast("bigint").alias("src"), idc.alias("dst")
+    )
+    hub_core = spark.range(hub_core_links).select(
+        F.lit(hub).cast("bigint").alias("src"),
+        (F.lit(core_base) + idc).alias("dst"),
+    )
+    return layers.unionAll(last).unionAll(cl).unionAll(hub_layer) \
+        .unionAll(hub_core)
+
+
+def ring_edges(spark, n_nodes: int, k: int):
+    """Shallow control graph, byte-matched to the onion: every node
+    links forward to its next k/2 ring neighbours, so every degree is
+    exactly k and the peel is a no-op (fixpoint on round 2). Same
+    directed-pair count as an onion when ``n_nodes = pairs / (k/2)``."""
+    from pyspark.sql import functions as F
+
+    fwd = k // 2
+    idc = F.col("id")
+    return spark.range(n_nodes * fwd).select(
+        (idc / fwd).cast("bigint").alias("src"),
+        (((idc / fwd).cast("bigint") + 1 + idc % fwd) % n_nodes)
+        .alias("dst"),
+    )
+
+
+#: the at-scale onion shape: 24 peel rounds, 16,384 nodes/layer,
+#: k=32 — ~6.5M directed pairs (~13M mirrored edges), hub degree
+#: ~196k ≈ 6000x the median degree of 32.
+PEEL_DEPTH, PEEL_M, PEEL_K = 24, 16384, 32
+
+
+def peel_graph(spark, out: str, out_uniform: str) -> int:
+    """Write the deep-peel onion to ``out`` and its byte-matched
+    shallow ring control to ``out_uniform`` (each as edges.parquet).
+    The skew probe pairs them; _meta.json stamps the pairing so the
+    provenance check holds."""
+    onion = onion_edges(spark, PEEL_DEPTH, PEEL_M, PEEL_K)
+    onion.write.mode("overwrite").parquet(f"{out}/edges.parquet")
+    n_pairs = spark.read.parquet(f"{out}/edges.parquet").count()
+    n_ring = (n_pairs + PEEL_K // 2 - 1) // (PEEL_K // 2)
+    ring_edges(spark, n_ring, PEEL_K).write.mode("overwrite").parquet(
+        f"{out_uniform}/edges.parquet"
+    )
+    n_uni = spark.read.parquet(f"{out_uniform}/edges.parquet").count()
+    clique, hub_links = 64, 40
+    write_meta(out_uniform, out_uniform, "peel-uniform",
+               n_pairs=n_uni, k=PEEL_K)
+    write_meta(out, out_uniform, "peel", n_pairs=n_pairs, k=PEEL_K,
+               depth=PEEL_DEPTH, m=PEEL_M,
+               hub_degree=PEEL_DEPTH * PEEL_M // 2 + hub_links,
+               expected_core_nodes=clique + 1,
+               expected_degree_sum=clique * (clique - 1) + 2 * hub_links)
+    print(f"wrote {out}: {n_pairs} onion pairs (depth {PEEL_DEPTH}); "
+          f"{out_uniform}: {n_uni} ring pairs")
+    return 0
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -220,6 +373,17 @@ def main() -> int:
                     help="write the identical-corpus CDC fixture "
                          "(60%% byte-identical documents) — see "
                          "cdc_skew docstring")
+    ap.add_argument("--emb", action="store_true",
+                    help="write the hot-cluster embeddings fixture "
+                         "(~50%% of vectors in one dense cluster) — "
+                         "see emb_skew docstring")
+    ap.add_argument("--peel", action="store_true",
+                    help="write the deep-peel onion graph fixture to "
+                         "--out and its shallow ring control to "
+                         "--out-uniform — see peel_graph docstring")
+    ap.add_argument("--out-uniform",
+                    default="/root/repo/.scaledata/g07uni",
+                    help="uniform-control dir for --peel")
     args = ap.parse_args()
 
     spark = build_session(app_name="gen-skewed")
@@ -228,6 +392,10 @@ def main() -> int:
         return graph_skew(spark, args.src, args.out)
     if args.cdc:
         return cdc_skew(spark, args.src, args.out)
+    if args.emb:
+        return emb_skew(spark, args.src, args.out)
+    if args.peel:
+        return peel_graph(spark, args.out, args.out_uniform)
 
     customer = spark.read.parquet(f"{args.src}/customer.parquet")
     hot_user = customer.agg(F.min("c_custkey")).first()[0]

@@ -156,13 +156,24 @@ def main() -> int:
     ap.add_argument("--execute", action="store_true",
                     help="run each query so the FINAL adaptive plan is audited")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query subset (e.g. the "
+                         "flip-prone families for an sf10 audit)")
     args = ap.parse_args()
-    label = "sf1" if args.sf.rstrip("/").endswith("sf1") else "sf01"
+    tail = args.sf.rstrip("/").rsplit("/", 1)[-1]
+    label = tail if tail.startswith("sf") else "sf1"
+    label = {"sf0.1": "sf01"}.get(label, label)
     out_path = args.out or f"/root/repo/PLANS_{label}.md"
 
     spark = build_session(app_name="plan-scale-audit")
     qs = queries()
     names = [n for n in HEADLINE if not n.startswith("st")]
+    if args.only:
+        want = {q.strip() for q in args.only.split(",")}
+        unknown = want - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        names = sorted(n for n in want if not n.startswith("st"))
 
     rows, flips, killed, errors = [], [], [], []
     t_total = time.time()

@@ -125,6 +125,31 @@ def _worst_skew(app_id: str, new_stages: set[tuple[int, int]]) -> dict:
     return {"straggler": dur, "bytes_skew": byt}
 
 
+def g07_kcore_peel(spark, sf_dir: str):
+    """g07's kcore + rollup over the synthetic edge fixture dirs
+    (tools/gen_skewed.py --peel): the skew side is the deep-peel
+    onion (one round of real peeling per layer, a ~6000x-median-
+    degree hub surviving every round as a hot semi-join/agg key);
+    the uniform side is the byte-matched shallow ring (every degree
+    exactly k, zero peel). max_rounds=40 covers the designed 24-layer
+    depth with margin."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.graph import kcore
+
+    pairs = spark.read.parquet(f"{sf_dir}/edges.parquet")
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    core = kcore(edges, k=32, max_rounds=40)
+    return (
+        core.groupBy(F.expr("degree div 16").cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.sum("degree").alias("degree_sum"))
+        .orderBy("bucket")
+    )
+
+
 def q55_unsalted(spark, sf_dir: str):
     """q55's join WITHOUT the salt — the A/B control."""
     from pyspark.sql import functions as F
@@ -169,6 +194,10 @@ def main() -> int:
     SF1, SKEW1 = "/root/repo/.scaledata/sf1", "/root/repo/.scaledata/skew1"
     SKEWG1 = "/root/repo/.scaledata/skewg1"   # gen_skewed.py --graph
     SKEWCDC = "/root/repo/.scaledata/skewcdc"  # gen_skewed.py --cdc
+    SFEMB = "/root/repo/.scaledata/sfemb"      # gen_scaled --tables embeddings --replicas 300
+    SKEWEMB = "/root/repo/.scaledata/skewemb"  # gen_skewed.py --emb
+    G07UNI = "/root/repo/.scaledata/g07uni"    # gen_skewed.py --peel (ring control)
+    G07PEEL = "/root/repo/.scaledata/g07peel"  # gen_skewed.py --peel (onion)
     # (name, fn, uniform_dir, skew_dir, conf_mode) where conf_mode is
     #   None            — engine defaults (the operator's own caps are
     #                     the mitigation under test)
@@ -230,6 +259,31 @@ def main() -> int:
          SF1, SKEWCDC, None),
         ("st15_stream_cdc_ingest", qs["st15_stream_cdc_ingest"],
          SF1, SKEWCDC, None),
+        # round-9 additions (VERDICT r8 item 1): the round-8 query
+        # surface under adversarial distributions —
+        # s16/s13 vs the hot-cluster embeddings fixture (gen_skewed
+        # --emb over a 300-replica embeddings point: ~50% of vectors
+        # in one dense cluster around query/anchor 0). s16's
+        # mitigation is the rank-limit (WindowGroupLimit) pushdown on
+        # the per-query cap; s13's is map-side partial agg on the hot
+        # cluster_id.
+        ("s16_range_search", qs["s16_range_search"],
+         SFEMB, SKEWEMB, None),
+        ("s13_kmeans_step", qs["s13_kmeans_step"],
+         SFEMB, SKEWEMB, None),
+        # t44 vs the hot-sentence corpus (skew01 appends one fixed
+        # sentence to ~50% of docs → a handful of corpus-hot word
+        # keys); the word-count map-side combine is the mitigation.
+        ("t44_coverage_curve", qs["t44_coverage_curve"],
+         SF01, SKEW01, None),
+        # g07's kcore vs the deep-peel onion (gen_skewed --peel):
+        # worst-case round count (one layer per round) + a ~6000x-
+        # median-degree hub alive in every round's degree agg and
+        # semi-join. Byte-matched shallow ring as the uniform side.
+        # Broadcast off (at 100 TB the survivor frontier starts far
+        # above the threshold); AQE skew-join ON = the mitigation.
+        ("g07_kcore_peel", g07_kcore_peel, G07UNI, G07PEEL,
+         "no_broadcast"),
     ]
 
     def run_one(fn, sf_dir):
