@@ -1056,7 +1056,21 @@ def range_neighbors(
         F.col("query_id"),
         F.col(id_col),
         F.floor(sim * 1_000_000 + F.lit(0.5)).cast("bigint").alias("cosine_e6"),
-    ).where(F.col("cosine_e6") >= tau_e6)
+    )
+    # pushdown fence: without it Catalyst pushes the threshold filter
+    # through this projection into the join condition AND keeps the
+    # projection's own copy — the interpreted-HOF cosine (aggregate/
+    # zip_with lambdas run outside codegen with no CSE) is then
+    # evaluated twice for every pair that passes, which the round-9
+    # hot-cluster skew fixture (~50% of the corpus inside the radius)
+    # measured as a 15-50% tax. spark_partition_id() is
+    # nondeterministic to the optimizer, so the filter stays ABOVE the
+    # projection and each pair's score is computed exactly once; the
+    # predicate itself is free (always true) and pruning/limit
+    # behavior above (WindowGroupLimit) is unaffected.
+    scored = scored.where(F.spark_partition_id() >= 0).where(
+        F.col("cosine_e6") >= tau_e6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_e6").desc(), F.col(id_col).asc()
     )

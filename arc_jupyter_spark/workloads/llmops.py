@@ -6419,3 +6419,203 @@ def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------
+# t45 — lexical diversity profile per source: type-token ratio, the
+# Good-Turing unseen-mass estimate (hapax fraction of tokens — the
+# probability the NEXT token is a new type, the vocabulary-growth
+# dial behind BPE sizing and dataset-mixing decisions), and the
+# Simpson repeat probability (chance two random tokens are the same
+# type — boilerplate corpora spike it). Scale shape: one map-side-
+# combined (source, word) count shuffle whose output is vocabulary-
+# sized, then a vocabulary-sized rollup per source — never a
+# corpus-sized exchange. All integer-quantized: the Simpson ratio
+# clears its denominator in two staged truncating divisions (the
+# single-division form overflows BIGINT at ~3e6 tokens/source since
+# rep2 * 1e6 reaches tokens^2 * 1e6); both engines run the identical
+# division sequence over positive operands, so truncation agrees.
+# --------------------------------------------------------------------
+
+T45_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY source, w),
+s AS (
+  SELECT source,
+         COUNT(*) AS n_types,
+         SUM(n) AS n_tokens,
+         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         SUM(n * (n - 1)) AS rep2
+  FROM c GROUP BY source
+)
+SELECT source,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_e6,
+       CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS gt_unseen_e6,
+       CAST((rep2 * 1000 // GREATEST(n_tokens - 1, 1)) * 1000 // n_tokens
+            AS BIGINT) AS simpson_e6
+FROM s ORDER BY source
+"""
+
+
+@query("t45_lexical_diversity", oracle=T45_ORACLE)
+def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    counts = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("rep2"),
+    )
+    return (
+        stats.select(
+            "source",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("n_types * 1000000 div n_tokens")
+            .cast("bigint").alias("ttr_e6"),
+            F.expr("n_hapax * 1000000 div n_tokens")
+            .cast("bigint").alias("gt_unseen_e6"),
+            F.expr("(rep2 * 1000 div greatest(n_tokens - 1, 1)) "
+                   "* 1000 div n_tokens")
+            .cast("bigint").alias("simpson_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# d23 — MinHash/LSH calibration: for every LSH candidate pair, the
+# sketch-estimated Jaccard (matching signature components / 16)
+# against the EXACT shingle Jaccard, rolled up as an error histogram.
+# The QA gate a dedup pipeline runs before trusting its banding
+# thresholds on a new corpus: if the estimate's error mass drifts
+# out of the low deciles, the hash family or shingle length is wrong
+# for this text distribution. Scale shape: candidates come from the
+# capped band buckets (never all-pairs; the >cap buckets are
+# boilerplate handled upstream by exact dedup), signatures join back
+# to pairs by id (16 BIGINTs per doc), and the exact side is the
+# posting-list intersect bounded by the candidate list. Output is at
+# most 11 decile rows. est_e6 is exact integer arithmetic
+# (1e6/16 = 62500); exact_e6 is the d03 integer quantization.
+# --------------------------------------------------------------------
+
+_D23_CAP = 64
+
+_D23_MATCHES = " + ".join(
+    f"(sa.s{i} = sb.s{i})::BIGINT" for i in range(_NUM_HASHES)
+)
+
+D23_ORACLE = f"""
+WITH {_banded_cte()},
+bsz AS (SELECT band, COUNT(*) AS bn FROM banded GROUP BY band),
+bb AS (SELECT b.doc_id, b.band FROM banded b JOIN bsz USING (band)
+       WHERE bn <= {_D23_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b USING (band) WHERE a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.id_a, c.id_b, ({_D23_MATCHES}) AS matches
+  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+              JOIN sigs sb ON c.id_b = sb.doc_id
+),
+shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+ex AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM cand c JOIN shd a ON c.id_a = a.doc_id
+              JOIN shd b ON c.id_b = b.doc_id
+),
+j AS (
+  SELECT m.matches * 62500 AS est_e6,
+         ex.inter * 1000000 // (ex.na + ex.nb - ex.inter) AS exact_e6
+  FROM m JOIN ex ON m.id_a = ex.id_a AND m.id_b = ex.id_b
+)
+SELECT CAST(abs(est_e6 - exact_e6) // 100000 AS BIGINT) AS err_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(est_e6) AS BIGINT) AS sum_est_e6,
+       CAST(SUM(exact_e6) AS BIGINT) AS sum_exact_e6
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("d23_lsh_calibration", oracle=D23_ORACLE)
+def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signature_table(
+        docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES
+    ).transform(materialize_lazy)
+    cands = dedup.minhash_candidates(
+        docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES, _BANDS,
+        max_bucket_size=_D23_CAP, sigs=sigs,
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"_s{i}").alias(f"_a{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"_s{i}").alias(f"_b{i}") for i in range(_NUM_HASHES)],
+    )
+    matches = None
+    for i in range(_NUM_HASHES):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (matches.cast("bigint") * F.lit(62500)).alias("est_e6"),
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), _SHINGLE_LEN))
+        ).alias("_sg"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ns"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "_sg"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "_sg"), ["id_b", "_sg"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    ex = (
+        cands.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("_ns").alias("_na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("_ns").alias("_nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("coalesce(_inter, 0) * 1000000 "
+                   "div (_na + _nb - coalesce(_inter, 0))")
+            .cast("bigint").alias("exact_e6"),
+        )
+    )
+    return (
+        est.join(ex, ["id_a", "id_b"])
+        .groupBy(
+            F.expr("abs(est_e6 - exact_e6) div 100000")
+            .cast("bigint").alias("err_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("est_e6").alias("sum_est_e6"),
+            F.sum("exact_e6").alias("sum_exact_e6"),
+        )
+        .orderBy("err_decile")
+    )

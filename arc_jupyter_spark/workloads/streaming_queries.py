@@ -1221,3 +1221,117 @@ def st16(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------
+# st17 — streaming as-of enrichment (the stream version of q28): error
+# events arrive as a file stream and each micro-batch is enriched with
+# the most recent strictly-earlier click of the same user from the
+# STATIC click history, via the batch asof_join operator inside
+# foreachBatch — the st09/st16 recipe for logic a declarative stream
+# can't express (a stream-batch as-of would need the full history as
+# watermarked state; per-batch it is one union + running-last window).
+# Each batch's enriched rows land as a batch-id-named delta
+# (replay-idempotent overwrite = exactly-once, the shape
+# tests/test_round9.py exercises with an injected crash); the serving
+# read unions deltas. Per-row matches are independent of the batch
+# split, so the result equals the batch q28 semantics and DuckDB's
+# native ASOF JOIN oracle-checks it. Scale shape: the click history is
+# materialized ONCE outside the loop; each batch shuffles it on
+# user_id alongside the batch's errors (at 100 TB the history side
+# would be bucketed on user_id so only the small batch side moves).
+# --------------------------------------------------------------------
+
+ST17_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS err_us
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT e.user_id, e.event_id, c.click_us
+  FROM e ASOF LEFT JOIN c
+    ON e.user_id = c.user_id AND e.err_us > c.click_us
+)
+SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(SUM(COALESCE(click_us, 0)) AS BIGINT) AS sum_click_us,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("st17_stream_asof_enrich", oracle=ST17_ORACLE)
+def st17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from arc_jupyter_spark.operators.joins import asof_join
+    from arc_jupyter_spark.workloads.base import read_events
+
+    # static dimension: the full click history, pinned once — every
+    # micro-batch joins against the SAME snapshot (recomputing it per
+    # batch would re-scan the parquet per trigger)
+    clicks = (
+        read_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.unix_micros("ts").alias("click_us"),
+        )
+        .transform(materialize)
+    )
+    stream = read_events_stream(spark, sf_dir)
+    errors = stream.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    out_dir = tempfile.mkdtemp(prefix="st17_state_")
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df, clicks, on="us", by="user_id",
+            right_value_cols=["click_us"], strict=True,
+        )
+        (
+            out.select("event_id", "user_id", "asof_click_us")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    try:
+        with _stream_partitions(spark):
+            q = (
+                errors.writeStream.foreachBatch(enrich)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{out_dir}/_chk")
+                .start()
+            )
+            q.awaitTermination()
+        deltas = spark.read.option("basePath", out_dir).parquet(
+            f"{out_dir}/batch=*"
+        )
+        result = (
+            deltas.groupBy(
+                (F.col("user_id") % 8).cast("bigint").alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_errors"),
+                F.sum(
+                    F.when(F.col("asof_click_us").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_matched"),
+                F.sum(F.coalesce("asof_click_us", F.lit(0)))
+                .cast("bigint").alias("sum_click_us"),
+                F.sum("event_id").alias("id_sum"),
+            )
+            .orderBy("bucket")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

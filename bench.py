@@ -117,6 +117,9 @@ HEADLINE = [
     "m12_audio_resample",
     "p12_crawl_refresh_pipeline",
     "st16_stream_refresh_screen",
+    "t45_lexical_diversity",
+    "d23_lsh_calibration",
+    "st17_stream_asof_enrich",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

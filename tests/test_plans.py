@@ -990,3 +990,22 @@ def test_p12_no_cartesian_and_band_screen_is_semi_shaped(spark):
     plan = plan_of(spark, "p12_crawl_refresh_pipeline")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_t45_partial_agg_and_no_python(spark):
+    plan = plan_of(spark, "t45_lexical_diversity")
+    # both aggregates map-side combine; token explosion stays JVM-side
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the scan reads only source + text
+    assert "doc_id" not in plan.split("ReadSchema", 1)[-1].split("\n")[0]
+
+
+def test_d23_no_cartesian_candidates_are_band_bounded(spark):
+    plan = plan_of(spark, "d23_lsh_calibration")
+    # candidate generation must be the band equi-self-join, never a
+    # pair cross product; est/exact joins key on ids
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -221,3 +221,82 @@ def test_graph_node_namespaces_never_collide(spark):
         F.min("src").alias("min_src"), F.max("dst").alias("max_dst")
     ).first()
     assert mm["min_src"] >= 0 and mm["max_dst"] < 0
+
+
+def test_t45_known_tiny_corpus(spark):
+    """Hand-checkable diversity values: 'a a b' → 2 types, 3 tokens,
+    1 hapax, rep2=2: ttr=666666, gt=333333, simpson=((2*1000)//2)*1000//3."""
+    from arc_jupyter_spark.workloads.llmops import t45
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="t45_")
+    spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "x y", "s2")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["source"]: tuple(r) for r in t45(spark, d).collect()}
+    assert got["s1"] == ("s1", 2, 3, 666666, 333333, 333333)
+    # all-hapax source: ttr = gt = 1e6, simpson 0
+    assert got["s2"] == ("s2", 2, 2, 1000000, 1000000, 0)
+
+
+def test_d23_exact_duplicates_land_in_decile_zero(spark):
+    """A byte-identical pair has est = exact = 1e6 → err decile 0;
+    the histogram must put it there with matching sums."""
+    from arc_jupyter_spark.workloads.llmops import d23
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="d23_")
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.createDataFrame(
+        [(1, txt, "s"), (2, txt, "s"), (3, "totally different words here", "s")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["err_decile"]: r for r in d23(spark, d).collect()}
+    assert 0 in rows
+    z = rows[0]
+    assert z["n_pairs"] >= 1
+    # the identical pair contributes est=exact=1e6
+    assert z["sum_est_e6"] >= 1_000_000 and z["sum_exact_e6"] >= 1_000_000
+
+
+def test_st17_stream_equals_batch_asof(spark):
+    """The streamed per-batch as-of enrichment must equal the batch
+    asof_join rollup computed directly (stream/batch identity)."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators.joins import asof_join
+    from arc_jupyter_spark.workloads.base import read_events
+    from arc_jupyter_spark.workloads.streaming_queries import st17
+
+    got = {tuple(r) for r in st17(spark, SF_DIR).collect()}
+
+    ev = read_events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "us", F.col("us").alias("click_us")
+    )
+    out = asof_join(errors, clicks, on="us", by="user_id",
+                    right_value_cols=["click_us"], strict=True)
+    want = {
+        tuple(r)
+        for r in out.groupBy(
+            (F.col("user_id") % 8).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.sum(F.when(F.col("asof_click_us").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_matched"),
+            F.sum(F.coalesce("asof_click_us", F.lit(0)))
+            .cast("bigint").alias("sum_click_us"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .collect()
+    }
+    assert got == want and got
