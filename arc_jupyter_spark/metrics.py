@@ -50,6 +50,13 @@ def stage_totals(spark, keys: set[tuple[int, int]]) -> dict:
         "input_mb": 0.0,
         "shuffle_read_mb": 0.0,
         "shuffle_write_mb": 0.0,
+        # partial-aggregate hash maps degrade under memory pressure by
+        # EARLY FLUSH (emitting partial rows before full combine), not
+        # by disk spill — visible as a shuffle-record increase at an
+        # unchanged result; the forced-spill harness reads this to
+        # classify map-combined plans (s13/s14-shaped) whose per-task
+        # state is bounded by construction
+        "shuffle_write_records": 0,
         "mem_spill_mb": 0.0,
         "disk_spill_mb": 0.0,
         "peak_execution_memory_mb": 0.0,
@@ -61,6 +68,7 @@ def stage_totals(spark, keys: set[tuple[int, int]]) -> dict:
         tot["input_mb"] += s.get("inputBytes", 0) / 2**20
         tot["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 2**20
         tot["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / 2**20
+        tot["shuffle_write_records"] += s.get("shuffleWriteRecords", 0)
         tot["mem_spill_mb"] += s.get("memoryBytesSpilled", 0) / 2**20
         tot["disk_spill_mb"] += s.get("diskBytesSpilled", 0) / 2**20
         tot["peak_execution_memory_mb"] = max(
