@@ -6619,3 +6619,120 @@ def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_decile")
     )
+
+
+# --------------------------------------------------------------------
+# g08 — coreness levels (bounded core decomposition): which of the
+# k ∈ {8, 16, 32} cores does each node of the 8-core belong to? The
+# graded version of g07's single gate — link-graph curation tiers
+# pages by embeddedness depth (spam rings fall out early, canonical
+# hubs survive the deepest core). Scale shape exploits k-core
+# NESTING (core32 ⊆ core16 ⊆ core8): each successive peel runs on
+# the PREVIOUS core's induced edge frame, so the expensive first
+# peel is also the last time the full graph is touched; the level
+# attach is two id-keyed left joins over core8-sized frames. The
+# oracle unrolls all three peels as chained MATERIALIZED CTEs over
+# the shared edge base (extra rounds past each fixpoint are no-ops,
+# the g07 argument).
+# --------------------------------------------------------------------
+
+_G08_KS = (8, 16, 32)
+
+
+def _g08_peel(k: int, rounds: int, sfx: str, base: str) -> list[str]:
+    ctes = []
+    prev = base
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"k{r}{sfx} AS MATERIALIZED (SELECT src FROM "
+            f"(SELECT src, COUNT(*) AS d "
+            f"FROM {prev} GROUP BY src) WHERE d >= {k})"
+        )
+        ctes.append(
+            f"e{r}{sfx} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN k{r}{sfx} a ON e.src = a.src "
+            f"JOIN k{r}{sfx} b ON e.dst = b.src)"
+        )
+        prev = f"e{r}{sfx}"
+    ctes.append(
+        f"core{sfx} AS MATERIALIZED (SELECT src AS node FROM {prev} "
+        f"GROUP BY src HAVING COUNT(*) >= {k})"
+    )
+    return ctes
+
+
+def _g08_oracle(rounds: int = 6) -> str:
+    ctes = [
+        f"p AS MATERIALIZED ({_G07_EDGES})",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM p "
+        "UNION ALL SELECT dst, src FROM p)",
+    ]
+    # nesting: each peel starts from the PREVIOUS core's edge frame,
+    # mirroring the Spark chain
+    base = "e0"
+    for k, sfx in zip(_G08_KS, ("a", "b", "c")):
+        ctes += _g08_peel(k, rounds, sfx, base)
+        ctes.append(
+            f"g{sfx} AS MATERIALIZED (SELECT e.src, e.dst FROM {base} e "
+            f"JOIN core{sfx} x ON e.src = x.node "
+            f"JOIN core{sfx} y ON e.dst = y.node)"
+        )
+        base = f"g{sfx}"
+    return f"""
+WITH {', '.join(ctes)},
+lv AS (
+  SELECT a.node,
+         1 + CASE WHEN b.node IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS level
+  FROM corea a
+  LEFT JOIN coreb b ON a.node = b.node
+  LEFT JOIN corec c ON a.node = c.node
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CASE WHEN node >= 0 THEN 'cust' ELSE 'supp' END AS side,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS id_sum,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM lv GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("g08_coreness_levels", oracle=_g08_oracle())
+def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "orders", "lineitem")
+    pairs = spark.sql(_G07_EDGES)
+    e = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(materialize)
+    cores = []
+    for k in _G08_KS:
+        m = graph.kcore(e, k=k).select("node").transform(materialize_lazy)
+        cores.append(m)
+        # induced subgraph of the survivors: the next (deeper) peel
+        # never re-touches edges this one dropped
+        e = (
+            e.join(m.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(m.select(F.col("node").alias("dst")), "dst", "left_semi")
+        )
+    lv = (
+        cores[0]
+        .join(cores[1].withColumn("_f16", F.lit(1)), "node", "left")
+        .join(cores[2].withColumn("_f32", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            (F.lit(1) + F.coalesce("_f16", F.lit(0))
+             + F.coalesce("_f32", F.lit(0))).cast("bigint").alias("level"),
+        )
+    )
+    return (
+        lv.groupBy(
+            "level",
+            F.when(F.col("node") >= 0, "cust").otherwise("supp").alias("side"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("id_sum"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy("level", "side")
+    )

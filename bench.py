@@ -120,6 +120,7 @@ HEADLINE = [
     "t45_lexical_diversity",
     "d23_lsh_calibration",
     "st17_stream_asof_enrich",
+    "g08_coreness_levels",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -33,6 +33,7 @@ def _rows(df):
         "d06_cc_dedup",
         "q70_recursive_chains",
         "g07_kcore",
+        "g08_coreness_levels",
     ],
 )
 def test_reliable_checkpoint_result_identical(spark, tmp_path, qname):

@@ -1009,3 +1009,19 @@ def test_d23_no_cartesian_candidates_are_band_bounded(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_g08_nested_peels_no_cartesian(spark):
+    plan = plan_of(spark, "g08_coreness_levels")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the visible lineage (the peel rounds are checkpoint-truncated —
+    # their semi-join shape is gated by test_g07_kcore_plan_joins) is
+    # the level attach: id-keyed LEFT equi-joins only
+    import re
+
+    joins = re.findall(
+        r"(?:BroadcastHash|SortMerge|ShuffledHash)Join \[([^\]]*)\].*?(Left\w+|Inner)",
+        plan,
+    )
+    assert joins and all("node" in k for k, _ in joins), joins

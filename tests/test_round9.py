@@ -300,3 +300,63 @@ def test_st17_stream_equals_batch_asof(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_g08_coreness_matches_bruteforce(spark):
+    """Nested-peel coreness levels must agree with a driver-side
+    reference decomposition on random graphs (levels = how many of
+    the k thresholds the node's coreness passes), including the
+    nesting shortcut (each peel runs on the previous core's induced
+    subgraph)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+    from arc_jupyter_spark.operators.graph import kcore
+
+    rng = random.Random(9)
+    n, ks = 60, (2, 3, 4)
+    edges = set()
+    for _ in range(400):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    adj: dict[int, set[int]] = {u: set() for u in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+
+    def ref_core(k):
+        alive = {u for u in adj if adj[u]}
+        while True:
+            weak = {u for u in alive if len(adj[u] & alive) < k}
+            if not weak:
+                return alive
+            alive -= weak
+
+    want = {}
+    for u in ref_core(ks[0]):
+        want[u] = sum(1 for k in ks if u in ref_core(k))
+
+    e = spark.createDataFrame(list(edges), ["src", "dst"]).transform(materialize)
+    cores = []
+    for k in ks:
+        m = kcore(e, k=k).select("node").transform(materialize_lazy)
+        cores.append(m)
+        e = (
+            e.join(m.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(m.select(F.col("node").alias("dst")), "dst", "left_semi")
+        )
+    lv = (
+        cores[0]
+        .join(cores[1].withColumn("_f1", F.lit(1)), "node", "left")
+        .join(cores[2].withColumn("_f2", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            (F.lit(1) + F.coalesce("_f1", F.lit(0))
+             + F.coalesce("_f2", F.lit(0))).alias("level"),
+        )
+    )
+    got = {r["node"]: r["level"] for r in lv.collect()}
+    assert got == want and got
