@@ -6736,3 +6736,371 @@ def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "side")
     )
+
+
+# --------------------------------------------------------------------
+# t46 — Zipf profile per source: head/mid/tail token-mass shares and
+# the rank-10 Zipf-constancy ratio (r·f(r) ≈ const under a Zipf law,
+# so 10·f(10)/f(1) ≈ 1 for natural text and collapses toward 0 for
+# template/boilerplate corpora — a log-free, integer-exact stand-in
+# for the log-log slope fit). The corpus-mix dial this feeds: a
+# source whose head-10 types carry >30% of token mass is boilerplate
+# and gets downweighted before training. Scale shape: one map-side-
+# combined (source, word) count shuffle (vocabulary-sized output),
+# totals from a vocabulary-sized rollup, and the head stats from a
+# rank-window that Spark rewrites to WindowGroupLimit — the rnk<=100
+# filter is applied inside the sort per partition, map-side, so the
+# full vocabulary is never window-buffered. All shares are integer-
+# quantized e6 (identical truncating division in both engines).
+# --------------------------------------------------------------------
+
+T46_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS w FROM documents
+),
+c AS (SELECT source, w, COUNT(*) AS n FROM tok GROUP BY source, w),
+tot AS (
+  SELECT source, COUNT(*) AS n_types, SUM(n) AS n_tokens
+  FROM c GROUP BY source
+),
+r AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w) AS rnk
+  FROM c
+),
+hd AS (
+  SELECT source,
+         SUM(CASE WHEN rnk <= 10 THEN n ELSE 0 END) AS top10,
+         SUM(CASE WHEN rnk BETWEEN 11 AND 100 THEN n ELSE 0 END) AS mid,
+         MAX(CASE WHEN rnk = 1 THEN n END) AS top1_n,
+         MAX(CASE WHEN rnk = 10 THEN n END) AS rank10_n
+  FROM r WHERE rnk <= 100 GROUP BY source
+)
+SELECT t.source,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(h.top10 * 1000000 // t.n_tokens AS BIGINT) AS head10_e6,
+       CAST(h.mid * 1000000 // t.n_tokens AS BIGINT) AS mid100_e6,
+       CAST((t.n_tokens - h.top10 - h.mid) * 1000000 // t.n_tokens
+            AS BIGINT) AS tail_e6,
+       CAST(h.top1_n AS BIGINT) AS top1_n,
+       CAST(10 * COALESCE(h.rank10_n, h.top1_n) * 1000 // h.top1_n
+            AS BIGINT) AS zipf_c10_e3
+FROM tot t JOIN hd h ON t.source = h.source
+ORDER BY t.source
+"""
+
+
+@query("t46_zipf_profile", oracle=T46_ORACLE)
+def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    counts = (
+        docs.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(materialize_lazy)
+    )
+    totals = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("w"))
+    heads = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= 10, F.col("n")).otherwise(0))
+            .alias("top10"),
+            F.sum(F.when(F.col("rnk").between(11, 100), F.col("n"))
+                  .otherwise(0)).alias("mid"),
+            F.max(F.when(F.col("rnk") == 1, F.col("n"))).alias("top1_n"),
+            F.max(F.when(F.col("rnk") == 10, F.col("n"))).alias("rank10_n"),
+        )
+    )
+    return (
+        totals.join(heads, "source")
+        .select(
+            "source",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("top10 * 1000000 div n_tokens")
+            .cast("bigint").alias("head10_e6"),
+            F.expr("mid * 1000000 div n_tokens")
+            .cast("bigint").alias("mid100_e6"),
+            F.expr("(n_tokens - top10 - mid) * 1000000 div n_tokens")
+            .cast("bigint").alias("tail_e6"),
+            F.col("top1_n").cast("bigint").alias("top1_n"),
+            F.expr("10 * coalesce(rank10_n, top1_n) * 1000 div top1_n")
+            .cast("bigint").alias("zipf_c10_e3"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# d24 — dup-cluster profile: the size histogram of the near-dup
+# components the d06 pipeline deletes from. THE report a curation
+# run publishes before committing a dedup pass: how many clusters at
+# each size, how many documents a keep-one policy removes, and the
+# singleton mass that dedup never touches. Scale shape: candidate
+# pairs from capped LSH bands (never all-pairs), components via the
+# d06 union-find/pointer-jumping operator over the pair list (orders
+# of magnitude smaller than the corpus), then two component-sized
+# rollups; the singleton row is one anti-join of the corpus against
+# the labeled set (ids only — text never shuffles). Oracle: the d06
+# recursive-CTE transitive closure, rolled up the same way.
+# --------------------------------------------------------------------
+
+D24_ORACLE = f"""
+WITH RECURSIVE {_d02_oracle()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM cand
+),
+reach(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT label, COUNT(*) AS sz FROM labels GROUP BY label
+),
+hist AS (
+  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+         SUM(sz - 1) AS n_removable, MIN(label) AS min_anchor
+  FROM sizes GROUP BY sz
+),
+single AS (
+  SELECT 1 AS cluster_size, COUNT(*) AS n_clusters,
+         0 AS n_removable, MIN(d.doc_id) AS min_anchor
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+  WHERE l.node IS NULL
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(n_removable AS BIGINT) AS n_removable,
+       CAST(min_anchor AS BIGINT) AS min_anchor
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+ORDER BY cluster_size
+"""
+
+
+@query("d24_dup_cluster_profile", oracle=D24_ORACLE)
+def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    cands = dedup.minhash_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    labels = dedup.connected_components(cands).transform(materialize_lazy)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("sz") - 1).alias("n_removable"),
+        F.min("label").alias("min_anchor"),
+    )
+    single = (
+        docs.join(labels, docs.doc_id == labels.node, "left_anti")
+        .agg(
+            F.lit(1).alias("cluster_size"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.lit(0).alias("n_removable"),
+            F.min("doc_id").alias("min_anchor"),
+        )
+    )
+    return (
+        hist.unionByName(single)
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.col("n_removable").cast("bigint").alias("n_removable"),
+            F.col("min_anchor").cast("bigint").alias("min_anchor"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------
+# g09 — common-neighbor link prediction over the customer→supplier
+# co-occurrence graph: the top supplier pairs sharing the most
+# customers. The co-citation/you-may-also-like primitive — on a web
+# link graph the same query proposes merge candidates for mirrored
+# hosts. Scale shape: the quadratic hazard in a common-neighbor join
+# is the per-key fan-out (one customer touching S suppliers emits
+# S² pairs), so the fan-out is capped FIRST — each customer keeps
+# its top-8 suppliers by lineitem count (deterministic tie-break),
+# a rank filter Spark executes as WindowGroupLimit (map-side top-k,
+# never a full buffer). The pair join is then ≤ 8×8 per customer by
+# construction — skew-proof regardless of the degree distribution —
+# and the final top-20 is a TakeOrdered, not a global sort.
+# --------------------------------------------------------------------
+
+_G09_CAP = 8
+
+G09_ORACLE = f"""
+WITH el AS (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS nl
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+capped AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY nl DESC, s) AS rn
+    FROM el
+  ) WHERE rn <= {_G09_CAP}
+)
+SELECT a.s AS supp_a, b.s AS supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+GROUP BY 1, 2
+ORDER BY n_common DESC, supp_a, supp_b
+LIMIT 20
+"""
+
+
+@query("g09_common_neighbors", oracle=G09_ORACLE)
+def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "orders", "lineitem")
+    # checkpoint the expensive join+agg (it feeds BOTH sides of the
+    # pair self-join); the cap itself stays lazy so it executes as
+    # WindowGroupLimit (map-side partial top-8 before the exchange)
+    el = spark.sql(
+        "SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS nl "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY 1, 2"
+    ).transform(materialize_lazy)
+    w = Window.partitionBy("c").orderBy(F.col("nl").desc(), F.col("s"))
+    capped = (
+        el.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _G09_CAP)
+        .select("c", "s")
+    )
+    a = capped.select(F.col("c"), F.col("s").alias("supp_a"))
+    b = capped.select(F.col("c"), F.col("s").alias("supp_b"))
+    return (
+        a.join(b, "c")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy(F.col("n_common").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# s17 — ANN kNN join: every query document gets its top-3 neighbors,
+# scored ONLY within its IVF cell — the all-to-all companion of
+# s02's single-query IVF probe and the scale path for "pair every
+# new document with its nearest training example" (semantic dedup
+# assignment, retrieval-augmented labeling). Engine-exact by
+# construction: vectors are absmax-int8 quantized (the s08 recipe —
+# FLOOR is exact, dots are BIGINT folds), cells come from
+# assign_quantized_cells (pure map-side integer argmax, ties to the
+# smallest anchor id), so there is no IEEE ordering hazard anywhere
+# and the DuckDB oracle replays the identical arithmetic. Scale
+# shape: both sides carry a cell id from a zero-exchange map, the
+# join shuffles on cell (queries only meet their own cell's corpus
+# — never all-pairs), and the per-query top-3 is a WindowGroupLimit
+# (map-side top-k). At 100 TB the cell count rises with the corpus
+# so per-cell membership stays bounded; the anchor table stays a
+# driver-side literal fold (k anchors × 64 dims of ints).
+# --------------------------------------------------------------------
+
+_S17_ANCHORS = 8
+_S17_STRIDE = 97
+_S17_K = 3
+
+S17_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-300) AS am
+  FROM e
+),
+qq AS (
+  SELECT vec_id, list_transform(v, x -> FLOOR(x * 127 / am + 0.5)) AS qv
+  FROM m
+),
+anc AS (SELECT vec_id AS aid, qv AS aqv FROM qq WHERE vec_id < {_S17_ANCHORS}),
+asg AS (
+  SELECT vec_id, aid,
+         CAST(list_dot_product(qv, aqv) AS BIGINT) AS ad
+  FROM qq, anc
+),
+cells AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT vec_id, aid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ad DESC, aid) AS rn
+    FROM asg
+  ) WHERE rn = 1
+),
+cc AS (SELECT c.vec_id, c.cell, q.qv FROM cells c JOIN qq q USING (vec_id)),
+qs AS (SELECT * FROM cc WHERE vec_id % {_S17_STRIDE} = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM qs q JOIN cc c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, qdot, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {_S17_K}
+ORDER BY query_id, rnk
+"""
+
+
+@query("s17_knn_join", oracle=S17_ORACLE)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    anchors = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < _S17_ANCHORS)
+        .select("vec_id", "embedding").collect()
+    ]
+    corpus = (
+        similarity.assign_quantized_cells(
+            emb.select("vec_id", "embedding"), anchors,
+            vec_col="embedding", cell_col="cell",
+        )
+        .withColumn("qv", similarity.quantize_int8(F.col("embedding")))
+        .select("vec_id", "cell", "qv")
+        .transform(materialize_lazy)
+    )
+    queries_side = corpus.where(F.col("vec_id") % _S17_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("qv").alias("q_qv")
+    )
+    pairs = (
+        queries_side.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.int_dot(F.col("q_qv"), F.col("qv")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _S17_K)
+        .select("query_id", "neighbor_id", "qdot",
+                F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )

@@ -2571,3 +2571,75 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------
+# q90 — single-pass moment profile: mean, variance, and third central
+# moment per return flag from POWER SUMS (n, Σx, Σx², Σx³, Σx⁴) —
+# the one-scan alternative to the naive two-pass (mean first, then
+# deviations) that a 100 TB table cannot afford. Every sum is a
+# map-side-combinable aggregate over exact integers: prices become
+# whole dollars via FLOOR(x + 0.5) (identical IEEE op in both
+# engines), powers and sums run in DECIMAL(38,0) on Spark / HUGEINT
+# in DuckDB (Σx⁴ reaches ~1e26 at sf1 — BIGINT wraps silently at
+# 9.2e18, which would diverge between engines). Derived central
+# moments come out as truncating integer divisions over positive
+# operands (floor == trunc, so Spark `div` and DuckDB `//` agree);
+# Σx⁴ itself is emitted as an exact digit string because it exceeds
+# BIGINT and both engines print decimal integers identically.
+# --------------------------------------------------------------------
+
+Q90_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS HUGEINT) AS x
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(x) AS s1,
+         SUM(x * x) AS s2,
+         SUM(x * x * x) AS s3,
+         SUM(x * x * x * x) AS s4
+  FROM d GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s1 AS BIGINT) AS sum_usd,
+       CAST(s1 // n AS BIGINT) AS mean_usd,
+       CAST(s2 // n - (s1 // n) * (s1 // n) AS BIGINT) AS m2_usd2,
+       CAST(s3 // n - 3 * (s1 // n) * (s2 // n)
+            + 2 * (s1 // n) * (s1 // n) * (s1 // n) AS BIGINT) AS m3_usd3,
+       CAST(s4 AS VARCHAR) AS s4_str
+FROM s ORDER BY l_returnflag
+"""
+
+
+@query("q90_moment_profile", oracle=Q90_ORACLE)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "lineitem")
+    d = spark.table("lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") + F.lit(0.5))
+        .cast("bigint").cast("decimal(38,0)").alias("x"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("s1").cast("bigint").alias("sum_usd"),
+        F.expr("s1 div n").cast("bigint").alias("mean_usd"),
+        F.expr("s2 div n - (s1 div n) * (s1 div n)")
+        .cast("bigint").alias("m2_usd2"),
+        F.expr("s3 div n - 3 * (s1 div n) * (s2 div n) "
+               "+ 2 * (s1 div n) * (s1 div n) * (s1 div n)")
+        .cast("bigint").alias("m3_usd3"),
+        F.col("s4").cast("string").alias("s4_str"),
+    ).orderBy("l_returnflag")

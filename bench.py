@@ -121,6 +121,11 @@ HEADLINE = [
     "d23_lsh_calibration",
     "st17_stream_asof_enrich",
     "g08_coreness_levels",
+    "t46_zipf_profile",
+    "d24_dup_cluster_profile",
+    "g09_common_neighbors",
+    "s17_knn_join",
+    "q90_moment_profile",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

@@ -1025,3 +1025,47 @@ def test_g08_nested_peels_no_cartesian(spark):
         plan,
     )
     assert joins and all("node" in k for k, _ in joins), joins
+
+
+def test_t46_head_stats_are_window_group_limited(spark):
+    plan = plan_of(spark, "t46_zipf_profile")
+    # the rnk<=100 head filter must push into the window sort
+    # (map-side top-k per source), never a full-vocabulary buffer
+    assert "WindowGroupLimit" in plan
+    # word counting combines map-side before its exchange
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_g09_fanout_cap_is_window_group_limited(spark):
+    plan = plan_of(spark, "g09_common_neighbors")
+    # the per-customer top-8 cap executes as WindowGroupLimit (the
+    # quadratic-pair guard), and the final top-20 is TakeOrdered
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_s17_knn_join_is_cell_bucketed(spark):
+    plan = plan_of(spark, "s17_knn_join")
+    # queries meet the corpus ONLY through the cell-keyed equi-join —
+    # never a cross product — and the per-query top-3 is group-limited
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q90_moments_are_one_aggregation_pass(spark):
+    plan = plan_of(spark, "q90_moment_profile")
+    # power sums must partial-aggregate map-side (the single-scan
+    # point of the query); no Python anywhere
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d24_profile_never_python(spark):
+    plan = plan_of(spark, "d24_dup_cluster_profile")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -360,3 +360,156 @@ def test_g08_coreness_matches_bruteforce(spark):
     )
     got = {r["node"]: r["level"] for r in lv.collect()}
     assert got == want and got
+
+
+def test_t46_known_tiny_corpus(spark):
+    """Hand-checkable Zipf profile: 'a'×5 'b'×3 'c'×1 in one source →
+    3 types / 9 tokens all inside the head-10, zipf_c10 falls back to
+    rank-1 when the vocabulary has <10 types."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import t46
+
+    d = tempfile.mkdtemp(prefix="t46_")
+    spark.createDataFrame(
+        [(1, "a a a a a b b b c", "s1")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = tuple(t46(spark, d).collect()[0])
+    # head10 = 9*1e6//9, mid/tail 0, top1=5, zipf fallback 10*5*1000//5
+    assert got == ("s1", 3, 9, 1000000, 0, 0, 5, 10000)
+
+
+def test_d24_cluster_sizes_and_singletons(spark):
+    """Exact-dup clusters of size 3 and 2 plus 2 singletons: the
+    histogram must report each size once with keep-one removability,
+    and the singleton row counts docs outside every component."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import d24
+
+    d = tempfile.mkdtemp(prefix="d24_")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    s1 = "solo document completely unlike anything else whatsoever here"
+    s2 = "another lonely text sharing nothing with its whole corpus"
+    spark.createDataFrame(
+        [(1, t1, "s"), (2, t1, "s"), (3, t1, "s"),
+         (4, t2, "s"), (5, t2, "s"), (6, s1, "s"), (7, s2, "s")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["cluster_size"]: r for r in d24(spark, d).collect()}
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_removable"] == 2
+    assert rows[3]["min_anchor"] == 1
+    assert rows[2]["n_clusters"] == 1 and rows[2]["n_removable"] == 1
+    assert rows[2]["min_anchor"] == 4
+    assert rows[1]["n_clusters"] == 2 and rows[1]["n_removable"] == 0
+    assert rows[1]["min_anchor"] == 6
+
+
+def test_g09_known_common_neighbors(spark):
+    """Three customers, three suppliers, hand-counted co-occurrence:
+    (10,20) and (20,30) share 2 customers, (10,30) shares 1."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import g09
+
+    d = tempfile.mkdtemp(prefix="g09_")
+    spark.createDataFrame(
+        [(1, 101), (2, 102), (3, 103)], ["o_orderkey", "o_custkey"]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li = [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30), (3, 20), (3, 30)]
+    spark.createDataFrame(
+        li, ["l_orderkey", "l_suppkey"]
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = [tuple(r) for r in g09(spark, d).collect()]
+    assert got == [(10, 20, 2), (20, 30, 2), (10, 30, 1)]
+
+
+def test_g09_cap_bounds_fanout(spark):
+    """A customer touching 12 suppliers contributes pairs only among
+    its capped top-8 (by lineitem count desc, suppkey asc): suppliers
+    9..12 (one lineitem each, highest keys) must appear in no pair."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import g09
+
+    d = tempfile.mkdtemp(prefix="g09cap_")
+    spark.createDataFrame(
+        [(1, 101)], ["o_orderkey", "o_custkey"]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    li = []
+    for s in range(1, 13):
+        # suppliers 1..8 get two lineitems, 9..12 get one -> cap keeps 1..8
+        li.append((1, s))
+        if s <= 8:
+            li.append((1, s))
+    spark.createDataFrame(
+        li, ["l_orderkey", "l_suppkey"]
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = [tuple(r) for r in g09(spark, d).collect()]
+    touched = {x for r in got for x in r[:2]}
+    assert touched == set(range(1, 9))
+    # 8 choose 2 = 28 pairs, top-20 retained
+    assert len(got) == 20
+
+
+def test_s17_matches_driver_side_reference(spark):
+    """The cell-bucketed kNN join must equal a driver-side replay of
+    the same quantized arithmetic (absmax int8 → anchor argmax →
+    in-cell top-3) on a random fixture."""
+    import math
+    import random
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import s17, _S17_ANCHORS, _S17_K
+
+    rng = random.Random(17)
+    dim, n = 6, 60
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+    def q8(v):
+        am = max(max(abs(x) for x in v), 1e-300)
+        return [int(math.floor(x * 127 / am + 0.5)) for x in v]
+
+    qv = {i: q8(v) for i, v in vecs.items()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cell = {
+        i: max(range(_S17_ANCHORS),
+               key=lambda a: (dot(qv[i], qv[a]), -a))
+        for i in qv
+    }
+    want = []
+    for q in [i for i in sorted(vecs) if i % 97 == 0]:
+        cand = [(dot(qv[q], qv[c]), c) for c in vecs
+                if c != q and cell[c] == cell[q]]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (s, c) in enumerate(cand[:_S17_K], 1):
+            want.append((q, c, s, rnk))
+
+    d = tempfile.mkdtemp(prefix="s17_")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = [tuple(r) for r in s17(spark, d).collect()]
+    assert got == want and got
+
+
+def test_q90_known_moments(spark):
+    """Hand-checked power-sum moments on [100, 200, 300]: mean 200,
+    m2 6666 (truncating), m3 400, Σx⁴ as an exact digit string."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.relational import q90
+
+    d = tempfile.mkdtemp(prefix="q90_")
+    spark.createDataFrame(
+        [("A", 100.0), ("A", 200.0), ("A", 300.0)],
+        ["l_returnflag", "l_extendedprice"],
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = tuple(q90(spark, d).collect()[0])
+    assert got == ("A", 3, 600, 200, 6666, 400, "9800000000")

@@ -284,6 +284,29 @@ def main() -> int:
         # above the threshold); AQE skew-join ON = the mitigation.
         ("g07_kcore_peel", g07_kcore_peel, G07UNI, G07PEEL,
          "no_broadcast"),
+        # round-9 batch-2 additions: the new query surface under the
+        # existing adversarial fixtures —
+        # g09 vs the hot-community graph: the hot customer's supplier
+        # fan-out is EXACTLY what the top-8 WindowGroupLimit cap
+        # bounds (8×8 pairs per customer no matter the degree), and
+        # the hot supplier makes the pair-count agg key hot (map-side
+        # partial combine is that mitigation). Broadcast off: at
+        # 100 TB the per-(cust,supp) count frame doesn't broadcast.
+        ("g09_common_neighbors", qs["g09_common_neighbors"],
+         SF1, SKEWG1, "no_broadcast"),
+        # s17 vs the hot-cluster embeddings: ~50% of the corpus lands
+        # in ONE IVF cell, so the cell-keyed join has a maximally hot
+        # key on BOTH sides. AQE skew-join (ON by default here) is
+        # the named mitigation — it splits the hot cell's partition;
+        # the residual cost (queries in the hot cell score half the
+        # corpus) is the documented IVF contract (cell count must
+        # scale with the corpus).
+        ("s17_knn_join", qs["s17_knn_join"], SFEMB, SKEWEMB, None),
+        # t46 vs the hot-sentence corpus (same fixture as t44): a few
+        # corpus-hot words dominate every source's head — map-side
+        # combine on (source, word) + WindowGroupLimit on the rank
+        # filter are the mitigations.
+        ("t46_zipf_profile", qs["t46_zipf_profile"], SF01, SKEW01, None),
     ]
 
     def run_one(fn, sf_dir):
