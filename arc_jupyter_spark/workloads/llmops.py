@@ -7010,16 +7010,21 @@ def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # smallest anchor id), so there is no IEEE ordering hazard anywhere
 # and the DuckDB oracle replays the identical arithmetic. Scale
 # shape: both sides carry a cell id from a zero-exchange map, the
-# join shuffles on cell (queries only meet their own cell's corpus
-# — never all-pairs), and the per-query top-3 is a WindowGroupLimit
-# (map-side top-k). At 100 TB the cell count rises with the corpus
-# so per-cell membership stays bounded; the anchor table stays a
-# driver-side literal fold (k anchors × 64 dims of ints).
+# join shuffles on (cell, salt) — queries only meet their own cell's
+# corpus (never all-pairs), and the salt spreads each cell's
+# compute-dense scoring across 16 reducers instead of one (8 cell
+# keys alone would put a whole cell on a single task — a compute
+# skew AQE's byte-based splitter never sees). The per-query top-3 is
+# a WindowGroupLimit (map-side top-k). At 100 TB the cell count
+# rises with the corpus so per-cell membership stays bounded; the
+# anchor table stays a driver-side literal fold (k anchors × 64
+# dims of ints).
 # --------------------------------------------------------------------
 
 _S17_ANCHORS = 8
 _S17_STRIDE = 97
 _S17_K = 3
+_S17_SALT = 16
 
 S17_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -7085,8 +7090,23 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_side = corpus.where(F.col("vec_id") % _S17_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), "cell", F.col("qv").alias("q_qv")
     )
+    # SALT the cell join: with only k=8 distinct cell keys, a plain
+    # equi-join puts each cell's entire scoring work on ONE reducer —
+    # a compute skew AQE cannot split (its skew-join triggers on
+    # partition BYTES, and 64-dim int rows are byte-light but
+    # compute-dense; measured 18.6s max / 4.3s median task at the
+    # 60k-vector probe point before salting). The corpus side salts
+    # free (vec_id % S); the query side (1/97 of the corpus)
+    # replicates S×, turning the join key into (cell, salt) with
+    # k·S = 128 evenly-loaded partitions. Result set is identical —
+    # every (query, candidate) pair still meets exactly once.
+    salts = F.array(*[F.lit(i) for i in range(_S17_SALT)])
+    corpus_s = corpus.withColumn(
+        "_salt", (F.col("vec_id") % _S17_SALT).cast("int")
+    )
+    queries_e = queries_side.withColumn("_salt", F.explode(salts))
     pairs = (
-        queries_side.join(corpus, "cell")
+        queries_e.join(corpus_s, ["cell", "_salt"])
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

@@ -300,8 +300,16 @@ def main() -> int:
         # the named mitigation — it splits the hot cell's partition;
         # the residual cost (queries in the hot cell score half the
         # corpus) is the documented IVF contract (cell count must
-        # scale with the corpus).
-        ("s17_knn_join", qs["s17_knn_join"], SFEMB, SKEWEMB, None),
+        # scale with the corpus). Probed at the 30-replica 60k-vector
+        # point, NOT the 600k s16/s13 fixture: s17's fixed-8-cell
+        # bench shape is quadratic-over-cells by design (1% of corpus
+        # as queries × 1/8 of corpus per cell), so at 600k the
+        # in-cell interpreted-HOF scoring alone is a ~35 min wall —
+        # the fixture would measure that contract violation, not key
+        # skew (measured this round before downsizing).
+        ("s17_knn_join", qs["s17_knn_join"],
+         "/root/repo/.scaledata/sfemb30",
+         "/root/repo/.scaledata/skewemb30", None),
         # t46 vs the hot-sentence corpus (same fixture as t44): a few
         # corpus-hot words dominate every source's head — map-side
         # combine on (source, word) + WindowGroupLimit on the rank
