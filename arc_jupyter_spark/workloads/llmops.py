@@ -7124,3 +7124,316 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------
+# m13 — per-tile image statistics over REAL decoded pixels: each
+# synthesized PNG (m09's standards-compliant fixture bytes) is
+# decoded by the pure-stdlib pixel decoder and split into a 2×2
+# quadrant grid, each quadrant reporting its exact byte sum — the
+# patchify primitive of vision preprocessing (ViT patch embedding,
+# saliency cropping) with m09's exactness contract: the oracle
+# recomputes every quadrant ALGEBRAICALLY from the synthesizer's
+# pixel formula (never decoding anything), so a wrong stride, a
+# swapped x/y, or an off-by-one in the odd-row/column split anywhere
+# across the encode → Arrow → inflate → unfilter → tile-index path
+# breaks the hash. Scale shape: one Arrow-batched map per stage,
+# nothing but (doc_id, 6 ints) ever shuffles.
+# --------------------------------------------------------------------
+
+M13_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, w * h * 3 - 1)) AS k
+  FROM d
+),
+v AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + 13 * k) % 256 AS b,
+         (k // 3) % w AS x, (k // 3) // w AS y
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(CASE WHEN y < h // 2 AND x < w // 2 THEN b ELSE 0 END)
+            AS BIGINT) AS q00_sum,
+       CAST(SUM(CASE WHEN y < h // 2 AND x >= w // 2 THEN b ELSE 0 END)
+            AS BIGINT) AS q01_sum,
+       CAST(SUM(CASE WHEN y >= h // 2 AND x < w // 2 THEN b ELSE 0 END)
+            AS BIGINT) AS q10_sum,
+       CAST(SUM(CASE WHEN y >= h // 2 AND x >= w // 2 THEN b ELSE 0 END)
+            AS BIGINT) AS q11_sum
+FROM v GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
+@query("m13_image_tile_stats", oracle=M13_ORACLE)
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arc_jupyter_spark.operators import multimodal
+
+    load_views(spark, sf_dir, "documents")
+    ids = spark.table("documents").select("doc_id")
+    pngs = multimodal.synthesize_png(ids, id_col="doc_id")
+    tiles = multimodal.image_tile_stats(pngs, binary_col="value")
+    return tiles.select(
+        "doc_id",
+        F.col("tile_stats.width").alias("width"),
+        F.col("tile_stats.height").alias("height"),
+        F.col("tile_stats.q00_sum").alias("q00_sum"),
+        F.col("tile_stats.q01_sum").alias("q01_sum"),
+        F.col("tile_stats.q10_sum").alias("q10_sum"),
+        F.col("tile_stats.q11_sum").alias("q11_sum"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# t47 — n-gram novelty vs the previous crawl: per source, what
+# fraction of the new snapshot's 5-gram occurrences was never seen
+# in the reference corpus (doc_id % 3 == 0 — the d07 convention for
+# "already ingested"). The information-gain dial of a crawl-refresh
+# budget: a source whose novelty collapses toward 0 is re-serving
+# yesterday's text and gets its quota cut before tokens are wasted.
+# Scale shape: grams travel as 60-bit truncated-md5 digests (8 bytes
+# instead of ~40-char strings through the membership shuffle), the
+# reference side reduces to a DISTINCT digest set before the join,
+# and membership is one digest-keyed left join feeding a counting
+# rollup — output is source-sized. At 100 TB put a Bloom filter of
+# the reference digests in front of the join (the d10 prefilter) so
+# only probable-hits shuffle; the digest join here IS that join's
+# exact fallback path.
+# --------------------------------------------------------------------
+
+_T47_N = 5
+
+T47_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gd
+  FROM (
+    SELECT doc_id, source,
+           unnest({_duck_shingles(_T47_N)}) AS gram
+    FROM t
+  )
+),
+ref AS (SELECT DISTINCT gd FROM g WHERE doc_id % 3 = 0),
+probe AS (SELECT * FROM g WHERE doc_id % 3 <> 0)
+SELECT p.source,
+       CAST(COUNT(DISTINCT p.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN r.gd IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN r.gd IS NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_e6
+FROM probe p LEFT JOIN ref r ON p.gd = r.gd
+GROUP BY p.source ORDER BY p.source
+"""
+
+
+@query("t47_ngram_novelty", oracle=T47_ORACLE)
+def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dedup.word_shingles(F.col("text"), _T47_N)).alias("_g"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10)
+        .cast("long").alias("gd"),
+    )
+    ref = (
+        grams.where(F.col("doc_id") % 3 == 0)
+        .select("gd").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = grams.where(F.col("doc_id") % 3 != 0)
+    return (
+        probe.join(ref, "gd", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .alias("n_novel"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.expr("n_novel * 1000000 div n_grams")
+            .cast("bigint").alias("novelty_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------
+# d25 — LSH band tuning: the SAME 16-hash signatures banded three
+# ways (2×8, 4×4, 8×2), each config scored by how many candidate
+# pairs it emits and how many are true near-dups (exact shingle
+# Jaccard ≥ 0.5) — the S-curve trade a dedup pipeline tunes before a
+# 100 TB run (more bands = higher recall at lower precision; the
+# collision probability is 1-(1-J^rows)^bands). Scale shape: the
+# signature table computes ONCE (16 BIGINTs/doc) and every config
+# re-bands those columns map-side; candidates come from capped band
+# buckets (never all-pairs); the exact-Jaccard verifier runs once
+# over the DISTINCT union of all configs' pairs (a pair candidate
+# under two configs verifies once) and joins back per config.
+# Output: 3 rows.
+# --------------------------------------------------------------------
+
+_D25_CONFIGS = ((2, 8), (4, 4), (8, 2))
+_D25_CAP = 64
+_D25_TAU_E6 = 500000
+
+
+def _d25_oracle() -> str:
+    from arc_jupyter_spark.operators.dedup import (
+        _MERSENNE31,
+        minhash_coefficients,
+    )
+
+    coeffs = minhash_coefficients(_NUM_HASHES)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(shingles, "
+        f"s -> ({a} * ('0x' || substr(md5(s), 1, 7))::BIGINT + {b})"
+        f" % {_MERSENNE31})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    cfg_ctes, tag_selects = [], []
+    for nb, rpb in _D25_CONFIGS:
+        band_exprs = ", ".join(
+            "('0x' || substr(md5('band{b}|' || {parts}), 1, 15))::BIGINT"
+            " AS band{b}".format(
+                b=b,
+                parts=" || '|' || ".join(
+                    f"s{b * rpb + r}::VARCHAR" for r in range(rpb)
+                ),
+            )
+            for b in range(nb)
+        )
+        band_list = ", ".join(f"band{b}" for b in range(nb))
+        cfg_ctes.append(
+            f"bd{nb} AS (SELECT doc_id, unnest([{band_list}]) AS band "
+            f"FROM (SELECT doc_id, {band_exprs} FROM sigs)),\n"
+            f"bsz{nb} AS (SELECT band, COUNT(*) AS bn FROM bd{nb} "
+            f"GROUP BY band),\n"
+            f"bb{nb} AS (SELECT d.doc_id, d.band FROM bd{nb} d "
+            f"JOIN bsz{nb} USING (band) WHERE bn <= {_D25_CAP}),\n"
+            f"cand{nb} AS (SELECT DISTINCT a.doc_id AS id_a, "
+            f"b.doc_id AS id_b FROM bb{nb} a JOIN bb{nb} b USING (band) "
+            f"WHERE a.doc_id < b.doc_id)"
+        )
+        tag_selects.append(
+            f"SELECT {nb} AS bands, {rpb} AS rows_per_band, id_a, id_b "
+            f"FROM cand{nb}"
+        )
+    tags = " UNION ALL ".join(tag_selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_duck_shingles(_SHINGLE_LEN)} AS shingles FROM toks
+),
+sigs AS (SELECT doc_id, {sig_exprs} FROM sh),
+{', '.join(cfg_ctes)},
+tagged AS ({tags}),
+allp AS (SELECT DISTINCT id_a, id_b FROM tagged),
+shd AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+exj AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) * 1000000
+           // (len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x))))
+           AS exact_e6
+  FROM allp p JOIN shd a ON p.id_a = a.doc_id
+              JOIN shd b ON p.id_b = b.doc_id
+)
+SELECT CAST(t.bands AS BIGINT) AS bands,
+       CAST(t.rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN e.exact_e6 >= {_D25_TAU_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN e.exact_e6 >= {_D25_TAU_E6} THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS precision_e6
+FROM tagged t JOIN exj e ON t.id_a = e.id_a AND t.id_b = e.id_b
+GROUP BY 1, 2 ORDER BY bands
+"""
+
+
+@query("d25_band_tuning", oracle=_d25_oracle())
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sigs = dedup.minhash_signature_table(
+        docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES
+    ).transform(materialize_lazy)
+    tagged = None
+    for nb, rpb in _D25_CONFIGS:
+        cands = dedup.minhash_candidates(
+            docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES, nb,
+            max_bucket_size=_D25_CAP, sigs=sigs,
+        ).select(
+            F.lit(nb).alias("bands"),
+            F.lit(rpb).alias("rows_per_band"),
+            "id_a", "id_b",
+        )
+        tagged = cands if tagged is None else tagged.unionAll(cands)
+    tagged = tagged.transform(materialize_lazy)
+    allp = tagged.select("id_a", "id_b").distinct()
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), _SHINGLE_LEN))
+        ).alias("_sg"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ns"))
+    inter = (
+        allp.join(sh.select(F.col("doc_id").alias("id_a"), "_sg"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "_sg"), ["id_b", "_sg"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    exj = (
+        allp.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("_ns").alias("_na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("_ns").alias("_nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("coalesce(_inter, 0) * 1000000 "
+                   "div (_na + _nb - coalesce(_inter, 0))")
+            .cast("bigint").alias("exact_e6"),
+        )
+    )
+    return (
+        tagged.join(exj, ["id_a", "id_b"])
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("exact_e6") >= _D25_TAU_E6, 1).otherwise(0))
+            .alias("n_true"),
+        )
+        .select(
+            F.col("bands").cast("bigint").alias("bands"),
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.expr("n_true * 1000000 div n_candidates")
+            .cast("bigint").alias("precision_e6"),
+        )
+        .orderBy("bands")
+    )

@@ -1335,3 +1335,107 @@ def st17(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --------------------------------------------------------------------
+# st18 — streaming moment profile via ALGEBRAIC MERGE: each
+# micro-batch lands only its per-type power sums (n, Σx..Σx⁴ — a
+# handful of BIGINTs), and the final moments come from summing the
+# batch deltas — the mergeable-aggregate pattern that lets a
+# streaming ingest maintain exact distribution statistics without
+# ever re-scanning history (q90's single-pass argument, lifted to
+# the stream). Power sums are commutative-monoid state, so
+# batch-merge == whole-corpus by algebra, and the oracle computes
+# straight over the full events table. x = FLOOR(value + 0.5) whole
+# units: x ≤ ~561 keeps Σx⁴ under ~1e18 at every probe scale (the
+# q90 DECIMAL(38,0) recipe is the documented upgrade when a true
+# 100 TB stream overflows BIGINT). All derived-moment divisions run
+# over positive operands (value ≥ 0), so Spark `div` (trunc) and
+# DuckDB `//` (floor) agree.
+# --------------------------------------------------------------------
+
+ST18_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(FLOOR(value + 0.5) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n, SUM(x) AS s1, SUM(x * x) AS s2,
+         SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s1 AS BIGINT) AS sum_x,
+       CAST(s1 // n AS BIGINT) AS mean_x,
+       CAST(s2 // n - (s1 // n) * (s1 // n) AS BIGINT) AS m2_x2,
+       CAST(s3 // n - 3 * (s1 // n) * (s2 // n)
+            + 2 * (s1 // n) * (s1 // n) * (s1 // n) AS BIGINT) AS m3_x3,
+       CAST(s4 AS BIGINT) AS s4_x4
+FROM s ORDER BY event_type
+"""
+
+
+@query("st18_stream_moment_merge", oracle=ST18_ORACLE)
+def st18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="st18_moments_")
+    stream = read_events_stream(spark, sf_dir)
+
+    def land_sums(batch_df: DataFrame, batch_id: int) -> None:
+        x = F.floor(F.col("value") + F.lit(0.5)).cast("bigint")
+        (
+            batch_df.select("event_type", x.alias("x"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("s1"),
+                F.sum(F.expr("x * x")).alias("s2"),
+                F.sum(F.expr("x * x * x")).alias("s3"),
+                F.sum(F.expr("x * x * x * x")).alias("s4"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    try:
+        with _stream_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(land_sums)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{out_dir}/_chk")
+                .start()
+            )
+            q.awaitTermination()
+        merged = (
+            spark.read.option("basePath", out_dir)
+            .parquet(f"{out_dir}/batch=*")
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s1").alias("s1"),
+                F.sum("s2").alias("s2"),
+                F.sum("s3").alias("s3"),
+                F.sum("s4").alias("s4"),
+            )
+        )
+        result = merged.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("s1").cast("bigint").alias("sum_x"),
+            F.expr("s1 div n").cast("bigint").alias("mean_x"),
+            F.expr("s2 div n - (s1 div n) * (s1 div n)")
+            .cast("bigint").alias("m2_x2"),
+            F.expr("s3 div n - 3 * (s1 div n) * (s2 div n) "
+                   "+ 2 * (s1 div n) * (s1 div n) * (s1 div n)")
+            .cast("bigint").alias("m3_x3"),
+            F.col("s4").cast("bigint").alias("s4_x4"),
+        ).orderBy("event_type")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

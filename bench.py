@@ -126,6 +126,10 @@ HEADLINE = [
     "g09_common_neighbors",
     "s17_knn_join",
     "q90_moment_profile",
+    "m13_image_tile_stats",
+    "t47_ngram_novelty",
+    "d25_band_tuning",
+    "st18_stream_moment_merge",
 ]
 
 # the round-1 headline set: kept as the stable cross-round comparison

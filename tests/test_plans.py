@@ -1069,3 +1069,30 @@ def test_d24_profile_never_python(spark):
     plan = plan_of(spark, "d24_dup_cluster_profile")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_m13_tiles_are_arrow_map_only(spark):
+    plan = plan_of(spark, "m13_image_tile_stats")
+    # synthesize -> tile stats, both Arrow-batched, nothing shuffles
+    # between them (the m12 positional assertion)
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    first = plan.index("MapInPandas")
+    second = plan.index("MapInPandas", first + 1)
+    assert "Exchange" not in plan[first:second]
+
+
+def test_t47_membership_join_partial_aggregates(spark):
+    plan = plan_of(spark, "t47_ngram_novelty")
+    # the per-source rollup must combine map-side; grams travel as
+    # digests through an equi-join, never a cross product or Python
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_d25_band_tuning_never_all_pairs(spark):
+    plan = plan_of(spark, "d25_band_tuning")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

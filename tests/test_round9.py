@@ -513,3 +513,112 @@ def test_q90_known_moments(spark):
     ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     got = tuple(q90(spark, d).collect()[0])
     assert got == ("A", 3, 600, 200, 6666, 400, "9800000000")
+
+
+def test_m13_tiles_match_python_reference(spark):
+    """Per-quadrant sums must equal a driver-side replay of the
+    synthesizer's pixel formula with the same odd-row/column split."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import m13
+
+    d = tempfile.mkdtemp(prefix="m13_")
+    ids = [0, 3, 7, 11, 18]
+    spark.createDataFrame(
+        [(i, "x", "s") for i in ids], ["doc_id", "text", "source"]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def ref(i):
+        w, h = 4 + i % 5, 3 + i % 4
+        sums = [0, 0, 0, 0]
+        for k in range(w * h * 3):
+            pix = k // 3
+            x, y = pix % w, pix // w
+            q = (0 if y < h // 2 else 2) + (0 if x < w // 2 else 1)
+            sums[q] += (i * 7 + 13 * k) % 256
+        return (i, w, h, *sums)
+
+    got = [tuple(r) for r in m13(spark, d).collect()]
+    assert got == [ref(i) for i in ids]
+
+
+def test_t47_novelty_extremes(spark):
+    """A probe doc byte-identical to the reference has novelty 0; a
+    probe doc sharing no 5-gram has novelty 1e6."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import t47
+
+    d = tempfile.mkdtemp(prefix="t47_")
+    ref_text = "alpha beta gamma delta epsilon zeta eta"
+    new_text = "one two three four five six seven eight"
+    spark.createDataFrame(
+        [(3, ref_text, "old"), (1, ref_text, "copy"), (2, new_text, "fresh")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r["source"]: r for r in t47(spark, d).collect()}
+    assert set(got) == {"copy", "fresh"}
+    assert got["copy"]["novelty_e6"] == 0
+    assert got["fresh"]["novelty_e6"] == 1000000
+    assert got["fresh"]["n_grams"] == 4  # 8 tokens -> 4 five-grams
+
+
+def test_d25_exact_dups_are_true_in_every_config(spark):
+    """A byte-identical pair shares every band under every banding, and
+    its exact Jaccard is 1e6 — so each config reports it a candidate
+    AND a true positive; the disjoint singleton pairs with nobody."""
+    import tempfile
+
+    from arc_jupyter_spark.workloads.llmops import d25
+
+    d = tempfile.mkdtemp(prefix="d25_")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, t1, "s"), (2, t1, "s"),
+         (3, "nothing here resembles the duplicated text at all", "s")],
+        ["doc_id", "text", "source"],
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {int(r["bands"]): r for r in d25(spark, d).collect()}
+    assert set(rows) == {2, 4, 8}
+    for nb, r in rows.items():
+        assert r["rows_per_band"] * nb == 16
+        assert r["n_candidates"] >= 1 and r["n_true"] >= 1
+        assert r["precision_e6"] == 1000000  # only the dup pair collides
+
+
+def test_st18_merge_equals_direct_batch(spark):
+    """The batch-delta merge must equal a direct single-pass power-sum
+    computation over the same events (commutative-monoid state)."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.workloads.base import read_events
+    from arc_jupyter_spark.workloads.streaming_queries import st18
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: tuple(r) for r in st18(spark, sf).collect()}
+    x = F.floor(F.col("value") + F.lit(0.5)).cast("bigint")
+    direct = (
+        read_events(spark, sf)
+        .select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s1"),
+            F.sum(F.expr("x * x")).alias("s2"),
+            F.sum(F.expr("x * x * x")).alias("s3"),
+            F.sum(F.expr("x * x * x * x")).alias("s4"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint"),
+            F.col("s1").cast("bigint"),
+            F.expr("s1 div n").cast("bigint"),
+            F.expr("s2 div n - (s1 div n) * (s1 div n)").cast("bigint"),
+            F.expr("s3 div n - 3 * (s1 div n) * (s2 div n) "
+                   "+ 2 * (s1 div n) * (s1 div n) * (s1 div n)")
+            .cast("bigint"),
+            F.col("s4").cast("bigint"),
+        )
+    )
+    want = {r["event_type"]: tuple(r) for r in direct.collect()}
+    assert got == want and got
