@@ -315,6 +315,16 @@ def main() -> int:
         # combine on (source, word) + WindowGroupLimit on the rank
         # filter are the mitigations.
         ("t46_zipf_profile", qs["t46_zipf_profile"], SF01, SKEW01, None),
+        # batch-3 targets with a skew surface: t47's membership join
+        # under the hot-sentence corpus (hot 5-grams concentrate on a
+        # few digest keys — the digest-keyed join's map-side combine
+        # and the DISTINCT reference reduction are the mitigations);
+        # d25's banding under the same fixture (the per-config bucket
+        # cap is the mitigation, as for d02/d03). m13/st18 have no
+        # skew surface: map-only Arrow stages / 5-group algebraic
+        # merges.
+        ("t47_ngram_novelty", qs["t47_ngram_novelty"], SF01, SKEW01, None),
+        ("d25_band_tuning", qs["d25_band_tuning"], SF01, SKEW01, None),
     ]
 
     def run_one(fn, sf_dir):
