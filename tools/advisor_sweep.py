@@ -72,7 +72,28 @@ reassembly `collect_list` of (chunk_idx, chunk) — bounded by that
 document's own chunk count (len/64), the doc's own bytes moving once
 — and its many-shuffles counts the digest keep-first partial MIN,
 the one text semi-join, and the per-doc regroup (plan-asserted
-window-free in `test_plans.py`)."""
+window-free in `test_plans.py`).
+Round-8: `d22_edit_verified_dedup` unbounded-collect is the final
+`limit(20)` projection (TakeOrdered — k rows reach the driver, the
+q34 class); `p12_crawl_refresh_pipeline` many-shuffles counts the
+band shuffle, the hit semi-join, the per-source quota window and the
+report groupBy — (id, band) pairs and id-keyed survivor rows only,
+text crosses once at the quota stage; `s16_range_search` /
+`t44_coverage_curve` nested-loop-join are the allowlisted broadcast
+tiny-side attaches (3-row query set / 1-row corpus total; see
+`ALLOWED_BNL` in test_plans.py and plan_scale_audit.py).
+Round-9: `d23_lsh_calibration` / `d25_band_tuning` many-shuffles is
+the LSH pipeline shape again — band shuffle(s), capped-bucket
+self-join, signature/posting joins keyed by id; only (id, band)
+pairs and 16-BIGINT signature rows move, text shuffles zero times
+(shingles explode map-side from the scan). `d24_dup_cluster_profile`
+many-shuffles is the d06 component chain (band shuffle + pair join +
+the CC operator's per-round label joins) plus two component-sized
+rollups and one ids-only anti-join. `g08_coreness_levels`
+many-shuffles is three chained g07 peels — 2 shuffles per round on a
+monotonically SHRINKING checkpointed edge frame (the k-core nesting
+means the full graph is touched only by the first peel; per-round
+frames are plan-asserted in test_plans.py's g07 gates)."""
 
 
 def main() -> int:
