@@ -653,11 +653,11 @@ def connected_components(
     edges = base
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().transform(materialize)
+    ).distinct().transform(materialize_lazy)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -692,18 +692,26 @@ def connected_components(
     # composed steps the BigInteger estimates overflowed the driver
     # heap (measured). The checkpoint is lazy, so the fixpoint probe
     # doubles as the materializing action — one job per round, not two.
+    #
+    # Fixpoint probe: per-node labels are MONOTONE NON-INCREASING
+    # (every update is a min/least), so the label vector changed iff
+    # its exact sum changed — an aggregate over the pinned frame
+    # replaces the old new⋈old join + limit probe (one shuffle fewer
+    # per round). DECIMAL(38,0) keeps the sum exact for any BIGINT id
+    # set (no wrap-equality false positive).
+    def _checksum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]["s"]
+
+    prev_sum = _checksum(labels)
     for _ in range(max_iter):
         new_labels = _step(labels).transform(materialize_lazy)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _checksum(new_labels)  # materializes the checkpoint
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -39,6 +39,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = RANK_SCALE,
     checkpoint_every: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank → ``[node, rank_e9]``.
 
@@ -49,12 +50,19 @@ def pagerank(
     operator and any oracle compute the same closed form, so parity
     holds by construction.
 
-    Scale shape: edges are deduplicated once (one shuffle), degrees
-    and the node set are derived from that same shuffled frame, and
-    each iteration is ONE shuffle (``groupBy(dst)`` partial-agg sum of
-    BIGINT contributions) plus a broadcast-size join with the degree
-    table when degrees are small, or a co-partitioned join when not —
-    Spark's AQE picks per stats. Rank state per node is 8 bytes.
+    Scale shape: edges are deduplicated once (one shuffle — skipped
+    entirely when the caller guarantees ``assume_distinct``, e.g. the
+    two disjoint orientations of an already-DISTINCT bipartite pair
+    set), degrees and the node set are derived from that same frame.
+    Rank state is carried as the CONTRIBUTION-SUM table ``s`` (nodes
+    with at least one in-edge), not the full rank vector: a node
+    without in-edges has the constant rank ``base`` after iteration 1
+    and the constant ``r0`` before it, so its rank never needs to be
+    materialized or joined. Each iteration is then ONE equi-join of
+    ``s`` onto the edge+degree frame (iteration 1 skips even that —
+    every rank is the constant ``r0``) plus one map-side-combined
+    ``groupBy(dst)`` BIGINT sum; the full node vector is joined
+    exactly once, after the loop. Rank state per node is 8 bytes.
     Lineage is truncated every few rounds via the session's checkpoint
     strategy (``checkpoint.materialize``: executor-local by default,
     ``spark.arc.checkpoint.mode=reliable`` for fault-tolerant cluster
@@ -65,7 +73,9 @@ def pagerank(
     # nodes, and ed materializes inside the final action — 2 jobs for
     # the whole call instead of 4 (each eager checkpoint is a separate
     # job whose fixed overhead dominated g01 at bench scale)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = e.transform(materialize_lazy)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # the (edge, out-degree) pairing is loop-invariant — join it once
@@ -86,30 +96,37 @@ def pagerank(
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
     r0 = scale // n_nodes
 
-    ranks = nodes.withColumn("rank_e9", F.lit(r0).cast("bigint"))
+    # rank_i(u) = base + (num * COALESCE(s_i(u), 0)) DIV den for i >= 1
+    # and the constant r0 for i = 0 — identical integer arithmetic to
+    # materializing the rank vector, with the per-iteration nodes-join
+    # algebraically eliminated (it only ever filled in the constant).
+    s = None
+    rank_of_s = (
+        f"({base} + ({damping_num} * COALESCE(s, 0)) DIV {damping_den})"
+    )
     for i in range(iterations):
-        contrib = (
-            ed.join(ranks, ed.src == ranks.node, "inner")
-            .select(
+        if s is None:
+            # iteration 1: every node's rank is the constant r0 — the
+            # contribution needs no rank join at all
+            contrib_src = ed.select(
                 F.col("dst").alias("node"),
-                F.expr("rank_e9 DIV deg").alias("c"),
+                F.expr(f"{r0} DIV deg").alias("c"),
             )
-            .groupBy("node")
+        else:
+            contrib_src = ed.join(s, ed.src == s.node, "left").select(
+                F.col("dst").alias("node"),
+                F.expr(f"{rank_of_s} DIV deg").alias("c"),
+            )
+        s = (
+            contrib_src.groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_num} * COALESCE(s, 0)) DIV {damping_den}")
-                ).cast("bigint").alias("rank_e9"),
-            )
-        )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.transform(materialize)
-    return ranks
+            s = s.transform(materialize)
+    return nodes.join(s, "node", "left").select(
+        "node",
+        F.expr(rank_of_s).cast("bigint").alias("rank_e9"),
+    )
 
 
 def _wedge_closure(
@@ -132,7 +149,8 @@ def _wedge_closure(
         # the canonical edge set feeds degrees, orientation, closing
         # AND two of the three summary counts — materialize once
         # instead of re-running the upstream dedup shuffle per action
-        .transform(materialize)
+        # (lazy: the first count materializes it, no dedicated job)
+        .transform(materialize_lazy)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -156,7 +174,7 @@ def _wedge_closure(
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     # wedges at the low end: pairs (v, w) of out-neighbours of u
     o1 = oriented.select(F.col("u"), F.col("v"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
@@ -217,6 +235,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = 2,
     checkpoint_every: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection) →
     ``[node, label]`` after a FIXED number of rounds.
@@ -249,13 +268,29 @@ def label_propagation(
     # lazy checkpoints: the final action materializes e/nodes once and
     # every round reuses the pinned blocks — no separate eager jobs
     # (the g01 job-overhead lesson; see pagerank above)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = e.transform(materialize_lazy)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # node set tagged with "has an in-edge" in the SAME single shuffle
+    # the plain distinct cost (groupBy + max partial-aggregates like
+    # distinct does). A node with NO in-edge never receives a
+    # neighbour vote, so its label is its own id forever (the
+    # coalesce-to-node of every round reduced to exactly that) — the
+    # `iso` slice is unioned back per round instead of left-joining
+    # the full node vector against `best` every round: one shuffle
+    # fewer per round, and empty under the undirected
+    # both-orientations convention (src set == dst set).
+    ntab = (
+        e.select(F.col("src").alias("node"), F.lit(0).alias("_in"))
+        .union(e.select(F.col("dst").alias("node"), F.lit(1).alias("_in")))
+        .groupBy("node")
+        .agg(F.max("_in").alias("_in"))
         .transform(materialize_lazy)
+    )
+    nodes = ntab.select("node")
+    iso = ntab.where(F.col("_in") == 0).select(
+        "node", F.col("node").alias("label")
     )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
@@ -279,11 +314,9 @@ def label_propagation(
                 "label", F.struct((-F.col("n")).alias("nn"), F.col("label"))
             ).alias("label")
         )
-        # isolated nodes (none here: every node of an undirected edge
-        # set has an in-edge) keep their current label
-        labels = nodes.join(best, "node", "left").select(
-            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
-        )
+        # every in-edge-bearing node has a `best` row; isolated nodes
+        # keep their own id — the disjoint union IS the full vector
+        labels = best.unionByName(iso)
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.transform(materialize)
     return labels
@@ -295,6 +328,7 @@ def bfs_levels(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Frontier BFS from a source node set → ``[node, dist]`` with the
     MINIMUM hop distance (0 for sources), capped at ``max_depth``.
@@ -318,12 +352,13 @@ def bfs_levels(
     (relational path enumeration), the visited-set subtraction makes
     this linear in reachable edges, not in path count.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .transform(materialize)
-    )
-    frontier = sources.select("node").distinct().transform(materialize)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # lazy: round 1's emptiness probe materializes e and the frontier
+    # in the same job instead of two eager checkpoint jobs up front
+    e = e.transform(materialize_lazy)
+    frontier = sources.select("node").distinct().transform(materialize_lazy)
     visited = frontier.withColumn("dist", F.lit(0).cast("bigint"))
     for d in range(1, max_depth + 1):
         nxt = (
@@ -349,6 +384,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 2,
     checkpoint_every: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Integer HITS (Kleinberg) over a directed edge list →
     ``[node, authority, hub]`` — authority for every dst node, hub
@@ -376,9 +412,10 @@ def hits(
     """
     if iterations < 1:
         raise ValueError("hits() needs iterations >= 1")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().transform(materialize_lazy)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.transform(materialize_lazy)
 
     hubs = e.select(F.col("src").alias("node")).distinct().withColumn(
         "h", F.lit(1).cast("bigint")
@@ -414,7 +451,9 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
-) -> DataFrame:
+    assume_distinct: bool = False,
+    return_edges: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """k-core decomposition by iterative peeling → ``[node, degree]``
     for every node of the k-core (the maximal subgraph where every
     node keeps degree >= k), with its WITHIN-CORE degree.
@@ -444,53 +483,95 @@ def kcore(
     ``max_rounds`` bounds the job count; an exact oracle can unroll
     the same peel as chained CTEs because extra rounds past the
     fixpoint are no-ops.
+
+    Job shape: each round is ONE job — the survivor filter is a LAZY
+    checkpoint consumed twice inside the induced-subgraph plan (a lazy
+    ``localCheckpoint`` pins one RDD, so both semi-join probes share a
+    single evaluation of the degree aggregate), and the fixpoint probe
+    is the EDGE count of the materialized round (monotone shrink: an
+    unchanged edge count implies an unchanged survivor set and
+    vice-versa — the same fixpoint the survivor-count probe detected,
+    one round earlier in job terms because no separate survivor
+    materialization/count job runs per round).
+
+    ``assume_distinct`` skips the initial edge dedup shuffle when the
+    caller guarantees distinct rows (e.g. the two disjoint
+    orientations of an already-DISTINCT pair set). ``return_edges``
+    additionally returns the FIXPOINT edge frame (the core's induced
+    subgraph, materialized) so nested peels (g08) reuse it instead of
+    re-inducing from the full graph.
     """
     if k < 1:
         raise ValueError("kcore() needs k >= 1")
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().transform(materialize)
-    n_prev = None
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.transform(materialize_lazy)
+
+    def _empty() -> DataFrame:
+        out = e.limit(0).select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("bigint").alias("degree"),
+        )
+        return (out, e.limit(0)) if return_edges else out
+
+    n_prev = e.count()  # materializes the pinned edge frame
+    if n_prev == 0:
+        return _empty()
     converged = False
+    new_e = e
     for _ in range(max_rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        keep = deg.where(F.col("degree") >= k).select("src").transform(materialize)
-        n_keep = keep.count()
-        if n_keep == 0:
-            return keep.select(
-                F.col("src").alias("node"),
-                F.lit(0).cast("bigint").alias("degree"),
-            )
-        if n_prev is not None and n_keep == n_prev:
-            converged = True
-            break
-        n_prev = n_keep
-        e = (
+        keep = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            .where(F.col("degree") >= k)
+            .select("src")
+            .transform(materialize_lazy)
+        )
+        new_e = (
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
-    if not converged:
-        # Round budget exhausted BEFORE the peel reached its fixpoint.
+        n_edges = new_e.count()  # the ONE job: materializes keep + new_e
+        if n_edges == 0:
+            return _empty()
+        if n_edges == n_prev:
+            converged = True
+            break
+        n_prev = n_edges
+        e = new_e
+    if converged:
+        e = new_e
+    else:
+        # Round budget exhausted BEFORE the edge count stabilized.
         # The trailing HAVING degree >= k below would silently mask
         # that (degrees still count edges to nodes a further round
         # would peel, so the result is NOT the k-core) — run one more
-        # degree check and fail loudly if the survivor set is still
+        # induction and fail loudly if the edge set is still
         # shrinking rather than return a wrong subgraph.
-        n_final = (
+        e = new_e
+        keep = (
             e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-            .where(F.col("degree") >= k).count()
+            .where(F.col("degree") >= k)
+            .select("src")
+            .transform(materialize_lazy)
         )
-        if n_prev is None or n_final != n_prev:
+        probe = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        )
+        n_final = probe.count()
+        if n_final != n_prev:
             raise RuntimeError(
                 f"kcore(k={k}) did not converge within max_rounds="
                 f"{max_rounds}: survivors still shrinking "
-                f"({n_prev} -> {n_final}); raise max_rounds (peel "
+                f"({n_prev} -> {n_final} edges); raise max_rounds (peel "
                 "depth of this graph exceeds the budget)"
             )
-    return (
+    core = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .where(F.col("degree") >= k)
         .select(F.col("src").alias("node"), "degree")
     )
+    return (core, e) if return_edges else core

@@ -877,7 +877,7 @@ def lloyd_step_quantized(
     # pushed-down isnotnull(cluster_id) inlines the argmax into the
     # scan filter (the measured s11 hazard). localCheckpoint'ing the
     # <= k*dim-row aggregate keeps the corpus scan single-pass.
-    per_dim = per_dim.transform(materialize)
+    per_dim = per_dim.transform(materialize_lazy)
     inert = per_dim.groupBy("cluster_id").agg(
         F.sum("sum_d2").alias("inertia_q")
     )

@@ -3288,7 +3288,10 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
-    ranks = graph.pagerank(edges, iterations=3)
+    # both orientations of a DISTINCT bipartite pair set are
+    # disjoint, so the union is distinct by construction — skip
+    # the operator's edge-dedup shuffle
+    ranks = graph.pagerank(edges, iterations=3, assume_distinct=True)
     return (
         ranks.orderBy(F.desc("rank_e9"), "node")
         .limit(20)
@@ -3682,7 +3685,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 6.4s -> ~0.4s at sf0.1).
     asg = similarity.assign_quantized_cells(
         dedup._parallelize(emb), anchors, vec_col="embedding"
-    ).select("vec_id", "cluster_id").transform(materialize)
+    ).select("vec_id", "cluster_id").transform(materialize_lazy)
     # one per-cluster count feeds both the sampler's quota math and the
     # reported n_total — 2 corpus scans total, not 3
     counts = asg.groupBy("cluster_id").agg(
@@ -3887,7 +3890,9 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
-    labels = graph.label_propagation(edges, iterations=_G03_ITER)
+    labels = graph.label_propagation(
+        edges, iterations=_G03_ITER, assume_distinct=True
+    )  # disjoint orientations of a DISTINCT pair set: no re-dedup
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -4009,14 +4014,16 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(
         """SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-    ).transform(materialize)  # the orders x lineitem DISTINCT is the
+    ).transform(materialize_lazy)  # the orders x lineitem DISTINCT is the
     # expensive part and feeds THREE consumers (both edge directions
     # + the source min) — one materialization, not three evaluations
     edges = pairs.selectExpr("c AS src", "s AS dst").unionAll(
         pairs.selectExpr("s AS src", "c AS dst")
     )
     sources = pairs.agg(F.min("c").alias("node"))
-    dists = graph.bfs_levels(edges, sources, max_depth=_G04_DEPTH)
+    dists = graph.bfs_levels(
+        edges, sources, max_depth=_G04_DEPTH, assume_distinct=True
+    )  # disjoint orientations of a DISTINCT pair set: no re-dedup
     return (
         dists.groupBy("dist")
         .agg(
@@ -4357,7 +4364,7 @@ def p08_stage_frames(
     asg = (
         similarity.assign_quantized_cells(joined, anchors)
         .select("doc_id", "n_chars", "cluster_id")
-        .transform(materialize)  # 24B/row; the s11 inlining hazard
+        .transform(materialize_lazy)  # 24B/row; the s11 inlining hazard
     )
     kept = sampling.cluster_balanced_sample(
         asg, "cluster_id", "doc_id", budget_den=_P08_DEN
@@ -4441,7 +4448,7 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__q", similarity.quantize_int8(F.col("embedding")))
         .select("vec_id", "cluster_id", "__q")
-        .transform(materialize)  # materialize the quantization + argmax
+        .transform(materialize_lazy)  # materialize the quantization + argmax
         # ONCE: downstream the explode fans 8 rows per vector and the
         # post-explode filter references cluster_id — without the
         # checkpoint Catalyst inlines the 8-fold argmax (and the
@@ -5534,7 +5541,7 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     )
-    scores = graph.hits(edges, iterations=2)
+    scores = graph.hits(edges, iterations=2, assume_distinct=True)
     return (
         scores.where(F.col("authority") > 0)
         .select("node", "authority")
@@ -6014,7 +6021,7 @@ def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    core = graph.kcore(edges, k=_G07_K)
+    core = graph.kcore(edges, k=_G07_K, assume_distinct=True)
     return (
         core.groupBy(
             F.expr("degree div 16").cast("bigint").alias("degree_bucket")
@@ -6703,17 +6710,20 @@ def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(_G07_EDGES)
     e = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(materialize)
+    )
     cores = []
     for k in _G08_KS:
-        m = graph.kcore(e, k=k).select("node").transform(materialize_lazy)
-        cores.append(m)
-        # induced subgraph of the survivors: the next (deeper) peel
-        # never re-touches edges this one dropped
-        e = (
-            e.join(m.select(F.col("node").alias("src")), "src", "left_semi")
-            .join(m.select(F.col("node").alias("dst")), "dst", "left_semi")
+        # return_edges hands back the FIXPOINT edge frame — already
+        # the survivors' induced subgraph, materialized inside the
+        # peel — so the next (deeper) peel starts from it directly
+        # instead of re-inducing from this level's input with two
+        # more semi-joins. assume_distinct: level 1's input is the
+        # disjoint-orientations union of a DISTINCT pair set; deeper
+        # levels get the already-deduped fixpoint frame.
+        core_k, e = graph.kcore(
+            e, k=k, assume_distinct=True, return_edges=True
         )
+        cores.append(core_k.select("node").transform(materialize_lazy))
     lv = (
         cores[0]
         .join(cores[1].withColumn("_f16", F.lit(1)), "node", "left")

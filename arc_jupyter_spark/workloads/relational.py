@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from arc_jupyter_spark.checkpoint import materialize
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
 
 from arc_jupyter_spark.context import ArcContext
 from arc_jupyter_spark.operators.transform import SQLTransform
@@ -1916,11 +1916,11 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("next_date") <= F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"))
     ).select(
         F.col("o_orderkey").alias("src"), F.col("next_key").alias("dst")
-    ).transform(materialize)
+    ).transform(materialize_lazy)
     edges.createOrReplaceTempView("q70_edges")
     starts = spark.table("orders").join(
         edges.select(F.col("dst").alias("o_orderkey")), "o_orderkey", "left_anti"
-    ).select("o_orderkey").transform(materialize)
+    ).select("o_orderkey").transform(materialize_lazy)
     starts.createOrReplaceTempView("q70_starts")
     return spark.sql(
         """

@@ -21,7 +21,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arc_jupyter_spark.checkpoint import materialize
+from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
 
 from arc_jupyter_spark.workloads.base import (
     query,
@@ -1285,7 +1285,7 @@ def st17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("us"),
             F.unix_micros("ts").alias("click_us"),
         )
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     stream = read_events_stream(spark, sf_dir)
     errors = stream.where(F.col("event_type") == "error").select(
