@@ -149,8 +149,10 @@ def _wedge_closure(
         # the canonical edge set feeds degrees, orientation, closing
         # AND two of the three summary counts — materialize once
         # instead of re-running the upstream dedup shuffle per action
-        # (lazy: the first count materializes it, no dedicated job)
-        .transform(materialize_lazy)
+        # (EAGER on purpose: an interleaved A/B showed the lazy form
+        # consistently ~1s slower here — the three count() actions
+        # schedule better against pre-pinned blocks)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -174,7 +176,7 @@ def _wedge_closure(
     oriented = with_deg.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).transform(materialize_lazy)
+    ).transform(materialize)
     # wedges at the low end: pairs (v, w) of out-neighbours of u
     o1 = oriented.select(F.col("u"), F.col("v"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("w"))

@@ -229,6 +229,31 @@ def encode_wav(sample_rate: int, channels: int, frames: bytes) -> bytes:
     return buf.getvalue()
 
 
+def decode_wav_pcm_np(payload: bytes):
+    """Vectorized sibling of :func:`decode_wav_pcm`:
+    ``(sample_rate, channels, samples)`` with ``samples`` as an int16
+    numpy array (values identical to the list variant — same stdlib
+    ``wave`` parse, ``<i2`` little-endian view per the RIFF spec).
+    Exists for the Arrow batch operators (guide: hand whole batches to
+    vectorized libraries instead of looping rows in Python)."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            raw = wf.readframes(wf.getnframes())
+            return (
+                wf.getframerate(),
+                wf.getnchannels(),
+                np.frombuffer(raw, dtype="<i2"),
+            )
+    except (wave.Error, EOFError, struct.error):
+        return None
+
+
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, list[int]] | None:
     """Full 16-bit PCM decode: ``(sample_rate, channels, samples)``
     for RIFF/WAVE bytes, or None for non-WAV/other sample widths.

@@ -301,12 +301,18 @@ def image_pixel_stats(
                     stats.append(None)
                     continue
                 w, h, c, px = out
+                import numpy as np
+
                 stats.append(
                     {
                         "width": w,
                         "height": h,
                         "channels": c,
-                        "pixel_sum": sum(px),
+                        # exact byte sum, vectorized (int64 accumulator)
+                        "pixel_sum": int(
+                            np.frombuffer(px, dtype=np.uint8)
+                            .sum(dtype=np.int64)
+                        ),
                     }
                 )
             yield pdf.assign(**{out_col: stats})
@@ -404,10 +410,15 @@ def phash_near_dup(
             )
         ).alias("b"),
     ).select("_id", "_ph", "b.band", "b.val")
+    # pin the capped band table: both sides of the pair self-join read
+    # it, and without the checkpoint the slice+window-count subtree is
+    # evaluated once per side (the plan showed 14 scans for m08)
+    from arc_jupyter_spark.checkpoint import materialize_lazy
+
     counted = sliced.withColumn(
         "_bn",
         F.count(F.lit(1)).over(Window.partitionBy("band", "val")),
-    ).where(F.col("_bn") <= max_bucket_size)
+    ).where(F.col("_bn") <= max_bucket_size).transform(materialize_lazy)
     a = counted.select(
         F.col("band"), F.col("val"), F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a")
     )
@@ -498,26 +509,40 @@ def audio_energy_stats(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from arc_jupyter_spark.operators.media_codecs import decode_wav_pcm
+        # vectorized per guide §4.2: frame energies as one reshaped
+        # int64 square-sum instead of a per-sample Python loop
+        # (numbers identical — int16² ≤ 2³⁰, ×64/frame ≤ 2³⁶ per
+        # frame, summed in int64 exactly like the old Python ints for
+        # any audio shorter than ~2⁵⁷ total squared magnitude, the
+        # same bound the BIGINT oracle column carries)
+        import numpy as np
+
+        from arc_jupyter_spark.operators.media_codecs import (
+            decode_wav_pcm_np,
+        )
 
         for pdf in batches:
             out = []
             for payload in pdf[binary_col]:
-                dec = decode_wav_pcm(bytes(payload)) if payload is not None \
-                    else None
+                dec = decode_wav_pcm_np(bytes(payload)) \
+                    if payload is not None else None
                 if dec is None:
                     out.append(None)
                     continue
                 rate, channels, samples = dec
                 n_frames = len(samples) // frame
-                n_voiced = 0
-                energy_sum = 0
-                for f in range(n_frames):
-                    e = sum(s * s for s in
-                            samples[f * frame:(f + 1) * frame])
-                    energy_sum += e
-                    if e >= threshold:
-                        n_voiced += 1
+                if n_frames:
+                    fr = (
+                        samples[: n_frames * frame]
+                        .astype(np.int64)
+                        .reshape(n_frames, frame)
+                    )
+                    e = (fr * fr).sum(axis=1)
+                    energy_sum = int(e.sum())
+                    n_voiced = int((e >= threshold).sum())
+                else:
+                    energy_sum = 0
+                    n_voiced = 0
                 out.append({
                     "sample_rate": rate,
                     "n_samples": len(samples),
@@ -570,9 +595,14 @@ def png_resize_roundtrip_stats(
                     out.append(None)
                     continue
                 w, h, ch, pix = dec
+                import numpy as np
+
                 out.append({
                     "width": w, "height": h, "channels": ch,
-                    "pixel_sum": sum(pix),
+                    "pixel_sum": int(
+                        np.frombuffer(pix, dtype=np.uint8)
+                        .sum(dtype=np.int64)
+                    ),
                 })
             yield pdf.assign(**{out_col: out})
 
@@ -612,8 +642,6 @@ def audio_resample_stats(
     """
     if factor < 1:
         raise ValueError("audio_resample_stats needs factor >= 1")
-    import array
-    import sys
 
     schema = T.StructType(
         list(df.schema.fields)
@@ -621,42 +649,55 @@ def audio_resample_stats(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized per guide §4.2: block means, checksum and energy
+        # as numpy int64 reductions instead of per-sample Python
+        # loops. Identical values: numpy's // floors exactly like
+        # Python's on int64; a block mean of int16 samples always
+        # fits int16, so the "<i2" cast cannot wrap; the int64
+        # checksum/energy sums carry the same BIGINT bound the oracle
+        # columns do.
+        import numpy as np
+
         from arc_jupyter_spark.operators.media_codecs import (
-            decode_wav_pcm,
+            decode_wav_pcm_np,
             encode_wav,
         )
 
         for pdf in batches:
             out = []
             for payload in pdf[binary_col]:
-                dec = decode_wav_pcm(bytes(payload)) if payload is not None \
-                    else None
+                dec = decode_wav_pcm_np(bytes(payload)) \
+                    if payload is not None else None
                 if dec is None:
                     out.append(None)
                     continue
                 rate, _channels, samples = dec
                 n_out = len(samples) // factor
-                res = [
-                    sum(samples[j * factor:(j + 1) * factor]) // factor
-                    for j in range(n_out)
-                ]
-                pcm = array.array("h", res)
-                if sys.byteorder == "big":
-                    pcm.byteswap()
-                redec = decode_wav_pcm(
-                    encode_wav(rate // factor, 1, pcm.tobytes())
+                res = (
+                    samples[: n_out * factor]
+                    .astype(np.int64)
+                    .reshape(n_out, factor)
+                    .sum(axis=1)
+                    // factor
+                )
+                redec = decode_wav_pcm_np(
+                    encode_wav(
+                        rate // factor, 1,
+                        res.astype("<i2").tobytes(),
+                    )
                 )
                 if redec is None:
                     out.append(None)
                     continue
                 r_rate, _rc, r_samples = redec
+                r = r_samples.astype(np.int64)
                 out.append({
                     "rate_out": r_rate,
                     "n_out": len(r_samples),
-                    "checksum": sum(
-                        (j + 1) * s for j, s in enumerate(r_samples)
+                    "checksum": int(
+                        np.arange(1, len(r) + 1, dtype=np.int64) @ r
                     ),
-                    "energy_out": sum(s * s for s in r_samples),
+                    "energy_out": int(r @ r),
                 })
             yield pdf.assign(**{out_col: out})
 
@@ -708,13 +749,24 @@ def image_tile_stats(
                     stats.append(None)
                     continue
                 w, h, c, px = out
-                sums = [0, 0, 0, 0]
+                # vectorized per guide §4.2: four quadrant slice-sums
+                # over the (h, w, c) view replace the per-byte Python
+                # div/mod loop — identical integer sums (uint8 values
+                # accumulated in int64)
+                import numpy as np
+
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.int64)
+                )
                 half_w, half_h = w // 2, h // 2
-                for k, b in enumerate(px):
-                    pix = k // c
-                    x, y = pix % w, pix // w
-                    q = (0 if y < half_h else 2) + (0 if x < half_w else 1)
-                    sums[q] += b
+                sums = [
+                    int(arr[:half_h, :half_w].sum()),
+                    int(arr[:half_h, half_w:].sum()),
+                    int(arr[half_h:, :half_w].sum()),
+                    int(arr[half_h:, half_w:].sum()),
+                ]
                 stats.append(
                     {
                         "width": w,

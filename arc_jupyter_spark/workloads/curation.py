@@ -682,7 +682,11 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, cents, _T34_LO, _T34_HI, _T34_BINS,
         shard=F.col("l_orderkey") % 8,
     )
-    merged = sketch.hist_merge(sharded)
+    from arc_jupyter_spark.checkpoint import materialize_lazy
+
+    # merged feeds BOTH the exact-merge contract check and the
+    # quantile pick — pin it so the sharded build+merge runs once
+    merged = sketch.hist_merge(sharded).transform(materialize_lazy)
     direct = sketch.hist_build(li, cents, _T34_LO, _T34_HI, _T34_BINS)
     # exact-merge contract: the sharded-then-merged histogram must be
     # row-identical to the direct one (symmetric difference empty)

@@ -4982,14 +4982,25 @@ def p10_stage_frames(
     load_views(spark, sf_dir, "documents")
     docs = spark.table("documents")
     toks = tokens(F.col("text"))
+    # gated and exact each feed MULTIPLE branches of the one final
+    # plan (qc reads gated; exc, the jaccard pair evidence, the fuzzy
+    # anti-join and the substring accounting all read exact) — without
+    # pinning, the static plan re-ran the tokenize+gate(+digest-dedup)
+    # chain per branch: 12 documents scans / 41 exchanges, zero
+    # ReusedExchange (plans/r09/p10_refinedweb_pipeline_before.txt).
+    # Lazy localCheckpoints pin one RDD each inside the single action,
+    # so every branch shares a single evaluation (guide §5: cut
+    # lineage/recompute for a reused intermediate).
     gated = docs.where(
         (F.size(toks) >= _P10_MIN_TOKS)
         & (
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
             >= _P10_DIVERSITY
         )
-    ).select("source", "doc_id", "text")
-    exact = dedup.exact_dedup_by_digest(gated, "text", "doc_id")
+    ).select("source", "doc_id", "text").transform(materialize_lazy)
+    exact = dedup.exact_dedup_by_digest(
+        gated, "text", "doc_id"
+    ).transform(materialize_lazy)
     pairs = dedup.jaccard_pairs(
         exact,
         id_col="doc_id",
@@ -6397,7 +6408,10 @@ def p12_stage_frames(
         F.concat(F.col("text"), F.lit(" new")).alias("text"),
         "source",
     )
-    work = changed.unionAll(added)
+    # the new-crawl work set feeds the band projection, the survivor
+    # anti-join AND the final token aggregation — pin it so the
+    # snapshot-compare scan+concat runs once, not per branch
+    work = changed.unionAll(added).transform(materialize_lazy)
     survivors = dedup.incremental_near_dedup(
         work, unchanged, id_col="doc_id", text_col="text",
         shingle_len=_SHINGLE_LEN, num_hashes=_NUM_HASHES, bands=_BANDS,
@@ -6564,10 +6578,13 @@ def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signature_table(
         docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES
     ).transform(materialize_lazy)
+    # cands feeds THREE branches (the estimate join, the intersection
+    # count, and the exact-jaccard assembly) — pin it so the banded
+    # self-join + distinct runs once, not per branch
     cands = dedup.minhash_candidates(
         docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES, _BANDS,
         max_bucket_size=_D23_CAP, sigs=sigs,
-    )
+    ).transform(materialize_lazy)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"_s{i}").alias(f"_a{i}") for i in range(_NUM_HASHES)],
@@ -6587,12 +6604,15 @@ def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches.cast("bigint") * F.lit(62500)).alias("est_e6"),
         )
     )
+    # the distinct-shingle explode feeds three branches (both sides
+    # of the intersection join + the size aggregate) — pin it so the
+    # shingle+md5 projection runs once, not per branch
     sh = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(dedup.word_shingles(F.col("text"), _SHINGLE_LEN))
         ).alias("_sg"),
-    )
+    ).transform(materialize_lazy)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ns"))
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), "_sg"), "id_a")
@@ -7390,25 +7410,78 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signature_table(
         docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES
     ).transform(materialize_lazy)
-    tagged = None
+    # All three configs band the SAME signature columns map-side, so
+    # tag each config's (doc_id, band) rows and run ONE
+    # (config, band)-keyed bucket-size cap + self-join over the union
+    # instead of three separate cap shuffles and self-joins (the band
+    # digests are identical to minhash_band_table's: md5 of
+    # "band{b}|" + the "|"-joined band rows, first 15 hex digits as a
+    # BIGINT). The config tag in the join key keeps buckets from
+    # different bandings apart; per-config results are bit-identical
+    # to three independent minhash_candidates calls.
+    banded = None
     for nb, rpb in _D25_CONFIGS:
-        cands = dedup.minhash_candidates(
-            docs, "doc_id", "text", _SHINGLE_LEN, _NUM_HASHES, nb,
-            max_bucket_size=_D25_CAP, sigs=sigs,
-        ).select(
+        digs = [
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"band{b}|"),
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_s{b * rpb + j}").cast("string")
+                                    for j in range(rpb)
+                                ],
+                            ),
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for b in range(nb)
+        ]
+        one = sigs.select(
             F.lit(nb).alias("bands"),
             F.lit(rpb).alias("rows_per_band"),
-            "id_a", "id_b",
+            F.col("doc_id"),
+            F.explode(F.array(*digs)).alias("_band"),
         )
-        tagged = cands if tagged is None else tagged.unionAll(cands)
-    tagged = tagged.transform(materialize_lazy)
+        banded = one if banded is None else banded.unionAll(one)
+    bucket_sizes = banded.groupBy("bands", "_band").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    capped = (
+        banded.join(bucket_sizes, ["bands", "_band"])
+        .where(F.col("_bn") <= _D25_CAP)
+        .drop("_bn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    tagged = (
+        a.join(b, on=["bands", "_band"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "bands",
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    ).transform(materialize_lazy)
     allp = tagged.select("id_a", "id_b").distinct()
+    # the distinct-shingle explode feeds three branches (both sides
+    # of the intersection join + the size aggregate) — pin it so the
+    # shingle+md5 projection runs once, not per branch
     sh = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(dedup.word_shingles(F.col("text"), _SHINGLE_LEN))
         ).alias("_sg"),
-    )
+    ).transform(materialize_lazy)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ns"))
     inter = (
         allp.join(sh.select(F.col("doc_id").alias("id_a"), "_sg"), "id_a")

@@ -543,10 +543,30 @@ def test_m08_band_join_no_python(spark):
 
 def test_t34_hist_partial_aggregation(spark):
     """Histogram build must map-side combine: the exchange carries at
-    most shards x nbins counter rows."""
-    plan = plan_of(spark, "t34_hist_quantile")
+    most shards x nbins counter rows. Asserted on the operator frame
+    directly — the t34 query pins the merged histogram with a lazy
+    localCheckpoint (it feeds both the merge-contract check and the
+    quantile pick), which truncates its executed plan at
+    ``Scan ExistingRDD`` and hides the upstream aggregate."""
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import sketch
+    from arc_jupyter_spark.workloads.curation import (
+        _T34_BINS,
+        _T34_HI,
+        _T34_LO,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    cents = F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    sharded = sketch.hist_build(
+        li, cents, _T34_LO, _T34_HI, _T34_BINS,
+        shard=F.col("l_orderkey") % 8,
+    )
+    merged = sketch.hist_merge(sharded)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "Partial" in plan
-    assert "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan_of(spark, "t34_hist_quantile")
 
 
 def test_triangle_closure_plan_is_equi_join_only(spark):
