@@ -387,10 +387,19 @@ def hits(
     iterations: int = 2,
     checkpoint_every: int = 4,
     assume_distinct: bool = False,
+    authority_only: bool = False,
 ) -> DataFrame:
     """Integer HITS (Kleinberg) over a directed edge list →
     ``[node, authority, hub]`` — authority for every dst node, hub
     for every src node (0 where a node lacks that role).
+
+    ``authority_only=True`` returns just ``[node, authority]`` for the
+    dst nodes (the rows whose authority is > 0 in the full output):
+    the final iteration's hub update and the full-outer hub/authority
+    stitch are skipped entirely — one join + one shuffle + one
+    full-outer join fewer for consumers that rank authorities only
+    (Catalyst cannot prune them itself: the full-outer join changes
+    which ROWS exist, not just which columns).
 
     UNNORMALIZED integer scores: hubs start at 1; each iteration is
     ``a(v) = Σ_{u→v} h(u)`` then ``h(u) = Σ_{u→v} a(v)`` — two BIGINT
@@ -419,16 +428,28 @@ def hits(
         e = e.distinct()
     e = e.transform(materialize_lazy)
 
-    hubs = e.select(F.col("src").alias("node")).distinct().withColumn(
-        "h", F.lit(1).cast("bigint")
-    )
+    # iteration 1's hub vector is the constant 1 for every src node,
+    # so ``a_1(v) = Σ_{u→v} 1`` = the in-edge count — the join against
+    # the all-ones hub table (and the distinct-src shuffle that built
+    # it) only ever summed a constant; start from the in-degree
+    # aggregate instead (the g01 iteration-1 lesson).
     auth = None
+    hubs = None
     for i in range(iterations):
-        auth = (
-            e.join(hubs, e.src == hubs.node, "inner")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a"))
-        )
+        if hubs is None:
+            auth = (
+                e.groupBy(F.col("dst").alias("node"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+            )
+        else:
+            auth = (
+                e.join(hubs, e.src == hubs.node, "inner")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").alias("a"))
+            )
+        if authority_only and i + 1 == iterations:
+            # the last hub update feeds nothing the caller reads
+            return auth.select("node", F.col("a").alias("authority"))
         hubs = (
             e.join(auth, e.dst == auth.node, "inner")
             .groupBy(F.col("src").alias("node"))

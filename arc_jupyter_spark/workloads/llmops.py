@@ -5552,7 +5552,12 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
     )
-    scores = graph.hits(edges, iterations=2, assume_distinct=True)
+    # authority_only: g06 ranks authorities, so the operator skips the
+    # final hub update + full-outer stitch (2 joins + 1 shuffle fewer;
+    # every returned authority is >= 1, so the > 0 filter keeps the
+    # declared result identical — re-verified against the oracle)
+    scores = graph.hits(edges, iterations=2, assume_distinct=True,
+                        authority_only=True)
     return (
         scores.where(F.col("authority") > 0)
         .select("node", "authority")
@@ -5709,12 +5714,21 @@ def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dedup.word_shingles(F.col("text"), 5)).alias("sg"),
     ).select(
         "source", dedup.base_hash28(F.col("sg")).alias("h")
-    ).distinct()
+    )
+    # bottom-K DISTINCT hashes per source WITHOUT a corpus-wide
+    # distinct first: dense_rank counts distinct h values, and its
+    # rank filter is pushed below the one source-keyed shuffle as a
+    # WindowGroupLimit (each map task forwards only rows among its
+    # local K smallest values) — the old distinct() shuffled the FULL
+    # distinct shingle-hash set across (source, h) before the window
+    # got to prune anything. The tiny post-filter distinct (≤ K rows
+    # per source) dedups the surviving occurrences.
     w = Window.partitionBy("source").orderBy("h")
     sk = (
-        hv.withColumn("rn", F.row_number().over(w))
+        hv.withColumn("rn", F.dense_rank().over(w))
         .where(F.col("rn") <= _T43_K)
         .drop("rn")
+        .distinct()
     )
     srcs = sk.select("source").distinct()
     tag = (
@@ -5916,7 +5930,13 @@ def p11_stage_frames(
     )
     ch = dedup.cdc_chunks(docs, id_col="doc_id", text_col="text",
                           window=_D21_W, mask=_D21_MASK)
-    dg = ch.withColumn("dg", F.md5("chunk"))
+    # the chunked frame feeds THREE branches of the final plan (the
+    # keep-first digest aggregate, the semi-join probe side, and the
+    # orig-length rollup); unpinned, the CDC chunker re-ran once per
+    # branch — 3 full documents scans + 3 chunking passes in the
+    # before plan. A lazy localCheckpoint shares one evaluation
+    # (guide §5; the p10/p12/d23 multi-branch pattern).
+    dg = ch.withColumn("dg", F.md5("chunk")).transform(materialize_lazy)
     # keep-first decision on DIGESTS only: map-side partial MIN of the
     # (doc_id, chunk_idx) struct per digest — never text
     firsts = dg.select("dg", "doc_id", "chunk_idx").groupBy("dg").agg(

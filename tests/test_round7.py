@@ -147,6 +147,31 @@ def test_hits_ranking_matches_normalized_float_hits(spark):
     assert [n for _, n in got] == [n for _, n in want]
 
 
+def test_hits_authority_only_matches_full_positive_rows(spark):
+    """authority_only must return exactly the full output's rows with
+    authority > 0 (the dst-node rows), with identical values — the
+    mode only skips the final hub update + full-outer stitch."""
+    from arc_jupyter_spark.operators.graph import hits
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    for iters in (1, 2, 3):
+        full = {
+            r.node: r.authority
+            for r in hits(df, iterations=iters).collect()
+            if r.authority > 0
+        }
+        only = {
+            r.node: r.authority
+            for r in hits(
+                df, iterations=iters, authority_only=True
+            ).collect()
+        }
+        assert only == full, iters
+        assert set(
+            hits(df, iterations=iters, authority_only=True).columns
+        ) == {"node", "authority"}
+
+
 def test_hits_rejects_zero_iterations(spark):
     from arc_jupyter_spark.operators.graph import hits
 
