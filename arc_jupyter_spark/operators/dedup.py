@@ -447,7 +447,14 @@ def _pair_intersections(
                 F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
             ).cast("bigint"),
         ).alias("_sh"),
-    )
+    ).transform(materialize_lazy)
+    # ^ the digest-array table feeds BOTH the df-count branch and the
+    # pair-generation branch; the two exchanges carry different
+    # payloads, so Catalyst cannot ReusedExchange them and — unpinned —
+    # the tokenize+shingle+md5 projection ran once per branch (visible
+    # as two Scan parquet + two Generate subtrees in d03's before
+    # plan). Pinning the PRE-explode row (one array per doc) costs the
+    # least storage and leaves only the cheap re-explode duplicated.
     ex = sh.select(
         F.col(id_col),
         *[F.col(c) for c in block],

@@ -5009,11 +5009,16 @@ def p10_stage_frames(
         threshold=_P10_JACC,
         max_doc_freq=_P10_MAX_DF,
     )
+    # fuzzy feeds THREE consumers (the gram explode inside the
+    # substring accounting, its n_tokens projection, and the fzs
+    # rollup in the final query) — unpinned, each re-ran the whole
+    # jaccard candidate machinery + anti-join (9 LeftAnti subtrees in
+    # the previous after-plan). Same §5 pin as gated/exact.
     fuzzy = exact.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).transform(materialize_lazy)
     counts = dedup.substring_removal_counts(
         fuzzy,
         id_col="doc_id",

