@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+from arc_jupyter_spark.operators.litarray import long_array
 
 
 # -- exact ------------------------------------------------------------
@@ -349,7 +350,12 @@ def minhash_candidates(
     """
     banded = minhash_band_table(
         df, id_col, text_col, shingle_len, num_hashes, bands, sigs=sigs
-    )
+    ).transform(materialize_lazy)
+    # ^ (id, band) feeds the bucket-size aggregate AND both sides of
+    # the pair self-join — unpinned, the whole shingle+minhash
+    # signature pipeline re-ran per consumer (2 documents scans even
+    # with the self-join's ReusedExchange). The pin stores 2×8-byte
+    # rows per (doc, band) and every consumer reads that.
     if max_bucket_size is not None:
         # one extra count-aggregate on the tiny (id, band) table; the
         # filter removes the quadratic blowup before the self-join
@@ -853,7 +859,7 @@ def bloom_build(
 #: shiftleft() takes only literal shift amounts — index a 32-entry
 #: power-of-two array with the (column-valued) bit offset instead.
 def _pow2(bit: Column) -> Column:
-    table = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    table = long_array([1 << i for i in range(32)])
     return F.element_at(table, bit.cast("int") + F.lit(1))
 
 
@@ -879,7 +885,7 @@ def bloom_might_contain(
     (broadcast with the plan); the probe is a flat projection — no
     join, no shuffle, whole-stage codegen'd.
     """
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    arr = long_array(words)  # one py4j call for the 512-word filter
     pos = bloom_positions(key, num_hashes, num_bits)
     return F.forall(
         pos,

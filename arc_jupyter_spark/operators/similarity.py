@@ -17,6 +17,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from arc_jupyter_spark.checkpoint import materialize, materialize_lazy
+from arc_jupyter_spark.operators.litarray import double_array, long_array
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -51,7 +52,7 @@ def cosine_topk(
     TakeOrderedAndProject — each partition keeps k rows, the driver
     merges. Ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    q = double_array(query_vec)
     scored = df.select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
@@ -200,7 +201,7 @@ def assign_ivf_cells(
         cid = int(r[centroid_id_col])
         cv = [float(x) for x in r[centroid_vec_col]]
         norm = math.sqrt(sum(x * x for x in cv)) or 1.0
-        unit = F.array(*[F.lit(x / norm).cast("double") for x in cv])
+        unit = double_array([x / norm for x in cv])
         entries.append(
             F.struct(
                 dot(vec, unit).alias("sim"),
@@ -280,7 +281,7 @@ def ivf_topk(
     the IVF scale path. Requires ``corpus_with_cells`` to carry a
     ``cell`` column from ``assign_ivf_cells``.
     """
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    q = double_array(query_vec)
     probe_cells = [
         r["centroid_id"]
         for r in centroids.select(
@@ -330,7 +331,7 @@ def hyperplane_signature(
     v = vec.cast("array<double>")
     sig: Column = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)).cast("double") for x in plane])
+        p = double_array(plane)
         sig = sig + F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
 
@@ -374,7 +375,7 @@ def lsh_topk(
             for j in range(i + 1, n)
         ]
 
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    q = double_array(query_vec)
     pruned = corpus_with_sig.where(F.col(sig_col).isin(probes))
     scored = pruned.select(
         F.col(id_col),
@@ -528,7 +529,7 @@ def pq_topk(
     for j, book in enumerate(codebooks):
         sub = q[j * d : (j + 1) * d]
         table = [sum((a - b) * (a - b) for a, b in zip(sub, cent)) for cent in book]
-        tcol = F.array(*[F.lit(t).cast("double") for t in table])
+        tcol = double_array(table)
         idx = F.shiftrightunsigned(F.col(code_col), bits * j).bitwiseAND(F.lit(mask))
         score = score + F.element_at(tcol, (idx + 1).cast("int"))
     scored = encoded.select(F.col(id_col), score.alias("adc"))
@@ -558,7 +559,7 @@ def pq_search(
         encoded, codebooks, query_vec, k=pool, id_col=id_col, code_col=code_col
     ).select(id_col)
     pruned = encoded.join(F.broadcast(cands), id_col, "left_semi")
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    q = double_array(query_vec)
     scored = pruned.select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
@@ -618,7 +619,7 @@ def quantized_topk(
     absmax = max(max(abs(float(x)) for x in query_vec), 1e-300)
     # round-half-up via floor(x+0.5), mirroring quantize_int8 exactly
     q = [int(math.floor(float(x) * levels / absmax + 0.5)) for x in query_vec]
-    qlit = F.array(*[F.lit(v) for v in q])
+    qlit = long_array(q)
     scored = df.select(
         F.col(id_col),
         int_dot(quantize_int8(F.col(vec_col), levels), qlit).alias("qdot"),
@@ -672,7 +673,7 @@ def assign_quantized_cells(
     with_q = df.withColumn(qcol, quantize_int8(F.col(vec_col), levels))
     entries = []
     for aid, avec in anchors:
-        alit = F.array(*[F.lit(v) for v in quantize_vec_py(avec, levels)])
+        alit = long_array(quantize_vec_py(avec, levels))
         entries.append(
             F.struct(
                 int_dot(F.col(qcol), alit).alias("sim"),
@@ -968,7 +969,7 @@ def lloyd_train_quantized(
     def _assigned() -> DataFrame:
         entries = []
         for aid in sorted(cents):
-            clit = F.array(*[F.lit(int(v)) for v in cents[aid]])
+            clit = long_array(cents[aid])
             entries.append(
                 F.struct(
                     int_dot(F.col(qcol), clit).alias("sim"),

@@ -562,6 +562,15 @@ def dsir_importance(
     n_target = (
         bucketed(target_df).groupBy("_b").agg(F.count(F.lit(1)).alias("_nt"))
     )
+    # NOTE (r9 optimization pass): the raw-side bigram stream is
+    # evaluated twice (n_raw aggregate + scoring join). Pinning it with
+    # a lazy localCheckpoint was A/B'd and REJECTED: both consumers are
+    # fully map-pipelined with partial aggregation (the exploded stream
+    # never hits an exchange), so materializing every (id, bucket)
+    # occurrence row costs more than re-running the projection
+    # (t38 2.36→2.54 s, p09 2.75→3.04 s interleaved) — the guide §5
+    # recompute-vs-storage trade, opposite outcome to the jaccard core
+    # where the pinned row is pre-explode and the recompute is heavier.
     n_raw = (
         bucketed(raw_df).groupBy("_b").agg(F.count(F.lit(1)).alias("_nr"))
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from arc_jupyter_spark.operators import graph, quality, text, urls
+from arc_jupyter_spark.operators import graph, litarray, quality, text, urls
 from arc_jupyter_spark.workloads.base import load_views, query
 
 # --------------------------------------------------------------------
@@ -997,7 +997,7 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         # int8 ranks by INNER PRODUCT — its honest baseline is the
         # exact unquantized dot ranking (isolates quantization loss;
         # cosine-vs-dot disagreement is a metric choice, not an error)
-        qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+        qlit = litarray.double_array(qv)
         exact_dot = {
             r["vec_id"]
             for r in emb.select(
