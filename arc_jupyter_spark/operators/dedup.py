@@ -667,11 +667,30 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().transform(materialize_lazy)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .transform(materialize_lazy)
-    )
+
+    def _jump(prop: DataFrame) -> DataFrame:
+        # pointer jump: label := label(label) — every label IS a node
+        # id present in the table, so the self-join forwards v straight
+        # to whatever its current label has already learned (coalesce
+        # only guards the join's own null column, not a semantic case)
+        hop = prop.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
+        )
+        return prop.join(hop, prop.label == F.col("_jn"), "left").select(
+            "node",
+            F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
+        )
+
+    def _first_step() -> DataFrame:
+        # iteration 1: label(v) == v, so the neighbor-min join would
+        # only rename dst → label — least(src, min(dst)) per src is
+        # ONE map-combined aggregate (both orientations are present,
+        # so every node appears as src; no separate node table needed)
+        prop = edges.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("label")
+        ).select(F.col("src").alias("node"), "label")
+        return _jump(prop)
+
     def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
             edges.join(lbl, edges.dst == lbl.node)
@@ -686,17 +705,7 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("_nlabel"), F.col("label"))
             ).alias("label"),
         )
-        # pointer jump: label := label(label) — every label IS a node
-        # id present in the table, so the self-join forwards v straight
-        # to whatever its current label has already learned (coalesce
-        # only guards the join's own null column, not a semantic case)
-        hop = prop.select(
-            F.col("node").alias("_jn"), F.col("label").alias("_jl")
-        )
-        return prop.join(hop, prop.label == F.col("_jn"), "left").select(
-            "node",
-            F.coalesce(F.col("_jl"), F.col("label")).alias("label"),
-        )
+        return _jump(prop)
 
     # ONE step per materialization: composing several steps lazily
     # between checkpoints looks like a free job-count win, but each
@@ -717,10 +726,28 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
         ).collect()[0]["s"]
 
-    prev_sum = _checksum(labels)
-    for _ in range(max_iter):
-        new_labels = _step(labels).transform(materialize_lazy)
-        new_sum = _checksum(new_labels)  # materializes the checkpoint
+    if max_iter <= 0:
+        return (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+        )
+    labels = None
+    prev_sum = None
+    for i in range(max_iter):
+        if labels is None:
+            new_labels = _first_step().transform(materialize_lazy)
+            # one aggregate yields BOTH checksums: sum(node) over the
+            # round-1 table IS the init vector's sum (labels started
+            # as node ids over the same node set), so no separate
+            # init-labels table or init-checksum job is needed
+            row = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                F.sum(F.col("node").cast("decimal(38,0)")).alias("s0"),
+            ).collect()[0]
+            new_sum, prev_sum = row["s"], row["s0"]
+        else:
+            new_labels = _step(labels).transform(materialize_lazy)
+            new_sum = _checksum(new_labels)  # materializes the checkpoint
         labels = new_labels
         if new_sum == prev_sum:
             break

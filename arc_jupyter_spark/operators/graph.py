@@ -68,33 +68,37 @@ def pagerank(
     ``spark.arc.checkpoint.mode=reliable`` for fault-tolerant cluster
     runs) so the plan stays constant-size at high iteration counts.
     """
-    # all three loop-invariant frames are LAZY checkpoints: the
-    # nodes.count() below is the one job that materializes e and
-    # nodes, and ed materializes inside the final action — 2 jobs for
-    # the whole call instead of 4 (each eager checkpoint is a separate
-    # job whose fixed overhead dominated g01 at bench scale)
+    # all loop-invariant frames are LAZY checkpoints, and the node
+    # count never reaches the driver: n flows into the rank constants
+    # as a broadcast 1-row aggregate (`_n`), so the whole fixed-
+    # iteration query is ONE job — the final action materializes e,
+    # ed and nodes (previously nodes.count() was a separate job run
+    # only to fold n into the expressions as a Python literal)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
     e = e.transform(materialize_lazy)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # the (edge, out-degree) pairing is loop-invariant — join it once
-    # and checkpoint, so each iteration is ranks-join + one shuffle,
-    # not a re-run of the degree aggregation and its join
-    ed = e.join(deg, "src", "inner").transform(materialize_lazy)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .transform(materialize_lazy)
     )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        # empty graph (a filtered-out partition at scale): empty
-        # result with the contract schema, not a divide-by-zero
-        return nodes.withColumn("rank_e9", F.lit(0).cast("bigint"))
-    base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
-    r0 = scale // n_nodes
+    nc = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    # the (edge, out-degree, n) pairing is loop-invariant — join it
+    # once and checkpoint, so each iteration is ranks-join + one
+    # shuffle, not a re-run of the degree aggregation and its join
+    ed = (
+        e.join(deg, "src", "inner").crossJoin(nc).transform(materialize_lazy)
+    )
+    # integer-identical to the old Python-side constants: base =
+    # ((den - num) * scale DIV den) DIV n, r0 = scale DIV n (SQL DIV
+    # on non-negative BIGINTs == Python //). On an empty graph no row
+    # ever evaluates the DIV-by-zero and every output frame is empty,
+    # which is the documented contract.
+    base = f"(({(damping_den - damping_num) * scale} DIV {damping_den}) DIV _n)"
+    r0 = f"({scale} DIV _n)"
 
     # rank_i(u) = base + (num * COALESCE(s_i(u), 0)) DIV den for i >= 1
     # and the constant r0 for i = 0 — identical integer arithmetic to
@@ -123,7 +127,7 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             s = s.transform(materialize)
-    return nodes.join(s, "node", "left").select(
+    return nodes.crossJoin(nc).join(s, "node", "left").select(
         "node",
         F.expr(rank_of_s).cast("bigint").alias("rank_e9"),
     )
@@ -254,7 +258,10 @@ def label_propagation(
     Scale shape: per round, ONE shuffle join of the 16 B/row label
     state onto edges (AQE broadcasts the label table only while it is
     genuinely small), one partial-agg'd ``groupBy(node, label)``
-    count, and one per-node sort-free ``max_by`` argmax (struct
+    count, and one per-node sort-free ``max_by`` argmax. Round 1 is
+    join-free: labels == ids and distinct edges make every vote count
+    exactly 1, so the argmax collapses to one map-combined
+    ``MIN(src)`` per node (struct
     key ``(n, -label)`` — total order, so most-frequent with
     smallest-label tiebreak) whose input is already partitioned by
     ``node`` from the count's exchange — Catalyst reuses that
@@ -290,32 +297,45 @@ def label_propagation(
         .agg(F.max("_in").alias("_in"))
         .transform(materialize_lazy)
     )
-    nodes = ntab.select("node")
     iso = ntab.where(F.col("_in") == 0).select(
         "node", F.col("node").alias("label")
     )
-    labels = nodes.withColumn("label", F.col("node"))
+    labels = None
     for i in range(iterations):
-        counts = (
-            e.join(labels, e.src == labels.node, "inner")
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        # argmax by (count DESC, label ASC) as a sort-free min_by over
-        # struct(-n, label): lexicographic struct comparison gives the
-        # most frequent label with smallest-label tiebreak, and the
-        # label field makes the key total (no equal structs — min_by
-        # is then deterministic). Negating the COUNT (always a bigint)
-        # rather than the label keeps the key valid for string node
-        # ids too. Replaces a row_number window whose per-node sort
-        # cost a full extra sort stage per round; the second groupBy
-        # reuses the count's hash partitioning on `node`.
-        best = counts.groupBy("node").agg(
-            F.min_by(
-                "label", F.struct((-F.col("n")).alias("nn"), F.col("label"))
-            ).alias("label")
-        )
+        if labels is None:
+            # iteration 1: every node's label IS its id, so the edge ⨝
+            # labels join would only rename src → label, and — e being
+            # DISTINCT — every (node, label) vote count is exactly 1.
+            # The most-frequent-then-smallest argmax over all-ones
+            # counts is just MIN(src) per dst: one map-combined
+            # aggregate replaces the join AND the (node, label) count
+            # exchange (the g01/g06 iteration-1 constant lesson).
+            best = e.groupBy(F.col("dst").alias("node")).agg(
+                F.min("src").alias("label")
+            )
+        else:
+            counts = (
+                e.join(labels, e.src == labels.node, "inner")
+                .select(F.col("dst").alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # argmax by (count DESC, label ASC) as a sort-free min_by
+            # over struct(-n, label): lexicographic struct comparison
+            # gives the most frequent label with smallest-label
+            # tiebreak, and the label field makes the key total (no
+            # equal structs — min_by is then deterministic). Negating
+            # the COUNT (always a bigint) rather than the label keeps
+            # the key valid for string node ids too. Replaces a
+            # row_number window whose per-node sort cost a full extra
+            # sort stage per round; the second groupBy reuses the
+            # count's hash partitioning on `node`.
+            best = counts.groupBy("node").agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("n")).alias("nn"), F.col("label")),
+                ).alias("label")
+            )
         # every in-edge-bearing node has a `best` row; isolated nodes
         # keep their own id — the disjoint union IS the full vector
         labels = best.unionByName(iso)
@@ -371,6 +391,14 @@ def bfs_levels(
         # lazy checkpoint: the emptiness probe is the materializing
         # action, so each round costs one job, not two
         new = nxt.join(visited.select("node"), "node", "left_anti").transform(materialize_lazy)
+        if d == max_depth:
+            # the last frontier needs no emptiness probe — an empty
+            # `new` unions to nothing, so the probe job only ever
+            # decided whether to run rounds that don't exist
+            visited = visited.union(
+                new.withColumn("dist", F.lit(d).cast("bigint"))
+            )
+            break
         if not new.take(1):
             break
         frontier = new
@@ -507,15 +535,16 @@ def kcore(
     the same peel as chained CTEs because extra rounds past the
     fixpoint are no-ops.
 
-    Job shape: each round is ONE job — the survivor filter is a LAZY
-    checkpoint consumed twice inside the induced-subgraph plan (a lazy
-    ``localCheckpoint`` pins one RDD, so both semi-join probes share a
-    single evaluation of the degree aggregate), and the fixpoint probe
-    is the EDGE count of the materialized round (monotone shrink: an
-    unchanged edge count implies an unchanged survivor set and
-    vice-versa — the same fixpoint the survivor-count probe detected,
-    one round earlier in job terms because no separate survivor
-    materialization/count job runs per round).
+    Job shape: each round is ONE job, and the fixpoint is read off the
+    DEGREE table, not a confirmation peel — the round materializes the
+    previous round's induced edge frame (lazy checkpoint), aggregates
+    degrees (pinned), and one tiny node-sized aggregate reports
+    ``(n_nodes, n_below_k)``. ``n_below_k == 0`` IS the fixpoint (no
+    node would be peeled, so the induced subgraph is already stable),
+    which saves the old confirmation round's two semi-joins + full
+    edge-frame re-checkpoint, needs no upfront edge count, and lets
+    the final core projection read the pinned degree table instead of
+    re-aggregating the fixpoint frame.
 
     ``assume_distinct`` skips the initial edge dedup shuffle when the
     caller guarantees distinct rows (e.g. the two disjoint
@@ -538,63 +567,41 @@ def kcore(
         )
         return (out, e.limit(0)) if return_edges else out
 
-    n_prev = e.count()  # materializes the pinned edge frame
-    if n_prev == 0:
-        return _empty()
-    converged = False
-    new_e = e
-    for _ in range(max_rounds):
-        keep = (
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-            .where(F.col("degree") >= k)
-            .select("src")
+    deg = None
+    # max_rounds bounds INDUCTIONS; the +1 iteration only reads the
+    # degree stats of the last allowed round (exhaustion exactly AT
+    # the fixpoint is accepted, still-shrinking raises — the ADVICE r8
+    # loud-failure contract).
+    for r in range(max_rounds + 1):
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
             .transform(materialize_lazy)
         )
-        new_e = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .transform(materialize_lazy)
-        )
-        n_edges = new_e.count()  # the ONE job: materializes keep + new_e
-        if n_edges == 0:
+        n_nodes, n_drop = deg.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("degree") < k).cast("int")).alias("d"),
+        ).first()  # the ONE job: materializes e + deg, reads the stats
+        if n_nodes == 0:
             return _empty()
-        if n_edges == n_prev:
-            converged = True
-            break
-        n_prev = n_edges
-        e = new_e
-    if converged:
-        e = new_e
-    else:
-        # Round budget exhausted BEFORE the edge count stabilized.
-        # The trailing HAVING degree >= k below would silently mask
-        # that (degrees still count edges to nodes a further round
-        # would peel, so the result is NOT the k-core) — run one more
-        # induction and fail loudly if the edge set is still
-        # shrinking rather than return a wrong subgraph.
-        e = new_e
-        keep = (
-            e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-            .where(F.col("degree") >= k)
-            .select("src")
-            .transform(materialize_lazy)
-        )
-        probe = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-        )
-        n_final = probe.count()
-        if n_final != n_prev:
+        if n_drop == 0:
+            break  # fixpoint: no node would be peeled
+        if r == max_rounds:
             raise RuntimeError(
                 f"kcore(k={k}) did not converge within max_rounds="
-                f"{max_rounds}: survivors still shrinking "
-                f"({n_prev} -> {n_final} edges); raise max_rounds (peel "
-                "depth of this graph exceeds the budget)"
+                f"{max_rounds}: {n_drop} of {n_nodes} surviving nodes "
+                "still below k; raise max_rounds (peel depth of this "
+                "graph exceeds the budget)"
             )
-    core = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .where(F.col("degree") >= k)
-        .select(F.col("src").alias("node"), "degree")
+        keep = deg.where(F.col("degree") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .transform(materialize_lazy)
+        )
+    # at the fixpoint every surviving node has degree >= k, so the
+    # pinned degree table IS the core (the where is belt-and-braces)
+    core = deg.where(F.col("degree") >= k).select(
+        F.col("src").alias("node"), "degree"
     )
     return (core, e) if return_edges else core

@@ -283,6 +283,8 @@ def test_no_cartesian_in_any_batch_query(spark):
         # pair-tagging, a non-equi join by construction; both sides
         # are bottom-k sketches, never corpus-sized — bounded S^2*K
         "t44_coverage_curve",  # crossJoin of the 1-row corpus total
+        "g01_pagerank",  # crossJoin of the 1-row node-count aggregate
+        # (folds n into the rank constants without a driver count job)
         "s16_range_search",  # corpus x broadcast 3-row query set —
         # scoring every corpus row against every query IS the range
         # scan (the s03 batch-topk rationale)
