@@ -504,7 +504,8 @@ def kcore(
     max_rounds: int = 30,
     assume_distinct: bool = False,
     return_edges: bool = False,
-) -> DataFrame | tuple[DataFrame, DataFrame]:
+    degrees: DataFrame | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame, DataFrame]:
     """k-core decomposition by iterative peeling → ``[node, degree]``
     for every node of the k-core (the maximal subgraph where every
     node keeps degree >= k), with its WITHIN-CORE degree.
@@ -550,8 +551,11 @@ def kcore(
     caller guarantees distinct rows (e.g. the two disjoint
     orientations of an already-DISTINCT pair set). ``return_edges``
     additionally returns the FIXPOINT edge frame (the core's induced
-    subgraph, materialized) so nested peels (g08) reuse it instead of
-    re-inducing from the full graph.
+    subgraph, materialized) AND its pinned degree table, so nested
+    peels (g08) reuse both instead of re-inducing from the full graph
+    and re-aggregating degrees: level k+1's round-1 degree table IS
+    level k's fixpoint degree table (same edge frame), which
+    ``degrees`` hands back in.
     """
     if k < 1:
         raise ValueError("kcore() needs k >= 1")
@@ -565,7 +569,7 @@ def kcore(
             F.col("src").alias("node"),
             F.lit(0).cast("bigint").alias("degree"),
         )
-        return (out, e.limit(0)) if return_edges else out
+        return (out, e.limit(0), out) if return_edges else out
 
     deg = None
     # max_rounds bounds INDUCTIONS; the +1 iteration only reads the
@@ -573,11 +577,17 @@ def kcore(
     # the fixpoint is accepted, still-shrinking raises — the ADVICE r8
     # loud-failure contract).
     for r in range(max_rounds + 1):
-        deg = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-            .transform(materialize_lazy)
-        )
+        if r == 0 and degrees is not None:
+            # caller-supplied degree table of `edges` (already pinned
+            # by a previous peel) — round 1's stats job reads cached
+            # blocks instead of re-aggregating the full edge frame
+            deg = degrees
+        else:
+            deg = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+                .transform(materialize_lazy)
+            )
         n_nodes, n_drop = deg.select(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("degree") < k).cast("int")).alias("d"),
@@ -604,4 +614,4 @@ def kcore(
     core = deg.where(F.col("degree") >= k).select(
         F.col("src").alias("node"), "degree"
     )
-    return (core, e) if return_edges else core
+    return (core, e, deg) if return_edges else core

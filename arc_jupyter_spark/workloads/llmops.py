@@ -6757,16 +6757,18 @@ def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     cores = []
+    dg = None
     for k in _G08_KS:
         # return_edges hands back the FIXPOINT edge frame — already
         # the survivors' induced subgraph, materialized inside the
-        # peel — so the next (deeper) peel starts from it directly
-        # instead of re-inducing from this level's input with two
-        # more semi-joins. assume_distinct: level 1's input is the
-        # disjoint-orientations union of a DISTINCT pair set; deeper
-        # levels get the already-deduped fixpoint frame.
-        core_k, e = graph.kcore(
-            e, k=k, assume_distinct=True, return_edges=True
+        # peel — AND its pinned degree table: the deeper peel's
+        # round-1 degrees ARE this level's fixpoint degrees (same
+        # edge frame), so passing them skips one full degree
+        # aggregation per level. assume_distinct: level 1's input is
+        # the disjoint-orientations union of a DISTINCT pair set;
+        # deeper levels get the already-deduped fixpoint frame.
+        core_k, e, dg = graph.kcore(
+            e, k=k, assume_distinct=True, return_edges=True, degrees=dg
         )
         cores.append(core_k.select("node").transform(materialize_lazy))
     lv = (
