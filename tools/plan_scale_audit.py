@@ -53,6 +53,8 @@ ALLOWED_BNL = {
     "s16_range_search",  # corpus x broadcast 3-row query set: scoring
     # every corpus row against every query IS the range scan (the
     # s03 batch-topk rationale)
+    "g01_pagerank",  # crossJoin of the 1-row node-count aggregate
+    # (folds n into the rank constants without a driver count job)
 }
 
 
