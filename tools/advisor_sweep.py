@@ -93,7 +93,12 @@ rollups and one ids-only anti-join. `g08_coreness_levels`
 many-shuffles is three chained g07 peels — 2 shuffles per round on a
 monotonically SHRINKING checkpointed edge frame (the k-core nesting
 means the full graph is touched only by the first peel; per-round
-frames are plan-asserted in test_plans.py's g07 gates)."""
+frames are plan-asserted in test_plans.py's g07 gates).
+Optimization round 1: `g01_pagerank` nested-loop-join is the
+allowlisted 1-row node-count broadcast crossJoin (folds n into the
+rank constants in-plan instead of a driver count job; see
+`ALLOWED_BNL` in test_plans.py and plan_scale_audit.py) — the
+broadcast side is exactly one BIGINT row at any scale."""
 
 
 def main() -> int:
