@@ -23,16 +23,17 @@ Shape, designed for the 100 TB case:
    partial aggregation on ``doc_id``. Nothing proportional to corpus
    text volume ever reaches a shuffle.
 
-Digests are full md5 hex (128-bit): collision-free in practice and
-portable — DuckDB's ``md5()`` matches Spark's bit-for-bit, so the
-whole operator mirrors into oracle SQL exactly.
+Digests are Spark-internal 64-bit xxhash64 keys (the oracles join
+raw shingle strings, so the hash choice cannot change a result — a
+2^-64-scale collision flags one extra shared shingle, a conservative
+error for a contamination screen).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from arc_jupyter_spark.operators.dedup import word_shingles
+from arc_jupyter_spark.operators.dedup import word_shingle_digests
 
 
 def shingle_digests(text: Column, n: int = 7) -> Column:
@@ -41,19 +42,12 @@ def shingle_digests(text: Column, n: int = 7) -> Column:
     ``array_distinct`` runs map-side so a document repeating one
     shingle many times contributes it once — overlap counts below are
     set-semantics, matching COUNT(DISTINCT ...) oracles. Digests are
-    md5 truncated to BIGINT: the broadcast eval set and the exploded
-    corpus rows carry 8 bytes per shingle instead of a 32-char string;
-    a 2^-60-scale collision flags one extra shared shingle, a
-    conservative error for a contamination screen.
+    64-bit xxhash64 (one hash per shingle, no per-shingle string
+    build — see :func:`word_shingle_digests`): the broadcast eval set
+    and the exploded corpus rows carry 8 bytes per shingle instead of
+    a 32-char string.
     """
-    return F.array_distinct(
-        F.transform(
-            word_shingles(text, n),
-            lambda s: F.conv(
-                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-            ).cast("bigint"),
-        )
-    )
+    return F.array_distinct(word_shingle_digests(text, n))
 
 
 def eval_digest_set(eval_df: DataFrame, text_col: str = "text", n: int = 7) -> DataFrame:

@@ -46,8 +46,14 @@ def exact_dedup_by_digest(df: DataFrame, text_col: str, order_col: str) -> DataF
     window/row_number shape at scale: the aggregation is partial
     (map-side combine collapses same-digest rows before the shuffle)
     and needs no per-partition sort.
+
+    The digest is ``xxhash64`` of the full text — a group key only
+    (dropped before return; oracles partition by their own md5 of the
+    text, which is the same grouping). xxhash64 streams the payload
+    ~an order of magnitude faster per byte than md5, and this is the
+    one digest in the module computed over whole documents.
     """
-    keyed = df.withColumn("_digest", F.md5(F.col(text_col).cast("binary")))
+    keyed = df.withColumn("_digest", F.xxhash64(F.col(text_col)))
     packed = keyed.groupBy("_digest").agg(
         F.min_by(F.struct(*df.columns), F.col(order_col)).alias("_row")
     )
@@ -131,6 +137,42 @@ def word_shingles(text: Column, n: int = 3) -> Column:
                 ),
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return F.flatten(F.transform(F.array(tokens), per_doc))
+
+
+def word_shingle_digests(text: Column, n: int = 3) -> Column:
+    """Per-position 64-bit shingle digests of lowercased whitespace-
+    tokenized text — :func:`word_shingles` fused with the digest step.
+
+    The digest is ``xxhash64`` over the shingle's n tokens directly
+    (seed-chained multi-arg form), so the per-shingle ``concat_ws``
+    string is never built and no md5+substring+conv chain runs — one
+    cheap hash per shingle inside the interpreted HOF (guide §4.2:
+    make the per-row work cheap; the map stage hashing every shingle
+    of the corpus is the dominant CPU at scale). Digests are
+    Spark-internal join/group keys only — every oracle joins raw
+    shingle strings — so swapping the hash cannot change a declared
+    result; only the collision class moves, and it IMPROVES:
+    full 64-bit xxhash64 (2^-64-scale) vs the 60-bit truncated md5 it
+    replaces. Documents shorter than ``n`` tokens contribute one
+    whole-document digest (hash of the joined string — never equal to
+    any n-token shingle's multi-arg digest except by hash collision,
+    mirroring the string scheme where the two forms differ in token
+    count).
+    """
+    tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+    def per_doc(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda j: F.xxhash64(
+                    *[F.element_at(toks, j + i) for i in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
 
     return F.flatten(F.transform(F.array(tokens), per_doc))
 
@@ -441,17 +483,18 @@ def _pair_intersections(
     """
     block = [block_col] if block_col else []
     # shingles become 8-byte digests BEFORE the explode/shuffle: the
-    # self-join keys on a bigint, never on shingle text (a 2^-60-scale
+    # self-join keys on a bigint, never on shingle text (a 2^-64-scale
     # collision overcounts one intersection element — the standard
-    # trade everywhere this module shuffles digests)
+    # trade everywhere this module shuffles digests). The distinct
+    # runs over the digests (longs) rather than shingle strings —
+    # cheaper comparisons, identical set modulo the same collision
+    # class — and word_shingle_digests never builds the shingle
+    # string at all (one xxhash64 per shingle; guide §4.2).
     sh = _parallelize(df).select(
         F.col(id_col),
         *[F.col(c) for c in block],
-        F.transform(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_len)),
-            lambda s: F.conv(
-                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-            ).cast("bigint"),
+        F.array_distinct(
+            word_shingle_digests(F.col(text_col), shingle_len)
         ).alias("_sh"),
     ).transform(materialize_lazy)
     # ^ the digest-array table feeds BOTH the df-count branch and the
@@ -1034,8 +1077,8 @@ def positional_shingles(
     """Word n-grams with their token position: ``(id, _pos, _digest)``.
 
     The positional variant of :func:`word_shingles`, for span-level
-    duplicate detection. Grams are md5-digested immediately so only
-    16-byte keys (plus two ints) ever shuffle — never gram text.
+    duplicate detection. Grams are digested immediately so only
+    8-byte keys (plus two ints) ever shuffle — never gram text.
     Documents shorter than ``n`` tokens contribute no grams.
     """
     tokens = F.filter(
@@ -1045,17 +1088,17 @@ def positional_shingles(
         df.select(F.col(id_col), tokens.alias("_toks"))
         .where(F.size("_toks") >= n)
     )
-    gram = F.concat_ws(
-        " ", *[F.element_at(F.col("_toks"), F.col("_pos") + i) for i in range(n)]
+    # 64-bit digest: seed-chained multi-arg xxhash64 over the gram's n
+    # tokens — the gram string is never concatenated and no
+    # md5+substring+conv chain runs (guide §4.2: this projection
+    # hashes every token position of the corpus, the dominant map CPU
+    # at scale). Digests never surface in results (oracles join raw
+    # gram strings); collisions merge two grams' doc sets — at 2^-64
+    # (vs 2^-60 for the truncated md5 this replaces), negligible
+    # against the >= 2 doc-frequency threshold even at corpus scale.
+    digest = F.xxhash64(
+        *[F.element_at(F.col("_toks"), F.col("_pos") + i) for i in range(n)]
     )
-    # 64-bit digest (md5 truncated via base conversion): 8 bytes per
-    # gram on the shuffle instead of a 32-char hex string. Collisions
-    # merge two grams' doc sets — at 2^64, negligible against the >= 2
-    # doc-frequency threshold even at corpus scale, and engine-portable
-    # (DuckDB can reproduce the same conv(md5) if ever needed).
-    digest = F.conv(
-        F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10
-    ).cast("bigint")
     return toks.select(
         F.col(id_col),
         F.explode(
@@ -1709,9 +1752,16 @@ def passage_dedup(
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     n_chunks = F.ceil(F.size("_toks") / F.lit(passage_len)).cast("int")
-    chunk = F.concat_ws(
-        " ", F.slice(F.col("_toks"), F.col("_idx") * passage_len + 1, passage_len)
+    chunk_arr = F.slice(
+        F.col("_toks"), F.col("_idx") * passage_len + 1, passage_len
     )
+    # digest = xxhash64 of the token-array slice directly: no chunk
+    # string is ever concatenated, no re-split to count tokens (the
+    # slice of an already-filtered token array has no empties, so its
+    # size IS the chunk's token count), no md5+substring+conv chain
+    # (guide §4.2). The digest is a Spark-internal group key only —
+    # the oracle groups by its own md5 of the passage string — so only
+    # the collision class changes (2^-64 vs 2^-60, an improvement).
     occ = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") > 0)
@@ -1723,12 +1773,8 @@ def passage_dedup(
         .select(
             F.col(id_col),
             F.col("_idx"),
-            F.conv(
-                F.substring(F.md5(chunk.cast("binary")), 1, 15), 16, 10
-            ).cast("bigint").alias("_digest"),
-            F.size(F.filter(F.split(chunk, " "), lambda t: t != ""))
-            .cast("bigint")
-            .alias("_chunk_toks"),
+            F.xxhash64(chunk_arr).alias("_digest"),
+            F.size(chunk_arr).cast("bigint").alias("_chunk_toks"),
         )
     )
     # keep-first: the smallest (id, idx) struct per digest — struct
@@ -1801,13 +1847,9 @@ def boilerplate_chunks(
         .select(
             F.col(id_col),
             F.col(group_col),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", chunk_arr).cast("binary")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint").alias("_digest"),
+            # array-hash digest, same scheme as passage_dedup: no
+            # chunk string, no md5 chain; group key only (2^-64)
+            F.xxhash64(chunk_arr).alias("_digest"),
             F.size(chunk_arr).cast("bigint").alias("_chunk_toks"),
         )
     )

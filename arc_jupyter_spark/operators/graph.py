@@ -274,6 +274,8 @@ def label_propagation(
     (`README.md:1` positions it as notebook ETL); this extends the
     corpus-forensics family alongside :func:`pagerank`.
     """
+    if iterations < 1:
+        raise ValueError("label_propagation() needs iterations >= 1")
     # lazy checkpoints: the final action materializes e/nodes once and
     # every round reuses the pinned blocks — no separate eager jobs
     # (the g01 job-overhead lesson; see pagerank above)
@@ -569,7 +571,13 @@ def kcore(
             F.col("src").alias("node"),
             F.lit(0).cast("bigint").alias("degree"),
         )
-        return (out, e.limit(0), out) if return_edges else out
+        # third element mirrors the REAL pinned degree table's
+        # [src, degree] schema so the degrees= round-trip is
+        # schema-consistent even on the empty path (ADVICE r9 item 2)
+        empty_deg = e.limit(0).select(
+            "src", F.lit(0).cast("bigint").alias("degree")
+        )
+        return (out, e.limit(0), empty_deg) if return_edges else out
 
     deg = None
     # max_rounds bounds INDUCTIONS; the +1 iteration only reads the

@@ -7255,7 +7255,7 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "already ingested"). The information-gain dial of a crawl-refresh
 # budget: a source whose novelty collapses toward 0 is re-serving
 # yesterday's text and gets its quota cut before tokens are wasted.
-# Scale shape: grams travel as 60-bit truncated-md5 digests (8 bytes
+# Scale shape: grams travel as 64-bit xxhash64 digests (8 bytes
 # instead of ~40-char strings through the membership shuffle), the
 # reference side reduces to a DISTINCT digest set before the join,
 # and membership is one digest-keyed left join feeding a counting
@@ -7298,15 +7298,17 @@ GROUP BY p.source ORDER BY p.source
 def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "documents")
     docs = spark.table("documents")
+    # 64-bit xxhash64 gram keys (no per-gram string build, no md5
+    # chain — word_shingle_digests); the digest is join-internal: the
+    # oracle digests with its own md5 on BOTH sides of its join, so
+    # either scheme computes the same membership counts modulo the
+    # hash's collision class (2^-64 here vs 2^-60 before)
     grams = docs.select(
         "doc_id",
         "source",
-        F.explode(dedup.word_shingles(F.col("text"), _T47_N)).alias("_g"),
-    ).select(
-        "doc_id",
-        "source",
-        F.conv(F.substring(F.md5(F.col("_g").cast("binary")), 1, 15), 16, 10)
-        .cast("long").alias("gd"),
+        F.explode(
+            dedup.word_shingle_digests(F.col("text"), _T47_N)
+        ).alias("gd"),
     )
     ref = (
         grams.where(F.col("doc_id") % 3 == 0)

@@ -1011,15 +1011,14 @@ FROM hits GROUP BY source ORDER BY source
 
 @query("st14_stream_contamination", oracle=ST14_ORACLE)
 def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arc_jupyter_spark.operators.dedup import word_shingles
+    from arc_jupyter_spark.operators.dedup import word_shingle_digests
 
     def digests(col):
-        return F.transform(
-            word_shingles(col, 5),
-            lambda s: F.conv(
-                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
-            ).cast("bigint"),
-        )
+        # Spark-internal 64-bit gram keys (one xxhash64 per shingle,
+        # no per-shingle string build); the oracle joins raw gram
+        # strings, so the hash choice cannot change the counts —
+        # both sides of the semi-join use this same helper
+        return word_shingle_digests(col, 5)
 
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_digests = (
